@@ -1,0 +1,75 @@
+package graft.eval
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pairwise precision/recall/F1 of cluster assignments against gold pairs —
+  * the ported evaluation harness (reference pattern: gold `title_QID` column
+  * scored offline against `{col}_pred_id`,
+  * /root/reference/tests/data/film_with_QIDs.csv + gt-exclusion
+  * lion_linker/lion_linker.py:196,945,969).
+  */
+object PairwiseEval {
+
+  final case class Metrics(tp: Long, fp: Long, fn: Long) {
+    def precision: Double = if (tp + fp == 0) 1.0 else tp.toDouble / (tp + fp)
+    def recall: Double = if (tp + fn == 0) 1.0 else tp.toDouble / (tp + fn)
+    def f1: Double =
+      if (precision + recall == 0) 0.0 else 2 * precision * recall / (precision + recall)
+  }
+
+  /** All predicted same-cluster pairs (url_a < url_b) from an assignment
+    * frame (url, cluster_id). Self-join within cluster; singleton clusters
+    * emit nothing.
+    */
+  def predictedPairs(assignments: DataFrame): DataFrame = {
+    val a = assignments.select(col("url").as("url_a"), col("cluster_id"))
+    val b = assignments.select(col("url").as("url_b"), col("cluster_id"))
+    a.join(b, "cluster_id").where(col("url_a") < col("url_b")).select("url_a", "url_b")
+  }
+
+  /** Global pairwise metrics: gold = (url_a, url_b [, label]) with
+    * url_a < url_b; only label=true rows (or all rows if no label column)
+    * count as gold-positive.
+    */
+  def metrics(assignments: DataFrame, gold: DataFrame): Metrics = {
+    val pred = predictedPairs(assignments)
+    val goldPos =
+      if (gold.columns.contains("label")) gold.where(col("label")).select("url_a", "url_b")
+      else gold.select("url_a", "url_b")
+    val tp = pred.join(goldPos, Seq("url_a", "url_b"), "left_semi").count()
+    val fp = pred.join(goldPos, Seq("url_a", "url_b"), "left_anti").count()
+    val fn = goldPos.join(pred, Seq("url_a", "url_b"), "left_anti").count()
+    Metrics(tp, fp, fn)
+  }
+
+  /** Per-blocking-key metrics (north rule: F1 within each blocking key).
+    * Gold must carry `block_key`. Returns (block_key, tp, fp, fn, f1); FP
+    * pairs are attributed to keys via the gold key of either member's gold
+    * pairs — predicted pairs with no gold key anywhere count under key
+    * '__unblocked__'.
+    */
+  def metricsPerKey(assignments: DataFrame, gold: DataFrame): DataFrame = {
+    val pred = predictedPairs(assignments).withColumn("p", lit(1))
+    val goldPos = gold
+      .where(col("label"))
+      .select("url_a", "url_b", "block_key")
+      .withColumn("g", lit(1))
+    pred
+      .join(goldPos, Seq("url_a", "url_b"), "full_outer")
+      .withColumn("block_key", coalesce(col("block_key"), lit("__unblocked__")))
+      .groupBy("block_key")
+      .agg(
+        sum(when(col("p").isNotNull && col("g").isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p").isNotNull && col("g").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("p").isNull && col("g").isNotNull, 1L).otherwise(0L)).as("fn")
+      )
+      .withColumn("precision", when(col("tp") + col("fp") === 0, 1.0).otherwise(col("tp") / (col("tp") + col("fp"))))
+      .withColumn("recall", when(col("tp") + col("fn") === 0, 1.0).otherwise(col("tp") / (col("tp") + col("fn"))))
+      .withColumn(
+        "f1",
+        when(col("precision") + col("recall") === 0, 0.0)
+          .otherwise(lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+      )
+  }
+}

@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level normalization expressions (pure Catalyst, codegen'd).
+  *
+  * Reference string semantics mirrored:
+  *  - whitespace normalization + "N.A." default:
+  *    /root/reference/lion_linker/prompt/generator.py:38-42
+  *  - id normalization (suffix after last '/' then last ':'):
+  *    /root/reference/app/services/linker.py:905-914
+  *  - case-insensitive id equality via upper():
+  *    /root/reference/lion_linker/lion_linker.py:421,474,773,787
+  * URL canonicalization is the north-rule generalization (the reference's
+  * mention strings become our canonical page keys).
+  */
+object Normalize {
+
+  /** `" ".join(s.split())` with "N.A." fallback (generator.py:38-42). */
+  def wsNorm(c: Column): Column =
+    coalesce(nullif(regexp_replace(trim(c), "\\s+", " "), lit("")), lit("N.A."))
+
+  /** Suffix after last '/' then after last ':' (linker.py:905-914). */
+  def idNorm(c: Column): Column =
+    substring_index(substring_index(c, "/", -1), ":", -1)
+
+  /** Host part of a URL without scheme/www./m. prefixes, lowercased. */
+  def domainOf(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)),
+      "^(www\\.|m\\.)",
+      ""
+    )
+
+  /** Canonical URL: lowercase, scheme dropped, www./m. dropped, query string
+    * and fragment dropped, trailing slash dropped. Planted URL-variant
+    * duplicates all collapse to the same canonical key.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val noScheme = regexp_replace(lower(trim(url)), "^[a-z][a-z0-9+.-]*://", "")
+    val noHostPrefix = regexp_replace(noScheme, "^(www\\.|m\\.)", "")
+    val noQuery = regexp_replace(noHostPrefix, "[?#].*$", "")
+    regexp_replace(noQuery, "/+$", "")
+  }
+
+  /** Lowercased whitespace tokens of a text column (empty array for blank). */
+  def tokensOf(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** n-token shingles joined by a single space; empty array if too short. */
+  def shingles(tokens: Column, n: Int): Column =
+    when(size(tokens) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(tokens) - lit(n - 1)),
+          i => array_join(slice(tokens, i, lit(n)), " ")
+        )
+      )
+
+  /** Confidence banding (lion_linker/lion_linker.py:717-726). */
+  def confidenceBand(score: Column): Column =
+    when(score >= 0.70, "HIGH").when(score >= 0.40, "MEDIUM").otherwise("LOW")
+
+  /** Clamp to [0,1] (lion_linker/lion_linker.py:705-706). */
+  def clamp01(c: Column): Column = least(lit(1.0), greatest(lit(0.0), c))
+
+  /** Levenshtein similarity ratio in [0,1] over (possibly length-capped)
+    * strings: 1 - dist/max(len). Both empty => 1.0.
+    */
+  def levRatio(a: Column, b: Column): Column = {
+    val m = greatest(length(a), length(b))
+    when(m === 0, lit(1.0)).otherwise(lit(1.0) - levenshtein(a, b).cast("double") / m)
+  }
+}

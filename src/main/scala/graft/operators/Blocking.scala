@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Normalize
+import graft.functions.SimilarityFunctions.minhash_sig
+
+/** Candidate-generation stage: blocking strategies emitting (url, key,
+  * strategy) rows, then a skew-guarded self-join producing candidate pairs.
+  *
+  * Reference analog: retriever subclasses are the candidate-generation
+  * strategies (/root/reference/lion_linker/retrievers.py:146-386); the
+  * distinct-mentions-before-fetch rewrite
+  * (lion_linker/lion_linker.py:984-986) becomes distinct (url,key) before
+  * the pair join; candidate truncation (lion_linker.py:640-667) becomes the
+  * per-block size cap with dropped-work accounting.
+  */
+trait BlockingStrategy {
+  def name: String
+
+  /** Emit blocking keys for a corpus with columns (url, text, ...) —
+    * output columns: url, key.
+    */
+  def keys(pages: DataFrame): DataFrame
+}
+
+/** URL-variant duplicates collapse to one canonical key. */
+object CanonicalUrlBlocking extends BlockingStrategy {
+  val name = "canonical_url"
+  def keys(pages: DataFrame): DataFrame =
+    pages.select(col("url"), concat(lit("u:"), Normalize.canonicalUrl(col("url"))).as("key"))
+}
+
+/** Same registrable domain + a coarse content fingerprint prefix — raw
+  * domain blocks on head domains are quadratic death at web scale, so the
+  * domain key is refined with the first text token.
+  */
+object DomainBlocking extends BlockingStrategy {
+  val name = "domain"
+  def keys(pages: DataFrame): DataFrame = {
+    val firstTok = element_at(Normalize.tokensOf(col("text")), 1)
+    pages.select(
+      col("url"),
+      concat(lit("d:"), Normalize.domainOf(col("url")), lit("|"), coalesce(firstTok, lit(""))).as("key")
+    )
+  }
+}
+
+/** MinHash-LSH over token shingles: `numHashes` min-hashes split into
+  * `bands` bands; pages sharing any band key become candidates. Hand-rolled
+  * as native expressions (single pass over shingles, no MLlib Vector
+  * round-trip).
+  */
+final case class MinHashBlocking(shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 8)
+    extends BlockingStrategy {
+  require(numHashes % bands == 0, "numHashes must be divisible by bands")
+  val name = s"minhash_b$bands"
+  private val rows = numHashes / bands
+
+  def keys(pages: DataFrame): DataFrame = {
+    val sh = Normalize.shingles(Normalize.tokensOf(col("text")), shingleSize)
+    val sig = minhash_sig(sh, numHashes)
+    val bandKeys = (0 until bands).map { b =>
+      concat(lit(s"m:$b:"), hash(slice(col("sig"), b * rows + 1, rows)).cast("string"))
+    }
+    pages
+      .select(col("url"), sig.as("sig"), size(sh).as("nsh"))
+      .where(col("nsh") > 0) // blank/short docs emit no content keys
+      .select(col("url"), explode(array(bandKeys: _*)).as("key"))
+  }
+}
+
+/** Per-block stats recorded in the run manifest (dropped-work accounting —
+  * the reference logs truncation implicitly via candidate caps, W3).
+  */
+final case class BlockingStats(
+    totalKeys: Long,
+    totalBlocks: Long,
+    oversizedBlocks: Long,
+    oversizedKeyRows: Long
+)
+
+object Blocker {
+
+  /** Union of all strategies' keys, deduped. Output: (url, key). */
+  def allKeys(pages: DataFrame, strategies: Seq[BlockingStrategy]): DataFrame =
+    strategies
+      .map(s => s.keys(pages).select(col("url"), col("key")))
+      .reduce(_ unionByName _)
+      .distinct()
+
+  /** Split blocks larger than `maxBlockSize` into deterministic sub-buckets
+    * (salting): key -> key#b where b = xxhash64(url) mod nBuckets. Bounds
+    * the quadratic pair blow-up on head-domain / boilerplate blocks; the
+    * recall loss is confined to oversized blocks and is reported via
+    * `stats`. Skew that survives (many medium blocks on one shuffle key
+    * range) is left to AQE's skew-join split.
+    */
+  def saltOversized(keys: DataFrame, maxBlockSize: Int): DataFrame = {
+    val sizes = keys.groupBy("key").agg(count("*").as("block_n"))
+    val nBuckets: Column = ceil(col("block_n") / lit(maxBlockSize)).cast("long")
+    keys
+      // oversized-block list is tiny by construction (it's the skew head);
+      // AQE broadcasts it at runtime once its size is known
+      .join(sizes.where(col("block_n") > maxBlockSize), Seq("key"), "left")
+      .withColumn(
+        "key",
+        when(
+          col("block_n").isNull,
+          col("key")
+        ).otherwise(concat(col("key"), lit("#"), pmod(xxhash64(col("url")), nBuckets).cast("string")))
+      )
+      .select("url", "key")
+  }
+
+  def stats(keys: DataFrame, maxBlockSize: Int): BlockingStats = {
+    val agg = keys
+      .groupBy("key")
+      .agg(count("*").as("n"))
+      .agg(
+        sum("n").as("totalKeys"),
+        count("*").as("totalBlocks"),
+        sum(when(col("n") > maxBlockSize, 1L).otherwise(0L)).as("oversized"),
+        sum(when(col("n") > maxBlockSize, col("n")).otherwise(0L)).as("oversizedRows")
+      )
+      .collect()(0)
+    BlockingStats(
+      Option(agg.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
+      agg.getAs[Long]("totalBlocks"),
+      Option(agg.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L),
+      Option(agg.get(3)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    )
+  }
+
+  /** Candidate pairs: equi-self-join on blocking key with canonical
+    * orientation (urlA < urlB kills mirror duplicates pre-shuffle of the
+    * scoring join), deduped across keys (a pair found under several
+    * strategies scores once; the surviving key is the deterministic min).
+    */
+  def pairs(keys: DataFrame, maxBlockSize: Int = 1000): DataFrame = {
+    val salted = saltOversized(keys, maxBlockSize)
+    val a = salted.select(col("url").as("urlA"), col("key"))
+    val b = salted.select(col("url").as("urlB"), col("key"))
+    a.join(b, Seq("key"))
+      .where(col("urlA") < col("urlB"))
+      .groupBy("urlA", "urlB")
+      .agg(min("key").as("key"))
+  }
+}

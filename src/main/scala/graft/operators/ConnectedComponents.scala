@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Transitive clustering over match edges via the alternating
+  * large-star / small-star algorithm (Kiveris et al., "Connected Components
+  * in MapReduce and Beyond", SoCC'14) expressed as DataFrame self-joins.
+  *
+  * The reference has no explicit clustering — its clusters are implicit in
+  * the per-cell predicted KB ids (/root/reference/lion_linker/
+  * lion_linker.py:1113); within-corpus linkage generalizes that to the
+  * transitive closure of above-threshold pairs (SURVEY.md J8).
+  *
+  * Scale notes:
+  *  - node ids are the url strings; min = lexicographic min, so cluster ids
+  *    are fully data-derived (deterministic across parallelism levels).
+  *  - every iteration ends in `localCheckpoint` to truncate lineage —
+  *    without it the plan doubles per iteration; callers that need durable
+  *    resume pass a `snapshot` hook that writes/rereads Parquet instead.
+  *  - convergence = (count, xor-of-hashes) signature equality, two scans max.
+  *  - giant-component skew: both stars shuffle by node; the heavy node (the
+  *    component min) is exactly what AQE skew-split handles; edges are
+  *    deduped each round to keep |E| <= n-1 after the first rounds.
+  */
+object ConnectedComponents {
+
+  /** One large-star round: for every node u (over symmetrized edges), link
+    * every strictly-larger neighbor to m = min(N(u) ∪ {u}).
+    */
+  private[operators] def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges
+      .select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = sym.groupBy("src").agg(least(min(col("dst")), col("src")).as("m"))
+    sym
+      .join(mins, "src")
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** One small-star round: orient edges (big -> small); for every node u
+    * link all smaller neighbors and u itself to m = min of them.
+    */
+  private[operators] def smallStar(edges: DataFrame): DataFrame = {
+    val oriented = edges.select(
+      greatest(col("src"), col("dst")).as("u"),
+      least(col("src"), col("dst")).as("v")
+    )
+    val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
+    val relink = oriented
+      .join(mins, "u")
+      .select(col("v").as("src"), col("m").as("dst"))
+    val self = mins.select(col("u").as("src"), col("m").as("dst"))
+    relink
+      .unionAll(self)
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  private def signature(edges: DataFrame): (Long, BigDecimal) = {
+    // decimal(38,0) sum: overflow-proof under ANSI mode (Spark 4 default)
+    val row = edges
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")), lit(0)).as("h")
+      )
+      .collect()(0)
+    (row.getLong(0), BigDecimal(row.getDecimal(1)))
+  }
+
+  /** Run to convergence. Input: edge list with string columns (src, dst),
+    * src != dst, any orientation. Output: (url, cluster_id) covering every
+    * node that appears in an edge; cluster_id = component-min url.
+    * `snapshot` is applied once per iteration to truncate lineage (default:
+    * localCheckpoint; pass a Parquet write/read-back for durable resume).
+    */
+  def run(
+      edgesIn: DataFrame,
+      maxIterations: Int = 20,
+      snapshot: DataFrame => DataFrame = _.localCheckpoint(true)
+  ): DataFrame = {
+    var edges = snapshot(
+      edgesIn
+        .select(col("src"), col("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+    )
+    var sig = signature(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val next = snapshot(smallStar(largeStar(edges)))
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+      iter += 1
+    }
+    // converged edge set is a star forest: (member -> root)
+    val members = edges.select(col("src").as("url"), col("dst").as("cluster_id"))
+    val roots = edges.select(col("dst").as("url"), col("dst").as("cluster_id")).distinct()
+    members.unionByName(roots).distinct()
+  }
+}

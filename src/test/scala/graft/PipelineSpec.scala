@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.eval.PairwiseEval
+import graft.pipeline.LinkagePipeline
+import graft.synth.WebCorpus
+
+class PipelineSpec extends SparkSpec {
+
+  private val cfg = WebCorpus.Config(numClusters = 120, seed = 42L)
+
+  lazy val pages = WebCorpus.pages(spark, cfg).toDF.cache()
+  lazy val gold = WebCorpus.goldPairs(spark, cfg).toDF.cache()
+
+  test("synthetic corpus is deterministic and well-formed") {
+    val n = pages.count()
+    assert(n > 200)
+    assert(pages.select("url").distinct().count() == n, "urls must be unique")
+    val again = WebCorpus.pages(spark, cfg).toDF
+    assert(again.exceptAll(pages).isEmpty && pages.exceptAll(again).isEmpty)
+    assert(gold.count() > 100)
+  }
+
+  test("end-to-end linkage reaches pairwise F1 >= 0.99 on planted gold") {
+    val preds = LinkagePipeline.run(pages).cache()
+    assert(preds.count() == pages.count())
+    val m = PairwiseEval.metrics(preds.select("url", "cluster_id"), gold)
+    info(s"tp=${m.tp} fp=${m.fp} fn=${m.fn} p=${m.precision} r=${m.recall} f1=${m.f1}")
+    assert(m.f1 >= 0.99, s"F1 ${m.f1} below target (tp=${m.tp} fp=${m.fp} fn=${m.fn})")
+  }
+
+  test("per-row invariant: text byte-identical per url") {
+    val preds = LinkagePipeline.run(pages)
+    val cmp = preds
+      .select(col("url"), col("text").as("out_text"))
+      .join(pages.select(col("url"), col("text").as("in_text")), "url")
+      .where(col("out_text") =!= col("in_text") || col("out_text").isNull)
+    assert(cmp.count() == 0)
+  }
+
+  test("seq is a deterministic dense total order by url") {
+    val preds = LinkagePipeline.run(pages)
+    val n = preds.count()
+    assert(preds.select("seq").distinct().count() == n)
+    assert(preds.agg(min("seq"), max("seq")).collect()(0) match {
+      case r => r.getLong(0) == 1L && r.getLong(1) == n
+    })
+    // order by seq == order by url
+    val mismatch = preds
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window.orderBy("url")))
+      .where(col("rk").cast("long") =!= col("seq"))
+    assert(mismatch.count() == 0)
+  }
+
+  test("clusters are identical across parallelism levels (repartition)") {
+    val a = LinkagePipeline.run(pages.repartition(2))
+      .select("url", "cluster_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val b = LinkagePipeline.run(pages.repartition(13))
+      .select("url", "cluster_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(a == b)
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.{Normalize, SimKernels, SimilarityFunctions}
+
+class SimilaritySpec extends SparkSpec {
+
+  private def jw(a: String, b: String): Double =
+    SimKernels.jaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("jaro-winkler reference values") {
+    // classic published examples of the metric
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111) < 1e-9)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333) < 1e-9)
+    assert(math.abs(jw("JELLYFISH", "SMELLYFISH") - 0.8962962963) < 1e-9)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("", "") == 1.0)
+    assert(jw("abc", "") == 0.0)
+    assert(jw("abc", "xyz") == 0.0)
+  }
+
+  test("jaro-winkler properties: symmetry, range, identity (seeded sample)") {
+    val rng = new scala.util.Random(42)
+    def randStr(): String =
+      (0 until rng.nextInt(13)).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    (1 to 500).foreach { _ =>
+      val a = randStr(); val b = randStr()
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"range violated for ($a,$b): $s")
+      assert(math.abs(s - jw(b, a)) < 1e-12, s"asymmetric for ($a,$b)")
+      if (a.nonEmpty) assert(jw(a, a) == 1.0)
+    }
+  }
+
+  test("jaro-winkler expression matches kernel through codegen") {
+    import spark.implicits._
+    val df = Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("same", "same"))
+      .toDF("a", "b")
+      .select(SimilarityFunctions.jaro_winkler(col("a"), col("b")).as("s"))
+    val got = df.collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 0.9611111111) < 1e-9)
+    assert(math.abs(got(1) - 0.8133333333) < 1e-9)
+    assert(got(2) == 1.0)
+  }
+
+  test("sorted_vec_dot merges sorted sparse vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq((1L, 0.5), (3L, 0.5), (9L, 0.7071)), Seq((3L, 1.0), (9L, 0.5)))
+    ).toDF("a", "b")
+      .select(
+        SimilarityFunctions
+          .sorted_vec_dot(
+            col("a").cast("array<struct<t:bigint,w:double>>"),
+            col("b").cast("array<struct<t:bigint,w:double>>")
+          )
+          .as("dot")
+      )
+    val got = df.collect()(0).getDouble(0)
+    assert(math.abs(got - (0.5 * 1.0 + 0.7071 * 0.5)) < 1e-9)
+  }
+
+  test("simhash: identical tokens identical hash; near tokens near hash") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i")
+    val near = base.updated(5, "changed").updated(30, "other")
+    val far = (1 to 60).map(i => s"zzz$i")
+    val df = Seq((base, near, far)).toDF("a", "b", "c")
+    val row = df
+      .select(
+        SimilarityFunctions.simhash64(col("a")).as("ha"),
+        SimilarityFunctions.simhash64(col("b")).as("hb"),
+        SimilarityFunctions.simhash64(col("c")).as("hc")
+      )
+      .collect()(0)
+    val (ha, hb, hc) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(ha != 0L)
+    assert(java.lang.Long.bitCount(ha ^ hb) < java.lang.Long.bitCount(ha ^ hc))
+    // determinism across evaluation paths
+    val again = df.select(SimilarityFunctions.simhash64(col("a"))).collect()(0).getLong(0)
+    assert(again == ha)
+  }
+
+  test("minhash signature: jaccard-similar sets share slots") {
+    import spark.implicits._
+    val a = (1 to 50).map(i => s"sh$i")
+    val b = (1 to 50).map(i => if (i % 10 == 0) s"x$i" else s"sh$i") // 80% overlap
+    val c = (1 to 50).map(i => s"other$i")
+    val df = Seq((a, b, c)).toDF("a", "b", "c").select(
+      SimilarityFunctions.minhash_sig(col("a"), 16).as("sa"),
+      SimilarityFunctions.minhash_sig(col("b"), 16).as("sb"),
+      SimilarityFunctions.minhash_sig(col("c"), 16).as("sc")
+    )
+    val row = df.collect()(0)
+    val sa = row.getSeq[Long](0)
+    val sb = row.getSeq[Long](1)
+    val sc = row.getSeq[Long](2)
+    val agreeAB = sa.zip(sb).count { case (x, y) => x == y }
+    val agreeAC = sa.zip(sc).count { case (x, y) => x == y }
+    assert(agreeAB > agreeAC)
+    assert(agreeAB >= 8) // ~0.8 jaccard over 16 slots
+  }
+
+  test("normalize: canonical url collapses planted variants") {
+    import spark.implicits._
+    val urls = Seq(
+      "http://site1.example.com/page/7",
+      "https://www.site1.example.com/page/7",
+      "http://site1.example.com/page/7?utm_source=feed&ref=2",
+      "https://m.site1.example.com/page/7/"
+    )
+    val keys = urls.toDF("url").select(Normalize.canonicalUrl(col("url"))).distinct().collect()
+    assert(keys.length == 1)
+    assert(keys(0).getString(0) == "site1.example.com/page/7")
+  }
+
+  test("normalize: whitespace norm mirrors reference semantics") {
+    import spark.implicits._
+    val df = Seq("  a \t b\n c ", "   ", null).toDF("s").select(Normalize.wsNorm(col("s")))
+    val got = df.collect().map(_.getString(0))
+    assert(got(0) == "a b c")
+    assert(got(1) == "N.A.")
+    assert(got(2) == "N.A.")
+  }
+
+  test("normalize: id norm takes suffix after last '/' then ':'") {
+    import spark.implicits._
+    val df = Seq("http://www.wikidata.org/entity/Q42", "wd:Q42", "Q42")
+      .toDF("s")
+      .select(Normalize.idNorm(col("s")))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("Q42", "Q42", "Q42"))
+  }
+
+  test("shingles") {
+    import spark.implicits._
+    val df = Seq("a b c d").toDF("t")
+      .select(Normalize.shingles(Normalize.tokensOf(col("t")), 3).as("sh"))
+    assert(df.collect()(0).getSeq[String](0) == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(Normalize.shingles(Normalize.tokensOf(col("t")), 3).as("sh"))
+    assert(short.collect()(0).getSeq[String](0).isEmpty)
+  }
+}
