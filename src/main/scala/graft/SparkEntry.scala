@@ -1,9 +1,22 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.{Normalize, SimilarityFunctions => SF}
+import graft.operators._
 import graft.pipeline.LinkagePipeline
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data ops), with a DuckDB-equivalent oracle
+  * in `oracleSql` wherever the semantics are expressible in ANSI SQL.
+  * Custom-expression ops (Jaro-Winkler, SimHash, MinHash, fingerprints) are
+  * rows-only here and exactness-tested in ScalaTest instead.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
   /** Flagship: full record-linkage pipeline (block -> score -> cluster) over
     * a web-page-shaped corpus derived deterministically from the sf0.001
     * documents table. Driver smoke-checks rows>0.
@@ -17,9 +30,573 @@ object SparkEntry {
     )
     LinkagePipeline.run(pages)
   }
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- scans / aggregations (S1/S7, A1-A6) ----
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("cnt")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q_s7_count" -> ((s, dir) => t(s, dir, "lineitem").agg(count(lit(1)).as("n"))),
+    "q_s5_slice" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .where(col("o_orderkey") >= 100 && col("o_orderkey") < 200)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")),
+
+    // ---- projections / filters (P2, P4, P7) ----
+    "q_p2_distinct_mentions" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .where(col("lang").isNotNull && length(trim(col("text"))) > 0)
+        .select("lang", "source")
+        .distinct()
+        .orderBy("lang", "source")),
+    "q_p4_nonempty_filter" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .where(length(trim(col("text"))) > 0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")),
+    "q_p7_nan_scrub" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          when(lower(col("event_type")).isin("nan", "null") || col("event_type").isNull, lit(null))
+            .otherwise(col("event_type"))
+            .as("etype")
+        )
+        .groupBy("etype")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("etype")),
+
+    // ---- joins (J1, J3, J5, J7) ----
+    "q_j1_result_merge" -> ((s, dir) => {
+      val o = t(s, dir, "orders").where(col("o_orderkey") < 2000)
+      val li = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n_lines"))
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left")
+        .select(
+          col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("total"),
+          coalesce(col("sum_qty"), lit(0.0)).as("sum_qty"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines")
+        )
+        .orderBy("o_orderkey")
+    }),
+    "q_j3_cache_split" -> ((s, dir) => {
+      // cache-miss split: customers with no urgent order = "misses"
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+    "q_j5_forced_topk" -> ((s, dir) => {
+      // forced ids first (urgent orders), then by price, truncate to 3/customer
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy(
+          when(col("o_orderpriority") === "1-URGENT", 0).otherwise(1).asc,
+          col("o_totalprice").desc,
+          col("o_orderkey").asc
+        )
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 3 && col("o_custkey") < 200)
+        .select("o_custkey", "rk", "o_orderkey", "o_orderpriority")
+        .orderBy("o_custkey", "rk")
+    }),
+
+    // ---- windows / sorts / top-k (W1, W5, W6) ----
+    "q_w1_ranking_sort" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 5 && col("o_custkey") < 100)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_custkey", "rk")
+    }),
+    "q_w5_seq" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          row_number().over(Window.orderBy("doc_id")).cast("long").as("seq")
+        )
+        .orderBy("doc_id")),
+    "q_w6_cursor_page" -> ((s, dir) =>
+      t(s, dir, "events")
+        .where(col("event_id") > 5000)
+        .orderBy("event_id")
+        .limit(100)
+        .select("event_id", "user_id", "event_type")),
+
+    // ---- scalar functions (F3, F4, F6, F8, F11, F14) ----
+    "q_f3_wsnorm" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Normalize.wsNorm(substring(col("text"), 1, 40)).as("norm"))
+        .orderBy("doc_id")),
+    "q_f4_idnorm" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          Normalize
+            .idNorm(concat(lit("http://kb.org/entity/"), col("source"), lit(":E"), col("doc_id")))
+            .as("norm_id")
+        )
+        .orderBy("doc_id")),
+    "q_f6_taskid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat_ws("-", col("source"), col("doc_id"), col("lang")).as("task_id"))
+        .orderBy("doc_id")),
+    "q_f8_regex_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k")
+        )
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("k")),
+    "q_f11_sha_cache_key" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), sha2(concat_ws("|", col("source"), col("text")), 256).as("cache_key"))
+        .orderBy("doc_id")),
+    "q_f14_confidence_band" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), Normalize.confidenceBand(Normalize.clamp01(col("value") / 500.0)).as("band"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("band")),
+
+    // ---- aggregations (A2, A4, A5, A7) ----
+    "q_a2_progress_counters" -> ((s, dir) =>
+      t(s, dir, "events")
+        .agg(
+          countDistinct("user_id").as("processed_rows"),
+          count(lit(1)).as("processed_cells")
+        )),
+    "q_a4_dedup_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(upper(col("lang"))).orderBy("doc_id")
+      t(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("lang"), col("doc_id").as("first_doc"))
+        .orderBy("lang")
+    }),
+    "q_a5_score_census" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), when(col("value") < 50.0, lit(null)).otherwise(col("value")).as("score"))
+        .groupBy("event_type")
+        .agg(
+          sum(when(col("score").isNotNull, 1L).otherwise(0L)).as("numeric_scores"),
+          sum(when(col("score").isNull, 1L).otherwise(0L)).as("null_scores")
+        )
+        .orderBy("event_type")),
+    "q_a7_pairwise_eval" -> ((s, dir) => {
+      // pairwise P/R/F1 of "same source predicts same lang" over all doc pairs
+      val d = t(s, dir, "documents").select("doc_id", "source", "lang")
+      val a = d.select(col("doc_id").as("id_a"), col("source").as("src_a"), col("lang").as("lang_a"))
+      val b = d.select(col("doc_id").as("id_b"), col("source").as("src_b"), col("lang").as("lang_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .agg(
+          sum(when(col("src_a") === col("src_b") && col("lang_a") === col("lang_b"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("src_a") === col("src_b") && col("lang_a") =!= col("lang_b"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("src_a") =!= col("src_b") && col("lang_a") === col("lang_b"), 1L).otherwise(0L)).as("fn")
+        )
+        .select(
+          col("tp"),
+          col("fp"),
+          col("fn"),
+          round(col("tp") / (col("tp") + col("fp")), 6).as("precision"),
+          round(col("tp") / (col("tp") + col("fn")), 6).as("recall")
+        )
+    }),
+
+    // ---- ER core (J7, J8 / north rule) ----
+    "q_er_block_pairs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), concat_ws("|", col("lang"), floor(col("n_chars") / 50)).as("key"))
+      val a = d.select(col("doc_id").as("id_a"), col("key"))
+      val b = d.select(col("doc_id").as("id_b"), col("key"))
+      a.join(b, Seq("key"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy("key")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("key")
+    }),
+    "q_er_exact_dedup" -> ((s, dir) => {
+      val keyed = t(s, dir, "documents")
+        .select(col("doc_id"), array_join(slice(split(col("text"), " "), 1, 5), " ").as("dup_key"))
+      keyed
+        .groupBy("dup_key")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("canonical"))
+        .where(col("n") > 1)
+        .orderBy("dup_key")
+    }),
+    "q_er_lev_score" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), substring(col("text"), 1, 60).as("frag"))
+      val a = d.select(col("doc_id").as("id_a"), col("frag").as("frag_a"))
+      val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("frag").as("frag_b"))
+      a.join(b, "id_a")
+        .select(
+          col("id_a"),
+          col("id_b"),
+          levenshtein(col("frag_a"), col("frag_b")).cast("long").as("lev"),
+          round(Normalize.levRatio(col("frag_a"), col("frag_b")), 6).as("lev_ratio")
+        )
+        .orderBy("id_a")
+    }),
+    "q_er_jw_score" -> ((s, dir) => {
+      // custom Catalyst expression — exactness covered by ScalaTest; rows-only here
+      val d = t(s, dir, "documents").select(col("doc_id"), substring(col("text"), 1, 30).as("frag"))
+      val a = d.select(col("doc_id").as("id_a"), col("frag").as("frag_a"))
+      val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("frag").as("frag_b"))
+      a.join(b, "id_a")
+        .select(col("id_a"), col("id_b"), round(SF.jaro_winkler(col("frag_a"), col("frag_b")), 6).as("jw"))
+        .orderBy("id_a")
+    }),
+    "q_er_cc" -> ((s, dir) => {
+      // connected components over a real chain graph: same lang, adjacent n_chars
+      val nodes = t(s, dir, "documents")
+        .select(lpad(col("doc_id").cast("string"), 6, "0").as("id"), col("lang"), col("n_chars"))
+      val a = nodes.select(col("id").as("src"), col("lang"), col("n_chars"))
+      val b = nodes.select(col("id").as("dst"), col("lang").as("lang_b"), col("n_chars").as("nc_b"))
+      val edges = a
+        .join(b, col("lang") === col("lang_b") && abs(col("n_chars") - col("nc_b")) <= 1 && col("src") =!= col("dst"))
+        .select("src", "dst")
+      val assign = ConnectedComponents.run(edges)
+      // include isolated nodes as their own cluster
+      nodes
+        .select(col("id"))
+        .join(assign.withColumnRenamed("url", "id"), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+        .orderBy("id")
+    }),
+    "q_er_pipeline" -> ((s, dir) => {
+      // full linkage pipeline over documents-derived pages (rows-only check)
+      val pages = t(s, dir, "documents").select(
+        concat(lit("https://"), col("source"), lit(".example.org/doc/"), col("doc_id")).as("url"),
+        col("text"),
+        col("lang")
+      )
+      LinkagePipeline.run(pages).select("url", "cluster_id", "status", "seq").orderBy("url")
+    }),
+
+    // ---- dedup family (training-data ops) ----
+    "q_dd_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        array_distinct(Normalize.shingles(split(col("text"), " "), 3)).as("sh")
+      )
+      val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, "id_a")
+        .select(
+          col("id_a"),
+          col("id_b"),
+          round(
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+              size(array_union(col("sh_a"), col("sh_b"))),
+            6
+          ).as("jaccard")
+        )
+        .orderBy("id_a")
+    }),
+    "q_dd_minhash_pairs" -> ((s, dir) => {
+      // MinHash-LSH candidate pairs over documents (custom expression; rows-only)
+      val d = t(s, dir, "documents").select(
+        concat(lit("doc:"), lpad(col("doc_id").cast("string"), 6, "0")).as("url"),
+        col("text")
+      )
+      Blocker
+        .pairs(MinHashBlocking(3, 16, 8).keys(d).select("url", "key"), 1000)
+        .select(col("urlA"), col("urlB"))
+        .orderBy("urlA", "urlB")
+    }),
+    "q_dd_simhash" -> ((s, dir) =>
+      // SimHash fingerprint + hamming-near pairs on adjacent ids (rows-only)
+      t(s, dir, "documents")
+        .select(col("doc_id"), SF.simhash64(split(col("text"), " ")).as("simhash"))
+        .orderBy("doc_id")),
+    "q_dd_embedding_neardup" -> ((s, dir) => {
+      // embedding-cosine near-duplicate pairs above 0.95 (rows-only: float kernel)
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn(
+          "cos",
+          aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
+            (sqrt(aggregate(col("va"), lit(0.0), (acc, x) => acc + x * x)) *
+              sqrt(aggregate(col("vb"), lit(0.0), (acc, x) => acc + x * x)))
+        )
+        .where(col("cos") > 0.35)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- similarity search ----
+    "q_ann_topk" -> ((s, dir) => {
+      // brute-force cosine top-5 neighbors for the first 20 vectors
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("v").as("qv"))
+      val scored = q
+        .join(e.where(col("vec_id") >= 20), lit(true))
+        .withColumn(
+          "cos",
+          aggregate(zip_with(col("qv"), col("v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
+            (sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x)) *
+              sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+        )
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+      scored
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .where(col("rk") <= 5)
+        .select(col("qid"), col("rk"), col("vec_id").as("neighbor"))
+        .orderBy("qid", "rk")
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      // LSH-bucketed ANN: random-hyperplane signs via deterministic hash
+      // projections, candidates restricted to same bucket (rows-only)
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val bucketBits = (0 until 8).map { p =>
+        val proj = aggregate(
+          zip_with(
+            col("v"),
+            transform(sequence(lit(0), size(col("v")) - 1), i => (pmod(xxhash64(i, lit(p)), lit(1000)) - 500.0) / 500.0),
+            (x, h) => x * h
+          ),
+          lit(0.0),
+          (acc, x) => acc + x
+        )
+        when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
+      }
+      val bucketed = e.withColumn("bucket", concat(bucketBits: _*))
+      bucketed
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"))
+        .orderBy("bucket")
+    }),
+
+    // ---- text analysis ----
+    "q_txt_quality" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"),
+          round(col("n_chars").cast("double") / size(toks), 6).as("chars_per_token")
+        )
+        .orderBy("doc_id")
+    }),
+    "q_txt_langid" -> ((s, dir) => {
+      // stopword-vote language id heuristic (here: english function words)
+      val toks = split(col("text"), " ")
+      val hits = size(filter(toks, t => t.isin("the", "a", "of", "and", "to", "in")))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          when(hits.cast("double") / size(toks) >= 0.02, "en").otherwise("unk").as("lang_pred")
+        )
+        .groupBy("lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang_pred")
+    }),
+    "q_txt_token_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ws_tokens"))
+        .orderBy("doc_id")),
+    "q_txt_fingerprint" -> ((s, dir) =>
+      // rolling-hash document fingerprint (custom kernel; rows-only)
+      t(s, dir, "documents")
+        .select(col("doc_id"), SF.minhash_sig(Normalize.shingles(split(col("text"), " "), 4), 4).as("fp"))
+        .select(col("doc_id"), element_at(col("fp"), 1).as("fp0"))
+        .orderBy("doc_id")),
+
+    // ---- multimodal plumbing ----
+    "q_mm_binary_meta" -> ((s, dir) =>
+      // binary column plumbing: bytes -> typed metadata (decode stubbed as
+      // deterministic byte stats; real decoders plug into the same shape)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          substring(hex(col("payload")), 1, 8).as("magic")
+        )
+        .orderBy("doc_id"))
+  )
+
+  /** DuckDB-runnable oracles; keys must alias every computed column to the
+    * same name as the Spark result. Omitted keys get a rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        | round(avg(l_discount), 6) AS avg_disc, count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_s7_count" -> "SELECT count(*) AS n FROM lineitem",
+    "q_s5_slice" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |WHERE o_orderkey >= 100 AND o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
+    "q_p2_distinct_mentions" ->
+      """SELECT DISTINCT lang, source FROM documents
+        |WHERE lang IS NOT NULL AND length(trim(text)) > 0 ORDER BY lang, source""".stripMargin,
+    "q_p4_nonempty_filter" ->
+      """SELECT lang, count(*) AS n_docs FROM documents
+        |WHERE length(trim(text)) > 0 GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_p7_nan_scrub" ->
+      """SELECT CASE WHEN event_type IS NULL OR lower(event_type) IN ('nan','null')
+        | THEN NULL ELSE event_type END AS etype, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_j1_result_merge" ->
+      """SELECT o.o_orderkey, round(o.o_totalprice, 2) AS total,
+        | coalesce(li.sum_qty, 0.0) AS sum_qty, coalesce(li.n_lines, 0) AS n_lines
+        |FROM orders o LEFT JOIN (
+        |  SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_lines
+        |  FROM lineitem GROUP BY 1) li ON o.o_orderkey = li.l_orderkey
+        |WHERE o.o_orderkey < 2000 ORDER BY o.o_orderkey""".stripMargin,
+    "q_j3_cache_split" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_j5_forced_topk" ->
+      """SELECT o_custkey, rk, o_orderkey, o_orderpriority FROM (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY
+        |      CASE WHEN o_orderpriority = '1-URGENT' THEN 0 ELSE 1 END ASC,
+        |      o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 AND o_custkey < 200 ORDER BY o_custkey, rk""".stripMargin,
+    "q_w1_ranking_sort" ->
+      """SELECT o_custkey, rk, o_orderkey, price FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders)
+        |WHERE rk <= 5 AND o_custkey < 100 ORDER BY o_custkey, rk""".stripMargin,
+    "q_w5_seq" ->
+      "SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS seq FROM documents ORDER BY doc_id",
+    "q_w6_cursor_page" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE event_id > 5000 ORDER BY event_id LIMIT 100""".stripMargin,
+    "q_f3_wsnorm" ->
+      """SELECT doc_id, coalesce(nullif(regexp_replace(trim(substr(text, 1, 40)), '\s+', ' ', 'g'), ''), 'N.A.') AS norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_f4_idnorm" ->
+      """SELECT doc_id, regexp_extract(regexp_extract('http://kb.org/entity/' || source || ':E' || doc_id,
+        | '([^/]*)$', 1), '([^:]*)$', 1) AS norm_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_f6_taskid" ->
+      """SELECT doc_id, source || '-' || doc_id || '-' || lang AS task_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_f8_regex_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_f11_sha_cache_key" ->
+      """SELECT doc_id, sha256(source || '|' || text) AS cache_key
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_f14_confidence_band" ->
+      """SELECT CASE WHEN least(1.0, greatest(0.0, value / 500.0)) >= 0.70 THEN 'HIGH'
+        |  WHEN least(1.0, greatest(0.0, value / 500.0)) >= 0.40 THEN 'MEDIUM'
+        |  ELSE 'LOW' END AS band, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_a2_progress_counters" ->
+      "SELECT count(DISTINCT user_id) AS processed_rows, count(*) AS processed_cells FROM events",
+    "q_a4_dedup_rank" ->
+      """SELECT lang, first_doc FROM (
+        |  SELECT lang, doc_id AS first_doc,
+        |    row_number() OVER (PARTITION BY upper(lang) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY lang""".stripMargin,
+    "q_a5_score_census" ->
+      """SELECT event_type,
+        | sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS numeric_scores,
+        | sum(CASE WHEN value < 50.0 THEN 1 ELSE 0 END) AS null_scores
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_a7_pairwise_eval" ->
+      """SELECT tp, fp, fn, round(tp / (tp + fp), 6) AS precision, round(tp / (tp + fn), 6) AS recall FROM (
+        |  SELECT
+        |   CAST(sum(CASE WHEN a.source = b.source AND a.lang = b.lang THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |   CAST(sum(CASE WHEN a.source = b.source AND a.lang <> b.lang THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |   CAST(sum(CASE WHEN a.source <> b.source AND a.lang = b.lang THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM documents a JOIN documents b ON a.doc_id < b.doc_id)""".stripMargin,
+    "q_er_block_pairs" ->
+      """SELECT key, count(*) AS n_pairs FROM (
+        |  SELECT a.lang || '|' || CAST(floor(a.n_chars / 50) AS BIGINT) AS key
+        |  FROM documents a JOIN documents b
+        |    ON a.lang = b.lang AND floor(a.n_chars / 50) = floor(b.n_chars / 50) AND a.doc_id < b.doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_er_exact_dedup" ->
+      """SELECT dup_key, count(*) AS n, min(doc_id) AS canonical FROM (
+        |  SELECT doc_id, array_to_string((string_split(text, ' '))[1:5], ' ') AS dup_key FROM documents)
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+    "q_er_lev_score" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(levenshtein(substr(a.text,1,60), substr(b.text,1,60)) AS BIGINT) AS lev,
+        | round(1.0 - levenshtein(substr(a.text,1,60), substr(b.text,1,60))::DOUBLE /
+        |   greatest(length(substr(a.text,1,60)), length(substr(b.text,1,60))), 6) AS lev_ratio
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""".stripMargin,
+    "q_er_cc" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id, lang, n_chars FROM documents),
+        |e AS (
+        |  SELECT a.id AS src, b.id AS dst FROM nodes a JOIN nodes b
+        |  ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 1 AND a.id <> b.id),
+        |reach(src, dst) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
+        |SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src ORDER BY src""".stripMargin,
+    "q_dd_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM embeddings a JOIN embeddings b
+        |ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dd_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+        |   len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""".stripMargin,
+    "q_ann_topk" ->
+      """SELECT qid, rk, neighbor FROM (
+        |  SELECT q.vec_id AS qid, e.vec_id AS neighbor,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC) AS rk
+        |  FROM embeddings q JOIN embeddings e ON q.vec_id < 20 AND e.vec_id >= 20)
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q_txt_quality" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        | round(n_chars::DOUBLE / len(string_split(text, ' ')), 6) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_txt_langid" ->
+      """SELECT lang_pred, count(*) AS n FROM (
+        |  SELECT CASE WHEN len(list_filter(string_split(text, ' '),
+        |    t -> t IN ('the','a','of','and','to','in')))::DOUBLE / len(string_split(text, ' ')) >= 0.02
+        |   THEN 'en' ELSE 'unk' END AS lang_pred
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_txt_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mm_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | upper(substr(hex(encode(text)), 1, 8)) AS magic
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }
