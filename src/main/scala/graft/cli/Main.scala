@@ -16,6 +16,8 @@ import graft.synth.WebCorpus
   *   graft.cli.Main --input <parquet dir|synth:N> --output <dir>
   *     [--strategies canonical_url,domain,minhash]
   *     [--threshold 0.70] [--max-block-size 1000] [--master local[8]]
+  *     [--snapshots <dir>]   resumable mode: commit every stage under <dir>
+  *                           and resume from the last committed stage on rerun
   */
 object Main {
 
@@ -56,7 +58,20 @@ object Main {
         } else spark.read.parquet(input)
 
       val t0 = System.nanoTime()
-      val preds = LinkagePipeline.run(pages, cfg)
+      val preds = opts.get("snapshots") match {
+        case Some(snapDir) =>
+          val hash = graft.io.TableIO.configHash(
+            Map(
+              "input" -> input,
+              "strategies" -> strategies.map(_.name).mkString(","),
+              "threshold" -> weights.threshold.toString,
+              "maxBlockSize" -> cfg.maxBlockSize.toString
+            )
+          )
+          val io = new graft.io.ParquetTableIO(snapDir, runId = java.util.UUID.randomUUID.toString, hash)
+          LinkagePipeline.runResumable(pages, cfg, io)
+        case None => LinkagePipeline.run(pages, cfg)
+      }
       preds.write.mode("overwrite").parquet(output)
       val secs = (System.nanoTime() - t0) / 1e9
 

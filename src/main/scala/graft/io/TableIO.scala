@@ -1,0 +1,120 @@
+package graft.io
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import scala.util.Try
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.{JsonMethods, Serialization}
+
+/** Snapshot/manifest/lineage layer (SURVEY.md §4.3).
+  *
+  * Reference semantics reproduced: incremental commit per chunk
+  * (lion_linker.py:1383-1402), run_id stamping + monotone seq
+  * (prompt_store.py:35, result_store.py:35), and the restart rule that only
+  * COMMITTED work survives (app/services/task_queue.py:37 marks in-flight
+  * jobs failed on restart) — here, a stage exists only once its manifest is
+  * written, and the manifest is written only after the data commit.
+  *
+  * No Iceberg jars ship in this image, so snapshot-append is emulated with
+  * Parquet dirs + `_MANIFEST.json`; the trait boundary is exactly what an
+  * Iceberg catalog implementation would replace (snapshot = table version,
+  * manifest = Iceberg snapshot summary).
+  */
+final case class StageManifest(
+    runId: String,
+    stage: String,
+    configHash: String,
+    rowCount: Long,
+    partitionCounts: Map[String, Long],
+    seq: Long,
+    inputStages: List[String]
+)
+
+trait TableIO {
+
+  /** Commit `df` as stage `stage`; returns the committed frame re-read from
+    * storage (lineage truncated — doubles as the CC iteration checkpoint).
+    */
+  def commitStage(df: DataFrame, stage: String, inputStages: Seq[String] = Nil): DataFrame
+
+  /** The stage's frame iff a valid manifest exists for this run config. */
+  def readStage(spark: SparkSession, stage: String): Option[DataFrame]
+
+  def manifest(stage: String): Option[StageManifest]
+}
+
+/** Parquet + JSON-manifest implementation rooted at
+  * `baseDir/snapshots/<configHash>/<stage>/`. Stages are keyed by config
+  * hash (not run id): a resume with identical config picks up committed
+  * stages from ANY previous run; a config change invalidates everything —
+  * mirroring the reference's cache-key discipline
+  * (lion_linker/retrievers.py:58-75 hashes the full request payload).
+  */
+final class ParquetTableIO(baseDir: String, runId: String, configHash: String) extends TableIO {
+
+  private implicit val fmts: Formats = DefaultFormats
+  private var seqCounter = 0L
+
+  private def stageDir(stage: String) = s"$baseDir/snapshots/$configHash/$stage"
+  private def manifestPath(stage: String) = Paths.get(s"${stageDir(stage)}/_MANIFEST.json")
+
+  override def commitStage(df: DataFrame, stage: String, inputStages: Seq[String]): DataFrame = {
+    val dir = stageDir(stage)
+    df.write.mode("overwrite").parquet(s"$dir/data")
+    val spark = df.sparkSession
+    val committed = spark.read.parquet(s"$dir/data")
+    // per-partition lineage counts (reference A2 progress counters analog)
+    val partCounts = committed
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getInt(0).toString -> r.getLong(1))
+      .toMap
+    seqCounter += 1
+    val m = StageManifest(
+      runId,
+      stage,
+      configHash,
+      partCounts.values.sum,
+      partCounts,
+      seqCounter,
+      inputStages.toList
+    )
+    Files.createDirectories(Paths.get(dir))
+    Files.write(manifestPath(stage), Serialization.write(m).getBytes(StandardCharsets.UTF_8))
+    committed
+  }
+
+  override def manifest(stage: String): Option[StageManifest] =
+    Try {
+      val txt = new String(Files.readAllBytes(manifestPath(stage)), StandardCharsets.UTF_8)
+      JsonMethods.parse(txt).extract[StageManifest]
+    }.toOption.filter(_.configHash == configHash)
+
+  override def readStage(spark: SparkSession, stage: String): Option[DataFrame] =
+    manifest(stage).flatMap { m =>
+      Try(spark.read.parquet(s"${stageDir(stage)}/data")).toOption
+        // commit-validity check: data must still carry the manifest's rows
+        .filter(_.count() == m.rowCount)
+    }
+}
+
+object TableIO {
+
+  /** Deterministic hash of a run configuration (sorted-key canonical form —
+    * reference cache-key pattern, retrievers.py:58-75).
+    */
+  def configHash(params: Map[String, String]): String = {
+    val canonical = params.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("&")
+    java.security.MessageDigest
+      .getInstance("SHA-256")
+      .digest(canonical.getBytes(StandardCharsets.UTF_8))
+      .take(8)
+      .map("%02x".format(_))
+      .mkString
+  }
+}

@@ -100,8 +100,48 @@ object ConnectedComponents {
       iter += 1
     }
     // converged edge set is a star forest: (member -> root)
+    starsToAssignments(edges)
+  }
+
+  private def starsToAssignments(edges: DataFrame): DataFrame = {
     val members = edges.select(col("src").as("url"), col("dst").as("cluster_id"))
     val roots = edges.select(col("dst").as("url"), col("dst").as("cluster_id")).distinct()
     members.unionByName(roots).distinct()
+  }
+
+  /** Durable variant: every iteration commits through `io` as stage
+    * `cc_iter_<i>`, and a restarted run resumes from the last committed
+    * iteration (reference restart rule: only committed work survives,
+    * app/services/task_queue.py:37 -> SURVEY.md §4.3).
+    */
+  def runResumable(
+      edgesIn: DataFrame,
+      io: graft.io.TableIO,
+      maxIterations: Int = 20
+  ): DataFrame = {
+    val spark = edgesIn.sparkSession
+    val committed = (0 to maxIterations)
+      .map(i => i -> io.readStage(spark, s"cc_iter_$i"))
+      .takeWhile(_._2.isDefined)
+    var (iter, edges) = committed.lastOption match {
+      case Some((i, Some(df))) => (i, df)
+      case _ =>
+        val initial = edgesIn
+          .select(col("src"), col("dst"))
+          .where(col("src") =!= col("dst"))
+          .distinct()
+        (0, io.commitStage(initial, "cc_iter_0"))
+    }
+    var sig = signature(edges)
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      iter += 1
+      val next = io.commitStage(smallStar(largeStar(edges)), s"cc_iter_$iter", Seq(s"cc_iter_${iter - 1}"))
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+    }
+    starsToAssignments(edges)
   }
 }

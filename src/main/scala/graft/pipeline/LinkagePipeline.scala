@@ -95,6 +95,55 @@ object LinkagePipeline {
     withDeterministicSeq(joined, "url")
   }
 
+  /** Resumable variant of `run`: every stage commits a Parquet snapshot +
+    * manifest through `io`, and a restarted run with the same config hash
+    * resumes from the last committed stage (SURVEY.md §4.3). Stage DAG:
+    * keys -> pairs -> accepted(score+threshold) -> cc_iter_* -> predictions.
+    */
+  def runResumable(pages: DataFrame, cfg: Config, io: graft.io.TableIO): DataFrame = {
+    val spark = pages.sparkSession
+    val corpus = pages.select("url", "text")
+
+    val keys = io
+      .readStage(spark, "keys")
+      .getOrElse(io.commitStage(Blocker.allKeys(corpus, cfg.strategies), "keys"))
+    val pairs = io
+      .readStage(spark, "pairs")
+      .getOrElse(io.commitStage(Blocker.pairs(keys, cfg.maxBlockSize), "pairs", Seq("keys")))
+    val accepted = io
+      .readStage(spark, "accepted")
+      .getOrElse {
+        val feats = PairScorer.features(corpus)
+        val scored = PairScorer.score(pairs, feats, cfg.weights)
+        io.commitStage(scored.where(col("score") >= cfg.weights.threshold), "accepted", Seq("pairs"))
+      }
+
+    val clusters = ConnectedComponents.runResumable(
+      accepted.select(col("urlA").as("src"), col("urlB").as("dst")),
+      io,
+      cfg.maxCcIterations
+    )
+
+    io.readStage(spark, "predictions").getOrElse {
+      val bestScore = accepted
+        .select(col("urlA").as("url"), col("score"))
+        .unionAll(accepted.select(col("urlB").as("url"), col("score")))
+        .groupBy("url")
+        .agg(max("score").as("score"))
+      val joined = corpus
+        .join(clusters, Seq("url"), "left")
+        .join(bestScore, Seq("url"), "left")
+        .select(
+          col("url"),
+          coalesce(col("cluster_id"), col("url")).as("cluster_id"),
+          col("score"),
+          when(col("cluster_id").isNotNull, "linked").otherwise("nil").as("status"),
+          col("text")
+        )
+      io.commitStage(withDeterministicSeq(joined, "url"), "predictions", Seq("accepted"))
+    }
+  }
+
   /** Deterministic global sequence by `orderCol` WITHOUT a single-partition
     * window (reference W5 needs a total order; a global row_number would
     * serialize 100 TB through one task). Two-phase: bucket by a key prefix

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+
+import graft.io.{ParquetTableIO, TableIO}
+import graft.pipeline.LinkagePipeline
+import graft.synth.WebCorpus
+
+class ResumeSpec extends SparkSpec {
+
+  private def rmrf(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder()).forEach(f => Files.delete(f))
+
+  private def collectPreds(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long)] =
+    df.select("url", "cluster_id", "seq")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+
+  test("resume from committed stages reproduces identical output") {
+    val base = Files.createTempDirectory("graft-resume").toString
+    val cfgHash = TableIO.configHash(Map("threshold" -> "0.70", "strategies" -> "all"))
+    val pages = WebCorpus.pages(spark, WebCorpus.Config(numClusters = 60)).toDF.cache()
+
+    val io1 = new ParquetTableIO(base, runId = "run1", configHash = cfgHash)
+    val full = collectPreds(LinkagePipeline.runResumable(pages, LinkagePipeline.Config(), io1))
+
+    // simulate a crash after the 'accepted' stage: wipe everything later
+    val snapDir = java.nio.file.Paths.get(s"$base/snapshots/$cfgHash")
+    Files.list(snapDir).forEach { d =>
+      val name = d.getFileName.toString
+      if (name.startsWith("cc_iter") || name == "predictions" || name == "clusters") rmrf(d)
+    }
+
+    val io2 = new ParquetTableIO(base, runId = "run2", configHash = cfgHash)
+    val resumed = collectPreds(LinkagePipeline.runResumable(pages, LinkagePipeline.Config(), io2))
+    assert(resumed == full, "resumed run must reproduce the committed run exactly")
+
+    // a manifest for early stages still exists and carries lineage metadata
+    val m = io2.manifest("pairs")
+    assert(m.isDefined)
+    assert(m.get.rowCount > 0)
+    assert(m.get.partitionCounts.values.sum == m.get.rowCount)
+    assert(m.get.inputStages == List("keys"))
+    rmrf(java.nio.file.Paths.get(base))
+  }
+
+  test("config-hash change invalidates all committed stages") {
+    val base = Files.createTempDirectory("graft-resume2").toString
+    val pages = WebCorpus.pages(spark, WebCorpus.Config(numClusters = 30)).toDF.cache()
+
+    val ioA = new ParquetTableIO(base, "runA", TableIO.configHash(Map("t" -> "0.70")))
+    LinkagePipeline.runResumable(pages, LinkagePipeline.Config(), ioA)
+
+    val hashB = TableIO.configHash(Map("t" -> "0.90"))
+    val ioB = new ParquetTableIO(base, "runB", hashB)
+    assert(ioB.manifest("keys").isEmpty, "stages committed under another config must not be visible")
+    val cfgB = LinkagePipeline.Config(weights = graft.operators.PairScorer.Weights(threshold = 0.90))
+    val out = LinkagePipeline.runResumable(pages, cfgB, ioB)
+    assert(out.count() == pages.count())
+    assert(ioB.manifest("predictions").isDefined)
+    rmrf(java.nio.file.Paths.get(base))
+  }
+
+  test("configHash is canonical (order-insensitive, value-sensitive)") {
+    assert(
+      TableIO.configHash(Map("a" -> "1", "b" -> "2")) == TableIO.configHash(Map("b" -> "2", "a" -> "1"))
+    )
+    assert(TableIO.configHash(Map("a" -> "1")) != TableIO.configHash(Map("a" -> "2")))
+  }
+}
