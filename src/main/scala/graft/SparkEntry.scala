@@ -332,12 +332,7 @@ object SparkEntry {
       val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn(
-          "cos",
-          aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
-            (sqrt(aggregate(col("va"), lit(0.0), (acc, x) => acc + x * x)) *
-              sqrt(aggregate(col("vb"), lit(0.0), (acc, x) => acc + x * x)))
-        )
+        .withColumn("cos", SimilaritySearch.cosine(col("va"), col("vb")))
         .where(col("cos") > 0.35)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
@@ -350,12 +345,7 @@ object SparkEntry {
       val q = e.where(col("vec_id") < 20).select(col("vec_id").as("qid"), col("v").as("qv"))
       val scored = q
         .join(e.where(col("vec_id") >= 20), lit(true))
-        .withColumn(
-          "cos",
-          aggregate(zip_with(col("qv"), col("v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x) /
-            (sqrt(aggregate(col("qv"), lit(0.0), (acc, x) => acc + x * x)) *
-              sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-        )
+        .withColumn("cos", SimilaritySearch.cosine(col("qv"), col("v")))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
       scored
         .withColumn("rk", row_number().over(w).cast("long"))

@@ -50,12 +50,58 @@ object Main {
 
     val spark = LinkagePipeline.session(master, "graft-linkage-cli")
     spark.sparkContext.setLogLevel("WARN")
+    // --monitor true: report task-time utilization (dev/bench diagnostics)
+    val taskNanos = new java.util.concurrent.atomic.AtomicLong(0)
+    val gcMillis = new java.util.concurrent.atomic.AtomicLong(0)
+    val serMillis = new java.util.concurrent.atomic.AtomicLong(0)
+    val fetchMillis = new java.util.concurrent.atomic.AtomicLong(0)
+    val shufWriteMillis = new java.util.concurrent.atomic.AtomicLong(0)
+    val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0)
+    val stageTimes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    if (opts.get("monitor").contains("true")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            taskNanos.addAndGet(m.executorRunTime * 1000000L)
+            gcMillis.addAndGet(m.jvmGCTime)
+            serMillis.addAndGet(m.resultSerializationTime + m.executorDeserializeTime)
+            fetchMillis.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+            shufWriteMillis.addAndGet(m.shuffleWriteMetrics.writeTime / 1000000L)
+            cpuNanos.addAndGet(m.executorCpuTime)
+          }
+        }
+        private val t0 = System.nanoTime()
+        private def rel = (System.nanoTime() - t0) / 1e9
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          System.err.println(f"[job] +$rel%7.2f START ${j.jobId}%3d stages=${j.stageInfos.size}")
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          System.err.println(f"[job] +$rel%7.2f END   ${j.jobId}%3d")
+        override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val info = sc.stageInfo
+          val key = info.name.split(" at ").lastOption.getOrElse(info.name)
+          stageTimes
+            .computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicLong(0))
+            .addAndGet(info.taskMetrics.executorRunTime)
+        }
+      })
+    }
     try {
+      // synth corpora are materialized to parquet first: the timed pipeline
+      // reads from storage like a real run (and repeated scans of the input
+      // don't re-run the generator)
       val pages =
         if (input.startsWith("synth:")) {
           val n = input.drop("synth:".length).toInt
-          WebCorpus.pages(spark, WebCorpus.Config(numClusters = math.max(n / 4, 1))).toDF
+          val synthDir = s"$output-input"
+          WebCorpus
+            .pages(spark, WebCorpus.Config(numClusters = math.max(n / 4, 1)))
+            .write.mode("overwrite").parquet(synthDir)
+          spark.read.parquet(synthDir)
         } else spark.read.parquet(input)
+
+      if (opts.get("warmup").contains("true"))
+        LinkagePipeline.run(pages.limit(20000), cfg).foreach(_ => ())
 
       val t0 = System.nanoTime()
       val preds = opts.get("snapshots") match {
@@ -79,11 +125,28 @@ object Main {
       val nDocs = out.count()
       val nClusters = out.select("cluster_id").distinct().count()
       val nLinked = out.where(col("status") === "linked").count()
+      val monitorJson =
+        if (opts.get("monitor").contains("true")) {
+          val cores = spark.sparkContext.defaultParallelism
+          val taskSec = taskNanos.get / 1e9
+          s""","task_sec":${"%.1f".format(taskSec)},"gc_sec":${"%.1f".format(gcMillis.get / 1e3)}""" +
+            s""","ser_sec":${"%.1f".format(serMillis.get / 1e3)}""" +
+            s""","cpu_sec":${"%.1f".format(cpuNanos.get / 1e9)}""" +
+            s""","fetch_wait_sec":${"%.1f".format(fetchMillis.get / 1e3)}""" +
+            s""","shuf_write_sec":${"%.1f".format(shufWriteMillis.get / 1e3)}""" +
+            s""","utilization":${"%.2f".format(taskSec / (secs * cores))}"""
+        } else ""
       println(
         s"""{"docs":$nDocs,"clusters":$nClusters,"linked":$nLinked,""" +
-          s""""seconds":${"%.2f".format(secs)},"docs_per_sec":${"%.1f".format(nDocs / secs)},""" +
-          s""""output":"$output"}"""
+          s""""seconds":${"%.2f".format(secs)},"docs_per_sec":${"%.1f".format(nDocs / secs)}""" +
+          monitorJson + s""","output":"$output"}"""
       )
+      if (opts.get("monitor").contains("true")) {
+        import scala.jdk.CollectionConverters._
+        stageTimes.asScala.toSeq.sortBy(-_._2.get).take(12).foreach { case (k, v) =>
+          println(f"[stage] ${v.get / 1000.0}%8.1f s  $k")
+        }
+      }
     } finally spark.stop()
   }
 }

@@ -72,4 +72,16 @@ object Normalize {
     val m = greatest(length(a), length(b))
     when(m === 0, lit(1.0)).otherwise(lit(1.0) - levenshtein(a, b).cast("double") / m)
   }
+
+  /** Banded variant: distances beyond `maxDist` are clamped (Spark's
+    * thresholded levenshtein returns -1 past the band and runs
+    * O(len*band) instead of O(len^2) — pairs that far apart are far below
+    * any match threshold anyway).
+    */
+  def levRatioBanded(a: Column, b: Column, maxDist: Int): Column = {
+    val m = greatest(length(a), length(b))
+    val d = levenshtein(a, b, maxDist).cast("double")
+    val dEff = when(d < 0, least(lit(maxDist.toDouble), m.cast("double"))).otherwise(d)
+    when(m === 0, lit(1.0)).otherwise(lit(1.0) - dEff / m)
+  }
 }

@@ -65,26 +65,123 @@ object SimKernels {
     jaro + prefix * 0.1 * (1.0 - jaro)
   }
 
-  /** Dot product of two sparse vectors encoded as arrays of
-    * struct(t: long, w: double) SORTED ASCENDING by t. O(n+m) merge — the
-    * TF-IDF cosine when both sides are pre-L2-normalized.
+  /** Dot product of two sparse vectors encoded as struct(ts: array<long>,
+    * ws: array<double>) with ts SORTED ASCENDING. O(n+m) merge — the TF-IDF
+    * cosine when both sides are pre-L2-normalized. Parallel PRIMITIVE
+    * arrays, not array<struct>: Tungsten serializes them as raw bytes,
+    * which matters in the pair-join shuffle.
     */
-  def sortedDot(a: ArrayData, b: ArrayData): Double = {
-    val na = a.numElements()
-    val nb = b.numElements()
+  def sortedDot(a: org.apache.spark.sql.catalyst.InternalRow, b: org.apache.spark.sql.catalyst.InternalRow): Double = {
+    val ta = a.getArray(0)
+    val wa = a.getArray(1)
+    val tb = b.getArray(0)
+    val wb = b.getArray(1)
+    val na = ta.numElements()
+    val nb = tb.numElements()
     var i = 0
     var j = 0
     var acc = 0.0
     while (i < na && j < nb) {
-      val ra = a.getStruct(i, 2)
-      val rb = b.getStruct(j, 2)
-      val ta = ra.getLong(0)
-      val tb = rb.getLong(0)
-      if (ta == tb) { acc += ra.getDouble(1) * rb.getDouble(1); i += 1; j += 1 }
-      else if (ta < tb) i += 1
+      val x = ta.getLong(i)
+      val y = tb.getLong(j)
+      if (x == y) { acc += wa.getDouble(i) * wb.getDouble(j); i += 1; j += 1 }
+      else if (x < y) i += 1
       else j += 1
     }
     acc
+  }
+
+  /** In-row term frequencies over hashed buckets: tokens ->
+    * array<struct<t:long,w:double>> sorted ascending by t, where t =
+    * fnv64(token) bucketed into [0, numBuckets) and w = occurrence count.
+    * One pass, no shuffle — replaces a groupBy(doc, term) exchange; the
+    * bounded bucket space keeps the corpus IDF table broadcastable at any
+    * scale (feature-hashing trick).
+    */
+  def termFreqs(tokens: ArrayData, numBuckets: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val counts = new java.util.TreeMap[Long, Double]()
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val b = (fnv64(tokens.getUTF8String(i)) >>> 1) % numBuckets
+        val prev = counts.get(b)
+        counts.put(b, if (prev == null) 1.0 else prev + 1.0)
+      }
+      i += 1
+    }
+    val ts = new Array[Long](counts.size)
+    val ws = new Array[Double](counts.size)
+    var j = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      ts(j) = e.getKey.longValue()
+      ws(j) = e.getValue.doubleValue()
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(new GenericArrayData(ts), new GenericArrayData(ws))
+  }
+
+  /** Weight a sorted tf vector by broadcast IDF, keep the top `maxTerms`
+    * weights (vector sparsification: shrinks the pair-join shuffle), and
+    * L2-normalize — all in-row.
+    */
+  def tfidfWeight(
+      vec: org.apache.spark.sql.catalyst.InternalRow,
+      idf: org.apache.spark.broadcast.Broadcast[java.util.HashMap[java.lang.Long, java.lang.Double]],
+      maxTerms: Int
+  ): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = idf.value
+    val tsIn = vec.getArray(0)
+    val wsIn = vec.getArray(1)
+    val n = tsIn.numElements()
+    val ts = new Array[Long](n)
+    val ws = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val t = tsIn.getLong(i)
+      val w0 = m.get(t)
+      ts(i) = t
+      ws(i) = wsIn.getDouble(i) * (if (w0 == null) 1.0 else w0.doubleValue())
+      i += 1
+    }
+    val keep: Array[Int] =
+      if (n > maxTerms) (0 until n).toArray.sortBy(j => -ws(j)).take(maxTerms).sorted
+      else (0 until n).toArray
+    var norm2 = 0.0
+    keep.foreach(j => norm2 += ws(j) * ws(j))
+    val norm = math.sqrt(norm2)
+    val tsOut = new Array[Long](keep.length)
+    val wsOut = new Array[Double](keep.length)
+    i = 0
+    while (i < keep.length) {
+      val j = keep(i)
+      tsOut(i) = ts(j)
+      wsOut(i) = if (norm > 0) ws(j) / norm else 0.0
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(new GenericArrayData(tsOut), new GenericArrayData(wsOut))
+  }
+
+  /** Dense cosine over two array<double> columns, index order (sequential
+    * summation — bit-identical to a scalar loop). Replaces zip_with +
+    * aggregate lambda chains, which pay per-element closure dispatch.
+    */
+  def denseCosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val d = math.sqrt(na) * math.sqrt(nb)
+    if (d == 0) 0.0 else dot / d
   }
 
   /** FNV-1a 64-bit over UTF-8 bytes — self-contained deterministic token
@@ -130,6 +227,43 @@ object SimKernels {
     out
   }
 
+  /** Fused shingle+MinHash: n-token shingles are never materialized as
+    * strings — each token is FNV-hashed once, consecutive n hashes are
+    * mixed order-sensitively into a shingle hash, and the k family minima
+    * are tracked in one pass. Identical shingle-set semantics to hashing
+    * the joined strings (a shingle's identity is its token n-tuple), at a
+    * fraction of the allocation cost.
+    */
+  def minHashShingles(tokens: ArrayData, n: Int, k: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val cnt = tokens.numElements()
+    if (cnt >= n) {
+      val th = new Array[Long](cnt)
+      var i = 0
+      while (i < cnt) {
+        th(i) = if (tokens.isNullAt(i)) 0L else fnv64(tokens.getUTF8String(i))
+        i += 1
+      }
+      var w = 0
+      while (w <= cnt - n) {
+        var h = 0xcbf29ce484222325L
+        var j = 0
+        while (j < n) {
+          h = (h ^ th(w + j)) * 0x100000001b3L
+          j += 1
+        }
+        var s = 0
+        while (s < k) {
+          val hv = (h ^ (0x9E3779B97F4A7C15L * (s + 1))) * 0xff51afd7ed558ccdL
+          if (hv < sig(s)) sig(s) = hv
+          s += 1
+        }
+        w += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
   /** MinHash signature: for each of k hash families, the minimum of
     * (fnv64(shingle) XOR seed_k) * PRIME over all shingles. Empty input
     * yields Long.MaxValue per slot.
@@ -167,13 +301,28 @@ case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpres
     copy(left = l, right = r)
 }
 
-/** Dot product over sorted sparse term vectors (array<struct<t:long,w:double>>). */
+/** Sparse-vector type shared by the TF-IDF expressions: parallel primitive
+  * arrays (cheap Tungsten shuffle encoding vs array<struct>).
+  */
+object SparseVec {
+  val dataType: DataType = StructType(
+    Seq(
+      StructField("ts", ArrayType(LongType, containsNull = false)),
+      StructField("ws", ArrayType(DoubleType, containsNull = false))
+    )
+  )
+}
+
+/** Dot product over sorted sparse term vectors (struct<ts,ws>). */
 case class SortedVecDot(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sorted_vec_dot"
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    SimKernels.sortedDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    SimKernels.sortedDot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    )
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SimKernels.sortedDot($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -189,6 +338,63 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     SimKernels.simHash64(v.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.functions.SimKernels.simHash64($a)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Dense cosine similarity over two array<double> embedding columns. */
+case class DenseCosine(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dense_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimKernels.denseCosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SimKernels.denseCosine($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Fused n-token-shingle MinHash signature of an array<string> column. */
+case class MinHashShingles(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_shingles"
+  override protected def nullSafeEval(v: Any): Any =
+    SimKernels.minHashShingles(v.asInstanceOf[ArrayData], n, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SimKernels.minHashShingles($a, $n, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** In-row hashed-bucket term frequencies (sorted sparse vector). */
+case class TermFreqs(child: Expression, numBuckets: Int) extends UnaryExpression {
+  override def dataType: DataType = SparseVec.dataType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "term_freqs"
+  override protected def nullSafeEval(v: Any): Any =
+    SimKernels.termFreqs(v.asInstanceOf[ArrayData], numBuckets)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SimKernels.termFreqs($a, $numBuckets)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** In-row TF-IDF weighting + L2 normalization against a broadcast IDF map
+  * (bounded by the hash-bucket count, so broadcastable at any corpus size).
+  */
+case class TfIdfWeight(
+    child: Expression,
+    idfBc: org.apache.spark.broadcast.Broadcast[java.util.HashMap[java.lang.Long, java.lang.Double]],
+    maxTerms: Int = 64
+) extends UnaryExpression {
+  override def dataType: DataType = SparseVec.dataType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "tfidf_weight"
+  override protected def nullSafeEval(v: Any): Any =
+    SimKernels.tfidfWeight(v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow], idfBc, maxTerms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("idfBc", idfBc, classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, a => s"graft.functions.SimKernels.tfidfWeight($a, $ref, $maxTerms)")
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -211,6 +417,15 @@ object SimilarityFunctions {
   def sorted_vec_dot(a: Column, b: Column): Column = GraftShim.column(SortedVecDot(e(a), e(b)))
   def simhash64(tokens: Column): Column = GraftShim.column(SimHash64(e(tokens)))
   def minhash_sig(shingles: Column, k: Int): Column = GraftShim.column(MinHashSig(e(shingles), k))
+  def term_freqs(tokens: Column, numBuckets: Int): Column =
+    GraftShim.column(TermFreqs(e(tokens), numBuckets))
+  def dense_cosine(a: Column, b: Column): Column = GraftShim.column(DenseCosine(e(a), e(b)))
+  def minhash_shingles(tokens: Column, n: Int, k: Int): Column =
+    GraftShim.column(MinHashShingles(e(tokens), n, k))
+  def tfidf_weight(
+      tf: Column,
+      idfBc: org.apache.spark.broadcast.Broadcast[java.util.HashMap[java.lang.Long, java.lang.Double]]
+  ): Column = GraftShim.column(TfIdfWeight(e(tf), idfBc))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =

@@ -1,0 +1,74 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Sources & sinks mirroring the reference's I/O surface (SURVEY.md §2.1):
+  * S1/S8 CSV scan + quote-all incremental sink, S3 inline JSON table
+  * source, S11 sha-keyed candidate cache with hit/miss split (J3).
+  */
+object Sources {
+
+  /** S1: header CSV scan with explicit schema (partitioned scan subsumes
+    * the reference's row-chunking, lion_linker.py:1349-1351).
+    */
+  def csvScan(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.option("header", true).schema(schema).csv(path)
+
+  /** S8: CSV sink with the reference's quoting discipline — QUOTE_ALL +
+    * escape char (lion_linker.py:1383-1402); append mode = the incremental
+    * per-chunk commit.
+    */
+  def csvSink(df: DataFrame, path: String, append: Boolean = false): Unit =
+    df.write
+      .mode(if (append) "append" else "overwrite")
+      .option("header", true)
+      .option("quoteAll", true)
+      .option("escape", "\\")
+      .csv(path)
+
+  /** S3: inline {header, rows} table source (app/services/linker.py:294-311)
+    * — width-validated, row_id injected when absent.
+    */
+  def inlineTable(spark: SparkSession, header: Seq[String], rows: Seq[Seq[String]]): DataFrame = {
+    require(header.nonEmpty, "header must be non-empty")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.size == header.size, s"row $i width ${r.size} != header width ${header.size}")
+    }
+    val schema = StructType(StructField("row_id", org.apache.spark.sql.types.LongType) +: header.map(StructField(_, StringType)))
+    val data = rows.zipWithIndex.map { case (r, i) => Row.fromSeq(i.toLong +: r) }
+    spark.createDataFrame(spark.sparkContext.parallelize(data), schema)
+  }
+
+  /** S11 cache key: sha256 over a canonical struct encoding — field order
+    * fixed by construction (reference sorted-key canonical JSON,
+    * retrievers.py:43-75).
+    */
+  def cacheKey(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    sha2(to_json(struct(cols: _*)), 256)
+
+  /** J3: split requests into cache hits (with payload) and misses.
+    * hits = semi-join semantics with the payload attached; misses = anti.
+    */
+  def cacheSplit(
+      requests: DataFrame,
+      cache: DataFrame,
+      keyCol: String
+  ): (DataFrame, DataFrame) = {
+    val hits = requests.join(cache, Seq(keyCol), "inner")
+    val misses = requests.join(cache, Seq(keyCol), "left_anti")
+    (hits, misses)
+  }
+
+  /** S11 upsert-on-read: append-only cache dirs deduped at read by key,
+    * last writer wins via the monotone seq column (W5 analog).
+    */
+  def readCache(spark: SparkSession, path: String, keyCol: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol)
+      .orderBy(col("seq").desc)
+    raw.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Normalize
-import graft.functions.SimilarityFunctions.minhash_sig
+import graft.functions.SimilarityFunctions.minhash_shingles
 
 /** Candidate-generation stage: blocking strategies emitting (url, key,
   * strategy) rows, then a skew-guarded self-join producing candidate pairs.
@@ -59,14 +59,14 @@ final case class MinHashBlocking(shingleSize: Int = 3, numHashes: Int = 16, band
   private val rows = numHashes / bands
 
   def keys(pages: DataFrame): DataFrame = {
-    val sh = Normalize.shingles(Normalize.tokensOf(col("text")), shingleSize)
-    val sig = minhash_sig(sh, numHashes)
+    val sig = minhash_shingles(Normalize.tokensOf(col("text")), shingleSize, numHashes)
     val bandKeys = (0 until bands).map { b =>
       concat(lit(s"m:$b:"), hash(slice(col("sig"), b * rows + 1, rows)).cast("string"))
     }
     pages
-      .select(col("url"), sig.as("sig"), size(sh).as("nsh"))
-      .where(col("nsh") > 0) // blank/short docs emit no content keys
+      .select(col("url"), sig.as("sig"))
+      // blank/too-short docs leave slot 0 at Long.MaxValue: no content keys
+      .where(element_at(col("sig"), 1) =!= Long.MaxValue)
       .select(col("url"), explode(array(bandKeys: _*)).as("key"))
   }
 }

@@ -74,13 +74,17 @@ object ConnectedComponents {
   /** Run to convergence. Input: edge list with string columns (src, dst),
     * src != dst, any orientation. Output: (url, cluster_id) covering every
     * node that appears in an edge; cluster_id = component-min url.
-    * `snapshot` is applied once per iteration to truncate lineage (default:
-    * localCheckpoint; pass a Parquet write/read-back for durable resume).
+    *
+    * Each iteration ends in an eager SERIALIZED localCheckpoint — this
+    * truncates the LOGICAL plan (a star round references its input ~4x, so
+    * an untruncated plan grows ~16x per iteration and OOMs the analyzer)
+    * and stores bytes, not object graphs. The convergence signature then
+    * scans the checkpointed blocks (cheap second action).
     */
   def run(
       edgesIn: DataFrame,
       maxIterations: Int = 20,
-      snapshot: DataFrame => DataFrame = _.localCheckpoint(true)
+      snapshot: DataFrame => DataFrame = graft.util.Checkpoints.serializedLocal
   ): DataFrame = {
     var edges = snapshot(
       edgesIn

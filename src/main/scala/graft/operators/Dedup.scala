@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Normalize
+import graft.functions.SimilarityFunctions.{hamming64, minhash_shingles, simhash64}
+
+/** Deduplication family for training-data pipelines. Every flavor reduces to
+  * the same scale shape: derive a key/signature per document (narrow), then
+  * either group exactly (one hash-aggregate shuffle) or candidate-join and
+  * verify (blocked self-join, skew-salted like the ER pipeline).
+  *
+  * All methods expect an `id` column name + a `text` column (or embedding).
+  */
+object Dedup {
+
+  /** Exact dedup on a content hash: returns (id, dup_key, canonical, n)
+    * where canonical = min id per group. One hash-agg shuffle; the groupBy
+    * key is the sha, never the payload.
+    */
+  def exact(docs: DataFrame, idCol: String, keyExpr: Column): DataFrame = {
+    val keyed = docs.select(col(idCol), keyExpr.as("dup_key"))
+    val groups = keyed
+      .groupBy("dup_key")
+      .agg(min(col(idCol)).as("canonical"), count(lit(1)).as("n"))
+    keyed.join(groups, "dup_key")
+  }
+
+  /** Exact text dedup (whole normalized text sha256). */
+  def exactText(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    exact(docs, idCol, sha2(regexp_replace(trim(col("text")), "\\s+", " "), 256))
+
+  /** MinHash-LSH near-dup candidate pairs (idA < idB), via banded fused
+    * shingle-minhash keys + the skew-guarded pair join.
+    */
+  def minHashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      shingleSize: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      maxBlockSize: Int = 1000
+  ): DataFrame = {
+    val d = docs.select(col(idCol).cast("string").as("url"), col("text"))
+    Blocker
+      .pairs(MinHashBlocking(shingleSize, numHashes, bands).keys(d).select("url", "key"), maxBlockSize)
+      .select(col("urlA").as("id_a"), col("urlB").as("id_b"), col("key"))
+  }
+
+  /** SimHash near-dup pairs: fingerprint each doc, block on rotated 16-bit
+    * chunks (a pair within Hamming distance d shares at least one of 4
+    * chunks when d <= 3), verify by full Hamming distance.
+    */
+  def simHashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      maxHamming: Int = 3,
+      maxBlockSize: Int = 10000
+  ): DataFrame = {
+    val fp = docs.select(
+      col(idCol).cast("string").as("url"),
+      simhash64(Normalize.tokensOf(col("text"))).as("fp")
+    )
+    val chunkKeys = (0 until 4).map { c =>
+      concat(lit(s"s$c:"), (shiftright(col("fp"), c * 16).bitwiseAND(lit(0xffffL))).cast("string"))
+    }
+    val keys = fp.select(col("url"), explode(array(chunkKeys: _*)).as("key"))
+    val pairs = Blocker.pairs(keys, maxBlockSize)
+    val fa = fp.select(col("url").as("urlA"), col("fp").as("fp_a"))
+    val fb = fp.select(col("url").as("urlB"), col("fp").as("fp_b"))
+    pairs
+      .join(fa, "urlA")
+      .join(fb, "urlB")
+      .withColumn("hamming", hamming64(col("fp_a"), col("fp_b")))
+      .where(col("hamming") <= maxHamming)
+      .select(col("urlA").as("id_a"), col("urlB").as("id_b"), col("hamming"))
+  }
+
+  /** n-gram Jaccard verification over candidate pairs: joins token-shingle
+    * sets back to (id_a, id_b) pairs and computes exact Jaccard.
+    */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    val sh = docs.select(
+      col(idCol).cast("string").as("id"),
+      array_distinct(Normalize.shingles(Normalize.tokensOf(col("text")), n)).as("grams")
+    )
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("grams").as("g_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("grams").as("g_b")), "id_b")
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          greatest(size(array_union(col("g_a"), col("g_b"))), lit(1))
+      )
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above `threshold`, candidates
+    * restricted by sign-LSH buckets (see SimilaritySearch.hyperplaneBucket).
+    */
+  def embeddingNearDup(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      lshBits: Int = 0
+  ): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val paired =
+      if (lshBits > 0) {
+        val bucketed = e.withColumn("key", SimilaritySearch.hyperplaneBucket(col("v"), lshBits))
+        val a = bucketed.select(col("id").as("id_a"), col("v").as("va"), col("key"))
+        val b = bucketed.select(col("id").as("id_b"), col("v").as("vb"), col("key"))
+        a.join(b, Seq("key")).where(col("id_a") < col("id_b"))
+      } else {
+        val a = e.select(col("id").as("id_a"), col("v").as("va"))
+        val b = e.select(col("id").as("id_b"), col("v").as("vb"))
+        a.join(b, col("id_a") < col("id_b"))
+      }
+    paired
+      .withColumn("cos", SimilaritySearch.cosine(col("va"), col("vb")))
+      .where(col("cos") > threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

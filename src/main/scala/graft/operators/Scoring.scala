@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.Normalize
+import graft.functions.{Normalize, SimilarityFunctions}
 import graft.functions.SimilarityFunctions.{jaro_winkler, sorted_vec_dot}
 
 /** Pairwise scoring: deterministic Catalyst-expression similarity replacing
@@ -30,48 +30,47 @@ object PairScorer {
     * ws-normalized text), tfidf (array<struct<t:long,w:double>> sorted by t,
     * L2-normalized).
     */
+  /** Hashed-bucket dimensionality: bounds the IDF table to a broadcastable
+    * size at ANY corpus scale (feature-hashing trick; 2^18 buckets = at
+    * most ~4 MB of (t, idf) pairs).
+    */
+  val TfBuckets: Int = 1 << 18
+
   def features(pages: DataFrame): DataFrame = {
     val toks = Normalize.tokensOf(col("text"))
     val base = pages.select(
       col("url"),
-      toks.as("toks"),
+      SimilarityFunctions.term_freqs(toks, TfBuckets).as("tf"), // in-row, no shuffle
       array_join(slice(toks, 1, 10), " ").as("title_norm"),
-      substring(regexp_replace(trim(col("text")), "\\s+", " "), 1, 240).as("text_cap")
+      // 120 chars: the banded Levenshtein leg is O(len*band); doubling the
+      // cap quadruples the dominant pair kernel for negligible signal gain
+      substring(regexp_replace(trim(col("text")), "\\s+", " "), 1, 120).as("text_cap")
     )
 
-    // term frequencies per (url, term-hash)
-    val tf = base
-      .select(col("url"), explode(col("toks")).as("term"))
-      .groupBy(col("url"), xxhash64(col("term")).as("t"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+    // corpus IDF over hashed buckets: the only wide dependency, and its
+    // output is bounded by TfBuckets -> collected + broadcast. df counts
+    // DOCUMENTS per bucket (tf entries are already distinct per doc).
+    val spark = pages.sparkSession
+    val nDocs = pages.count().toDouble
+    val idfRows = base
+      .select(explode(col("tf.ts")).as("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).cast("double").as("df"))
+      .collect()
+    val idfMap = new java.util.HashMap[java.lang.Long, java.lang.Double](idfRows.length * 2)
+    idfRows.foreach { r =>
+      idfMap.put(r.getLong(0), math.log((nDocs + 1.0) / (r.getDouble(1) + 1.0)) + 1.0)
+    }
+    val idfBc = spark.sparkContext.broadcast(idfMap)
 
-    // document frequency per term -> idf; numDocs via a scalar broadcast join
-    val docFreq = tf.groupBy("t").agg(count(lit(1)).cast("double").as("df"))
-    val nDocs = pages.select(count(lit(1)).as("n_docs"))
-    val idf = docFreq
-      .crossJoin(broadcast(nDocs))
-      .select(col("t"), (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0).as("idf"))
-
-    val weighted = tf
-      .join(idf, "t")
-      .select(col("url"), col("t"), (col("tf") * col("idf")).as("w"))
-
-    val vecs = weighted
-      .groupBy("url")
-      .agg(sort_array(collect_list(struct(col("t"), col("w")))).as("vec_raw"))
-      .withColumn(
-        "norm",
-        sqrt(aggregate(col("vec_raw"), lit(0.0), (acc, x) => acc + x.getField("w") * x.getField("w")))
-      )
-      .select(
-        col("url"),
-        transform(
-          col("vec_raw"),
-          e => struct(e.getField("t").as("t"), (e.getField("w") / col("norm")).as("w"))
-        ).as("tfidf")
-      )
-
-    base.select(col("url"), col("title_norm"), col("text_cap")).join(vecs, Seq("url"), "left")
+    // weighting + L2 normalization happen in-row against the broadcast map:
+    // the document side of features() has NO full-corpus shuffle at all
+    base.select(
+      col("url"),
+      col("title_norm"),
+      col("text_cap"),
+      SimilarityFunctions.tfidf_weight(col("tf"), idfBc).as("tfidf")
+    )
   }
 
   /** Score candidate pairs. `pairs`: (urlA, urlB, key); `feats`: output of
@@ -100,7 +99,7 @@ object PairScorer {
         col("urlB"),
         col("key"),
         jaro_winkler(col("title_a"), col("title_b")).as("jw"),
-        Normalize.levRatio(col("text_a"), col("text_b")).as("lev"),
+        Normalize.levRatioBanded(col("text_a"), col("text_b"), maxDist = 64).as("lev"),
         coalesce(sorted_vec_dot(col("vec_a"), col("vec_b")), lit(0.0)).as("cosine")
       )
       .withColumn(

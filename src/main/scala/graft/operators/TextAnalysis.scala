@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Normalize
+import graft.functions.SimilarityFunctions.{minhash_sig, simhash64}
+
+/** Text-analysis operators for large-scale training-data pipelines: language
+  * id (stopword-vote heuristic), quality scoring, token counting,
+  * document fingerprinting. All pure column expressions (codegen'd,
+  * shuffle-free) — they compose into any scan.
+  */
+object TextAnalysis {
+
+  /** Minimal function-word tables per language (public common words). The
+    * heuristic votes by stopword hits over whitespace tokens — standard
+    * n-gram/wordlist language-id shape, deliberately tiny and deterministic.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist", "ich", "ein", "zu", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "est", "un", "une", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "en", "que"),
+    "it" -> Seq("il", "la", "di", "che", "e", "un", "una", "per", "non", "sono")
+  )
+
+  /** Per-language stopword hit ratio columns. */
+  private def hitRatio(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*))).cast("double") /
+      greatest(size(toks), lit(1))
+
+  /** Predicted language: argmax stopword ratio, 'unk' below `minRatio`. */
+  def langId(text: Column, minRatio: Double = 0.02): Column = {
+    val toks = Normalize.tokensOf(text)
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(hitRatio(toks, words).as("r"), lit(lang).as("l"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("r") >= minRatio, best.getField("l")).otherwise("unk")
+  }
+
+  /** Quality features: token count, distinct-token ratio (repetitiveness),
+    * mean token length, alpha ratio, stopword ratio — the length/punct/
+    * stopword family of web-text quality filters.
+    */
+  def qualityFeatures(text: Column): Column = {
+    val toks = Normalize.tokensOf(text)
+    val nTok = size(toks).cast("double")
+    struct(
+      nTok.cast("long").as("n_tokens"),
+      (size(array_distinct(toks)) / greatest(nTok, lit(1.0))).as("distinct_ratio"),
+      (length(regexp_replace(text, "\\s+", "")) / greatest(nTok, lit(1.0))).as("mean_token_len"),
+      (length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+        greatest(length(text), lit(1)).cast("double")).as("alpha_ratio"),
+      hitRatio(toks, stopwords("en")).as("stopword_ratio")
+    )
+  }
+
+  /** Composite quality score in [0,1] (monotone blend of the features). */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenScore = least(f.getField("n_tokens").cast("double") / 64.0, lit(1.0))
+    val distinctScore = f.getField("distinct_ratio")
+    val alphaScore = f.getField("alpha_ratio")
+    Normalize.clamp01(lenScore * 0.4 + distinctScore * 0.3 + alphaScore * 0.3)
+  }
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(Normalize.tokensOf(text)).cast("long")
+
+  /** BPE-ish subword count: word-boundary pieces + digit runs + punct, the
+    * usual cheap proxy for tokenizer token counts.
+    */
+  def tokenCountBpeIsh(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => length(t) > 0)).cast("long")
+
+  /** 64-bit SimHash fingerprint of the token stream. */
+  def fingerprintSimhash(text: Column): Column = simhash64(Normalize.tokensOf(text))
+
+  /** Rolling-shingle MinHash fingerprint (first slot of a k=4 signature). */
+  def fingerprintMinhash(text: Column, shingle: Int = 4): Column =
+    element_at(minhash_sig(Normalize.shingles(Normalize.tokensOf(text), shingle), 4), 1)
+
+  /** Convenience: annotate a documents frame (expects a `text` column). */
+  def annotate(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("lang_pred", langId(col("text")))
+      .withColumn("quality", qualityScore(col("text")))
+      .withColumn("n_tokens", tokenCountWs(col("text")))
+      .withColumn("fingerprint", fingerprintSimhash(col("text")))
+}

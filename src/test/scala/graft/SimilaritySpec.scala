@@ -48,13 +48,13 @@ class SimilaritySpec extends SparkSpec {
   test("sorted_vec_dot merges sorted sparse vectors") {
     import spark.implicits._
     val df = Seq(
-      (Seq((1L, 0.5), (3L, 0.5), (9L, 0.7071)), Seq((3L, 1.0), (9L, 0.5)))
+      ((Seq(1L, 3L, 9L), Seq(0.5, 0.5, 0.7071)), (Seq(3L, 9L), Seq(1.0, 0.5)))
     ).toDF("a", "b")
       .select(
         SimilarityFunctions
           .sorted_vec_dot(
-            col("a").cast("array<struct<t:bigint,w:double>>"),
-            col("b").cast("array<struct<t:bigint,w:double>>")
+            col("a").cast("struct<ts:array<bigint>,ws:array<double>>"),
+            col("b").cast("struct<ts:array<bigint>,ws:array<double>>")
           )
           .as("dot")
       )
