@@ -65,6 +65,10 @@ object LinkagePipeline {
       // broadcast builds serialize on the driver; past ~8MB the parallel
       // shuffle join wins and keeps the driver off the critical path
       .config("spark.sql.autoBroadcastJoinThreshold", (8 * 1024 * 1024).toString)
+      // don't idle cores waiting for PROCESS_LOCAL slots on cached blocks:
+      // checkpointed partitions pin to one executor, and delay scheduling
+      // would hold other executors' cores for up to 3s per wave
+      .config("spark.locality.wait", "0")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
