@@ -511,8 +511,8 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY lang""".stripMargin,
     "q_a5_score_census" ->
       """SELECT event_type,
-        | sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS numeric_scores,
-        | sum(CASE WHEN value < 50.0 THEN 1 ELSE 0 END) AS null_scores
+        | CAST(sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS numeric_scores,
+        | CAST(sum(CASE WHEN value < 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS null_scores
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_a7_pairwise_eval" ->
       """SELECT tp, fp, fn, round(tp / (tp + fp), 6) AS precision, round(tp / (tp + fn), 6) AS recall FROM (

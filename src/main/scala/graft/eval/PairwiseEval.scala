@@ -45,9 +45,9 @@ object PairwiseEval {
 
   /** Per-blocking-key metrics (north rule: F1 within each blocking key).
     * Gold must carry `block_key`. Returns (block_key, tp, fp, fn, f1); FP
-    * pairs are attributed to keys via the gold key of either member's gold
-    * pairs — predicted pairs with no gold key anywhere count under key
-    * '__unblocked__'.
+    * pairs are attributed to keys via the gold key of either member (min
+    * key when a member appears under several) — predicted pairs with no
+    * gold key on either member count under key '__unblocked__'.
     */
   def metricsPerKey(assignments: DataFrame, gold: DataFrame): DataFrame = {
     val pred = predictedPairs(assignments).withColumn("p", lit(1))
@@ -55,9 +55,18 @@ object PairwiseEval {
       .where(col("label"))
       .select("url_a", "url_b", "block_key")
       .withColumn("g", lit(1))
+    // member -> gold key map (bounded by |gold|, broadcastable): lets a
+    // false-positive pair land on the block that actually produced it
+    val urlKey = goldPos
+      .select(col("url_a").as("u"), col("block_key"))
+      .unionAll(goldPos.select(col("url_b").as("u"), col("block_key")))
+      .groupBy("u")
+      .agg(min("block_key").as("member_key"))
     pred
       .join(goldPos, Seq("url_a", "url_b"), "full_outer")
-      .withColumn("block_key", coalesce(col("block_key"), lit("__unblocked__")))
+      .join(broadcast(urlKey.select(col("u").as("url_a"), col("member_key").as("k_a"))), Seq("url_a"), "left")
+      .join(broadcast(urlKey.select(col("u").as("url_b"), col("member_key").as("k_b"))), Seq("url_b"), "left")
+      .withColumn("block_key", coalesce(col("block_key"), col("k_a"), col("k_b"), lit("__unblocked__")))
       .groupBy("block_key")
       .agg(
         sum(when(col("p").isNotNull && col("g").isNotNull, 1L).otherwise(0L)).as("tp"),

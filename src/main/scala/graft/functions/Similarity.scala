@@ -184,6 +184,66 @@ object SimKernels {
     if (d == 0) 0.0 else dot / d
   }
 
+  /** Hyperplane matrices for sign-LSH, built once per (dim, bits, seed) per
+    * JVM and cached — the executor-local equivalent of broadcasting
+    * precomputed planes (the matrix is tiny: bits*dim doubles), replacing
+    * the per-row transform/zip_with/aggregate lambda chains that recomputed
+    * the constant planes per element. Plane components are deterministic
+    * (splitmix64 of (seed, p, i)) scaled to [-1, 1).
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  def planes(dim: Int, bits: Int, seed: Int): Array[Double] =
+    planeCache.computeIfAbsent(
+      (dim, bits, seed),
+      { case (d, b, s) =>
+        val arr = new Array[Double](b * d)
+        var p = 0
+        while (p < b) {
+          var i = 0
+          while (i < d) {
+            val h = splitmix64(s.toLong * 0x100000001L + p.toLong * 0x9e3779b9L + i)
+            // top 53 bits -> [0,1) -> [-1,1)
+            arr(p * d + i) = (h >>> 11) * (1.0 / (1L << 53)) * 2.0 - 1.0
+            i += 1
+          }
+          p += 1
+        }
+        arr
+      }
+    )
+
+  /** Sign-LSH bucket id of a dense vector: bit p = sign of dot(v, plane_p).
+    * One tight loop over cached planes; `bits` <= 62.
+    */
+  def signLsh(v: ArrayData, bits: Int, seed: Int): Long = {
+    val dim = v.numElements()
+    if (dim == 0) return 0L
+    val pl = planes(dim, bits, seed)
+    var out = 0L
+    var p = 0
+    while (p < bits) {
+      var dot = 0.0
+      var i = 0
+      val off = p * dim
+      while (i < dim) {
+        dot += v.getDouble(i) * pl(off + i)
+        i += 1
+      }
+      if (dot >= 0) out |= 1L << p
+      p += 1
+    }
+    out
+  }
+
   /** FNV-1a 64-bit over UTF-8 bytes — self-contained deterministic token
     * hash (stable across Spark versions / partitionings).
     */
@@ -398,6 +458,18 @@ case class TfIdfWeight(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Sign-LSH (random-hyperplane) bucket id of an array<double> column. */
+case class SignLsh(child: Expression, bits: Int, seed: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sign_lsh"
+  override protected def nullSafeEval(v: Any): Any =
+    SimKernels.signLsh(v.asInstanceOf[ArrayData], bits, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SimKernels.signLsh($a, $bits, $seed)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** k-slot MinHash signature of an array<string> shingle column. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -420,6 +492,8 @@ object SimilarityFunctions {
   def term_freqs(tokens: Column, numBuckets: Int): Column =
     GraftShim.column(TermFreqs(e(tokens), numBuckets))
   def dense_cosine(a: Column, b: Column): Column = GraftShim.column(DenseCosine(e(a), e(b)))
+  def sign_lsh(v: Column, bits: Int, seed: Int = 0): Column =
+    GraftShim.column(SignLsh(e(v), bits, seed))
   def minhash_shingles(tokens: Column, n: Int, k: Int): Column =
     GraftShim.column(MinHashShingles(e(tokens), n, k))
   def tfidf_weight(

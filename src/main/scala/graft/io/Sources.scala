@@ -61,6 +61,36 @@ object Sources {
     (hits, misses)
   }
 
+  /** S11 forced-id cache invalidation (retrievers.py:77-89): a cache hit is
+    * valid only if the cached candidate-id set covers every requested
+    * forced id; otherwise the request degrades to a miss (refetch), exactly
+    * like `_cache_needs_update`. `forcedCol` (array<string> on requests;
+    * null/empty = no constraint) and `cachedIdsCol` (array<string> on cache
+    * rows) are compared trimmed, blank forced ids ignored.
+    */
+  def cacheSplitForced(
+      requests: DataFrame,
+      cache: DataFrame,
+      keyCol: String,
+      forcedCol: String,
+      cachedIdsCol: String
+  ): (DataFrame, DataFrame) = {
+    val marked = cache.withColumn("_cache_hit", lit(true))
+    val joined = requests.join(marked, Seq(keyCol), "left")
+    val forced = filter(
+      transform(coalesce(col(forcedCol), array().cast("array<string>")), f => trim(f)),
+      f => f =!= ""
+    )
+    val cachedIds = transform(
+      coalesce(col(cachedIdsCol), array().cast("array<string>")),
+      c => trim(c)
+    )
+    val valid = col("_cache_hit").isNotNull && size(array_except(forced, cachedIds)) === 0
+    val hits = joined.where(valid).drop("_cache_hit")
+    val misses = joined.where(!coalesce(valid, lit(false))).select(requests.columns.map(col): _*)
+    (hits, misses)
+  }
+
   /** S11 upsert-on-read: append-only cache dirs deduped at read by key,
     * last writer wins via the monotone seq column (W5 analog).
     */

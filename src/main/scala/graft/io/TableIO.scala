@@ -1,10 +1,10 @@
 package graft.io
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
 import scala.util.Try
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.json4s._
@@ -14,15 +14,19 @@ import org.json4s.jackson.{JsonMethods, Serialization}
   *
   * Reference semantics reproduced: incremental commit per chunk
   * (lion_linker.py:1383-1402), run_id stamping + monotone seq
-  * (prompt_store.py:35, result_store.py:35), and the restart rule that only
-  * COMMITTED work survives (app/services/task_queue.py:37 marks in-flight
-  * jobs failed on restart) — here, a stage exists only once its manifest is
-  * written, and the manifest is written only after the data commit.
+  * (prompt_store.py:35, result_store.py:35), created_at stamping
+  * (result_store.py:100-103, app/storage/state.py:66,127), and the restart
+  * rule that only COMMITTED work survives (app/services/task_queue.py:37
+  * marks in-flight jobs failed on restart) — here, a stage exists only once
+  * its manifest is written, and the manifest is written only after the data
+  * commit.
   *
   * No Iceberg jars ship in this image, so snapshot-append is emulated with
   * Parquet dirs + `_MANIFEST.json`; the trait boundary is exactly what an
   * Iceberg catalog implementation would replace (snapshot = table version,
-  * manifest = Iceberg snapshot summary).
+  * manifest = Iceberg snapshot summary). Manifests go through the Hadoop
+  * FileSystem resolved from the stage path, so a non-local snapshots dir
+  * (hdfs://, s3a://) keeps working on a real cluster.
   */
 final case class StageManifest(
     runId: String,
@@ -31,7 +35,8 @@ final case class StageManifest(
     rowCount: Long,
     partitionCounts: Map[String, Long],
     seq: Long,
-    inputStages: List[String]
+    inputStages: List[String],
+    createdAt: String // ISO-8601 UTC (F17; informational, never compared)
 )
 
 trait TableIO {
@@ -60,7 +65,10 @@ final class ParquetTableIO(baseDir: String, runId: String, configHash: String) e
   private var seqCounter = 0L
 
   private def stageDir(stage: String) = s"$baseDir/snapshots/$configHash/$stage"
-  private def manifestPath(stage: String) = Paths.get(s"${stageDir(stage)}/_MANIFEST.json")
+  private def manifestPath(stage: String) = new Path(s"${stageDir(stage)}/_MANIFEST.json")
+
+  private def fs(p: Path, spark: SparkSession) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   override def commitStage(df: DataFrame, stage: String, inputStages: Seq[String]): DataFrame = {
     val dir = stageDir(stage)
@@ -82,21 +90,32 @@ final class ParquetTableIO(baseDir: String, runId: String, configHash: String) e
       partCounts.values.sum,
       partCounts,
       seqCounter,
-      inputStages.toList
+      inputStages.toList,
+      java.time.Instant.now().toString
     )
-    Files.createDirectories(Paths.get(dir))
-    Files.write(manifestPath(stage), Serialization.write(m).getBytes(StandardCharsets.UTF_8))
+    // same FileSystem as the data: manifests survive non-local baseDirs
+    val mp = manifestPath(stage)
+    val out = fs(mp, spark).create(mp, true)
+    try out.write(Serialization.write(m).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
     committed
   }
 
   override def manifest(stage: String): Option[StageManifest] =
+    manifestIn(SparkSession.active, stage)
+
+  private def manifestIn(spark: SparkSession, stage: String): Option[StageManifest] =
     Try {
-      val txt = new String(Files.readAllBytes(manifestPath(stage)), StandardCharsets.UTF_8)
+      val mp = manifestPath(stage)
+      val in = fs(mp, spark).open(mp)
+      val txt =
+        try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+        finally in.close()
       JsonMethods.parse(txt).extract[StageManifest]
     }.toOption.filter(_.configHash == configHash)
 
   override def readStage(spark: SparkSession, stage: String): Option[DataFrame] =
-    manifest(stage).flatMap { m =>
+    manifestIn(spark, stage).flatMap { m =>
       Try(spark.read.parquet(s"${stageDir(stage)}/data")).toOption
         // commit-validity check: data must still carry the manifest's rows
         .filter(_.count() == m.rowCount)
@@ -117,4 +136,41 @@ object TableIO {
       .map("%02x".format(_))
       .mkString
   }
+}
+
+/** S10: append-only run-log TABLE (not just per-stage manifests) — the
+  * queryable analog of the reference's results/prompt collections
+  * (result_store.py:85-105, prompt_store.py:85-96): every appended row
+  * carries (run_id, seq, created_at) where seq is monotone WITHIN a run
+  * batch-by-batch, exactly like record_batch's base_seq + offset.
+  *
+  * Storage is an append-only parquet dir; each append writes one new batch
+  * of files and never touches previous ones (Iceberg append analog). Readers
+  * see the union of all runs and can reconstruct any run's timeline by
+  * (run_id, seq).
+  */
+final class RunLog(dir: String, runId: String) {
+
+  private var nextSeq = 0L
+
+  /** Append `rows` stamped with run_id + monotone seq + created_at.
+    * Mirrors result_store.record_batch: an explicit `startSeq` overrides
+    * the internal counter (resume case), else the counter continues.
+    */
+  def append(rows: DataFrame, startSeq: Option[Long] = None): Unit = {
+    val base = startSeq.getOrElse(nextSeq)
+    val stamped = graft.pipeline.LinkagePipeline
+      .withDeterministicSeq(rows, rows.columns.head)
+      .withColumn("seq", col("seq") - 1 + base)
+      .withColumn("run_id", lit(runId))
+      .withColumn("created_at", current_timestamp())
+    stamped.write.mode("append").parquet(dir)
+    nextSeq = base + rows.count()
+  }
+
+  def read(spark: SparkSession): DataFrame = spark.read.parquet(dir)
+
+  /** This run's entries in seq order. */
+  def readRun(spark: SparkSession): DataFrame =
+    read(spark).where(col("run_id") === runId).orderBy("seq")
 }

@@ -176,6 +176,8 @@ object Decision {
       case Some(JDouble(d)) => Some(d)
       case Some(JInt(i)) => Some(i.toDouble)
       case Some(JDecimal(d)) => Some(d.toDouble)
+      // python isinstance(x, (int, float)) accepts booleans (py:529-531)
+      case Some(JBool(b)) => Some(if (b) 1.0 else 0.0)
       case Some(_) => return Left("nil_score must be numeric.")
     }
     nilScore.foreach { ns =>

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
@@ -49,24 +49,15 @@ object Multimodal {
     MediaMeta(payload.length.toLong, magic, kind, w, ht, dur)
   }
 
-  /** Decode a binary column into typed metadata, batched per partition
-    * (the Scala analog of a pandas-batched UDF: one JVM-side loop per
-    * partition, no per-row closure dispatch in the planner).
-    * Input: (id: Long, payload: binary). Output adds a `meta` struct.
+  /** Decode a binary column into typed metadata — a single row-local
+    * codegen'd expression (graft.functions.DecodeMeta): the meta struct is
+    * a pure function of the payload bytes, so adding it costs ZERO
+    * exchanges (the previous mapPartitions + join-back paid a full shuffle
+    * to attach a column computed from the same row). All input columns are
+    * carried through.
     */
-  def decodeMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    val spark = df.sparkSession
-    implicit val enc = Encoders.product[(Long, MediaMeta)]
-    val decoded: Dataset[(Long, MediaMeta)] = df
-      .select(col(idCol).cast("long"), col(payloadCol))
-      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
-      .mapPartitions(_.map { case (id, payload) => (id, decodeStub(payload)) })
-    df.join(
-      decoded.toDF(idCol, "meta"),
-      Seq(idCol),
-      "left"
-    )
-  }
+  def decodeMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.withColumn("meta", graft.functions.MediaFunctions.decode_meta(col(payloadCol)))
 
   /** Deterministic frame sampling plan for video payloads: emits
     * (id, frame_idx, ts_ms) rows at `everyMs` spacing from the decoded

@@ -108,7 +108,27 @@ object PairScorer {
       )
   }
 
+  /** Threshold scored pairs, optionally per blocking key (SURVEY §2.9): a
+    * (key, threshold) table is broadcast-joined against the scored pairs —
+    * never a driver-side map — with `w.threshold` as the fallback for keys
+    * not in the table. Salted sub-block keys (`key#b`) match their base key.
+    */
+  def threshold(scored: DataFrame, w: Weights = Weights(), perKey: Option[DataFrame] = None): DataFrame =
+    perKey match {
+      case None => scored.where(col("score") >= w.threshold)
+      case Some(t) =>
+        scored
+          .withColumn("_bk", regexp_replace(col("key"), "#\\d+$", ""))
+          .join(
+            broadcast(t.select(col("key").as("_bk"), col("threshold").as("_th"))),
+            Seq("_bk"),
+            "left"
+          )
+          .where(col("score") >= coalesce(col("_th"), lit(w.threshold)))
+          .drop("_bk", "_th")
+    }
+
   /** Threshold scored pairs into match edges (below threshold = NIL analog). */
   def edges(scored: DataFrame, w: Weights = Weights()): DataFrame =
-    scored.where(col("score") >= w.threshold).select(col("urlA").as("src"), col("urlB").as("dst"))
+    threshold(scored, w).select(col("urlA").as("src"), col("urlB").as("dst"))
 }

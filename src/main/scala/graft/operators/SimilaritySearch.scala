@@ -4,13 +4,18 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.SimilarityFunctions
+
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * Baseline: brute-force cosine top-k (exact; the quadratic cross join is
   * the scale ceiling). Scale path: sign-LSH (random-hyperplane) bucketing —
   * candidates share a bucket, the quadratic term shrinks to bucket-local
-  * joins; recall is tuned by bits/tables. Hyperplanes are derived from a
-  * deterministic hash so results are reproducible with no stored model.
+  * joins; recall is tuned by bits/tables. Hyperplanes are deterministic
+  * (derived from the seed) so results are reproducible with no stored model;
+  * the plane matrix is built once per executor JVM and the per-row cost is
+  * one tight dot-product loop inside whole-stage codegen (native
+  * expression, graft.functions.SignLsh — not per-element lambda chains).
   */
 object SimilaritySearch {
 
@@ -18,29 +23,13 @@ object SimilaritySearch {
     * deterministic summation; native codegen kernel).
     */
   def cosine(a: Column, b: Column): Column =
-    graft.functions.SimilarityFunctions.dense_cosine(a, b)
+    SimilarityFunctions.dense_cosine(a, b)
 
-  /** `bits`-bit sign-LSH bucket id: bit p = sign of the dot product with a
-    * pseudo-random hyperplane h_p, where h_p[i] = scaled hash(i, p).
+  /** `bits`-bit sign-LSH bucket id (long): bit p = sign of the dot product
+    * with deterministic pseudo-random hyperplane p of `seed`'s family.
     */
-  def hyperplaneBucket(v: Column, bits: Int, seed: Int = 0): Column = {
-    val bitCols = (0 until bits).map { p =>
-      val proj = aggregate(
-        zip_with(
-          v,
-          transform(
-            sequence(lit(0), size(v) - 1),
-            i => (pmod(xxhash64(i, lit(p + seed * 10007)), lit(1000)) - 500.0) / 500.0
-          ),
-          (x, h) => x * h
-        ),
-        lit(0.0),
-        (acc, x) => acc + x
-      )
-      when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
-    }
-    concat(bitCols: _*)
-  }
+  def hyperplaneBucket(v: Column, bits: Int, seed: Int = 0): Column =
+    SimilarityFunctions.sign_lsh(v, bits, seed)
 
   /** Exact brute-force cosine top-k: for each query row, the k nearest
     * corpus rows. Broadcast the smaller (query) side; the corpus streams.
@@ -67,7 +56,8 @@ object SimilaritySearch {
   /** LSH-bucketed ANN top-k: queries only meet corpus rows in the same
     * bucket (one equi-join instead of a cross join). `tables` independent
     * hash tables trade compute for recall; results are deduped across
-    * tables before ranking.
+    * tables before ranking. Bucket keys are (table, long-bucket) pairs —
+    * never string concat in the shuffle key.
     */
   def lshTopK(
       queries: DataFrame,
@@ -76,12 +66,14 @@ object SimilaritySearch {
       vecCol: String,
       k: Int,
       bits: Int = 8,
-      tables: Int = 2
+      tables: Int = 4
   ): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
     val c = corpus.select(col(idCol).as("neighbor"), col(vecCol).cast("array<double>").as("cv"))
     def keyed(df: DataFrame, vec: String): DataFrame = {
-      val keys = (0 until tables).map(t => concat(lit(s"t$t:"), hyperplaneBucket(col(vec), bits, seed = t)))
+      val keys = (0 until tables).map(t =>
+        struct(lit(t).as("t"), hyperplaneBucket(col(vec), bits, seed = t).as("b"))
+      )
       df.withColumn("key", explode(array(keys: _*)))
     }
     val candidates = keyed(q, "qv")

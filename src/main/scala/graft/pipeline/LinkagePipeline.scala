@@ -28,7 +28,12 @@ object LinkagePipeline {
       ),
       weights: PairScorer.Weights = PairScorer.Weights(),
       maxBlockSize: Int = 1000,
-      maxCcIterations: Int = 20
+      maxCcIterations: Int = 20,
+      /** Optional (key, threshold) table: per-blocking-key accept
+        * thresholds, broadcast-joined at threshold time (SURVEY §2.9);
+        * `weights.threshold` is the fallback.
+        */
+      perKeyThresholds: Option[DataFrame] = None
   )
 
   /** Spark session tuned for the engine: AQE + skew join on, shuffle
@@ -83,19 +88,28 @@ object LinkagePipeline {
     * (reference W5); `text` = untouched input text (per-row invariant).
     */
   def run(pages: DataFrame, cfg: Config = Config()): DataFrame = {
-    // the corpus is scanned by every blocking strategy, the feature pass and
-    // the final merge — persist it serialized for the run (count() both
-    // materializes the cache and serves the IDF's nDocs in one job)
-    val corpus = pages
-      .select("url", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    corpus.count()
+    // The corpus is scanned by every blocking strategy, the feature pass and
+    // the final merge. When the input is a plain columnar scan, re-scanning
+    // the (url, text)-pruned source is the scale-safe choice — persisting
+    // 100 TB writes the corpus to executor disks once more for no benefit.
+    // Derived inputs (joins/aggregates/generators upstream) are persisted so
+    // the lineage doesn't recompute per consumer.
+    val plainScan = isPlainScan(pages)
+    val corpus =
+      if (plainScan) pages.select("url", "text")
+      else {
+        val c = pages
+          .select("url", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        c.count() // materialize the cache
+        c
+      }
 
     val keys = Blocker.allKeys(corpus, cfg.strategies)
     val pairs = Blocker.pairs(keys, cfg.maxBlockSize)
     val feats = PairScorer.features(corpus)
     val scored = PairScorer.score(pairs, feats, cfg.weights)
-    val accepted = scored.where(col("score") >= cfg.weights.threshold)
+    val accepted = PairScorer.threshold(scored, cfg.weights, cfg.perKeyThresholds)
 
     // scoring + CC reuse the accepted edge set: materialize it once
     // (reliable checkpoint if a dir is set, else local)
@@ -128,11 +142,28 @@ object LinkagePipeline {
     // checkpoint the merged tail once: the seq pass needs a counting action
     // and the caller's sink runs another — without this the join chain
     // executes twice
-    withDeterministicSeq(checkpointed(joined), "url")
+    val out = withDeterministicSeq(checkpointed(joined), "url")
+    if (!plainScan) corpus.unpersist(blocking = false)
+    out
   }
 
   /** See graft.util.Checkpoints.serializedLocal. */
   def checkpointed(df: DataFrame): DataFrame = graft.util.Checkpoints.serializedLocal(df)
+
+  /** True when the analyzed plan is just a (projected/filtered) source
+    * relation — re-scanning it column-pruned beats caching it.
+    */
+  private def isPlainScan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def ok(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case p: Project => ok(p.child)
+      case f: Filter => ok(f.child)
+      case s: SubqueryAlias => ok(s.child)
+      case _ => false
+    }
+    ok(df.queryExecution.analyzed)
+  }
 
   /** Resumable variant of `run`: every stage commits a Parquet snapshot +
     * manifest through `io`, and a restarted run with the same config hash
@@ -154,7 +185,11 @@ object LinkagePipeline {
       .getOrElse {
         val feats = PairScorer.features(corpus)
         val scored = PairScorer.score(pairs, feats, cfg.weights)
-        io.commitStage(scored.where(col("score") >= cfg.weights.threshold), "accepted", Seq("pairs"))
+        io.commitStage(
+          PairScorer.threshold(scored, cfg.weights, cfg.perKeyThresholds),
+          "accepted",
+          Seq("pairs")
+        )
       }
 
     val clusters = ConnectedComponents.runResumable(
@@ -185,17 +220,35 @@ object LinkagePipeline {
 
   /** Deterministic global sequence by `orderCol` WITHOUT a single-partition
     * window (reference W5 needs a total order; a global row_number would
-    * serialize 100 TB through one task). Two-phase over a fixed-width range
+    * serialize 100 TB through one task). Two-phase over a range
     * partitioning: rank within each range partition + driver-computed
     * partition offsets (offset table is <= numRangePartitions rows). The
     * result does not depend on the sampled range boundaries — moving a
     * boundary moves rows between partitions but never reorders them — so
-    * seq is identical across parallelism levels.
+    * seq is identical across parallelism levels and partition counts.
+    *
+    * `rangePartitions` defaults to a bytes-based heuristic (plan-stats size
+    * / 128 MB, floored at the cluster's default parallelism): wide input
+    * stays wide; at 100 TB a fixed constant would funnel TBs through single
+    * tasks. (Not `df.rdd.getNumPartitions` — under AQE that executes the
+    * plan's stages eagerly.) The ranged frame is MATERIALIZED (serialized
+    * localCheckpoint)
+    * before either pass: repartitionByRange samples its boundaries per job,
+    * so computing offsets in one action and row_number in a later action on
+    * an un-materialized frame could place rows in different partitions
+    * across the two jobs, breaking the dense-total-order contract.
     */
-  def withDeterministicSeq(df: DataFrame, orderCol: String, rangePartitions: Int = 64): DataFrame = {
-    val ranged = df
-      .repartitionByRange(rangePartitions, col(orderCol))
-      .withColumn("_pid", spark_partition_id())
+  def withDeterministicSeq(df: DataFrame, orderCol: String, rangePartitions: Int = 0): DataFrame = {
+    val nParts =
+      if (rangePartitions > 0) rangePartitions
+      else {
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val byBytes = (bytes / BigInt(128L * 1024 * 1024)).min(BigInt(1000000)).toInt + 1
+        math.max(df.sparkSession.sparkContext.defaultParallelism, byBytes)
+      }
+    val ranged = graft.util.Checkpoints.serializedLocal(
+      df.repartitionByRange(nParts, col(orderCol)).withColumn("_pid", spark_partition_id())
+    )
     val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_n")).orderBy("_pid").collect()
     var acc = 0L
     val offsets = counts.map { r =>

@@ -92,6 +92,37 @@ class OperatorsSpec extends SparkSpec {
     lsh.foreach(r => assert(r.getAs[Double]("cos") <= 1.0 + 1e-9))
   }
 
+  test("LSH near-dup default path recalls planted near-duplicates") {
+    import spark.implicits._
+    // 60 random-direction vectors + 20 planted near-dup pairs (cos > ~0.99)
+    val rng = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(16)(rng.nextGaussian().toFloat)
+    val base = (0 until 60).map(i => (i.toLong, vec()))
+    val dups = (0 until 20).map { i =>
+      val (id, v) = base(i)
+      (100L + i, v.map(x => x + 0.02f * rng.nextGaussian().toFloat))
+    }
+    val all = (base ++ dups).toDF("vec_id", "embedding")
+    val brute = Dedup
+      .embeddingNearDup(all, threshold = 0.95, lshBits = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup
+      .embeddingNearDup(all, threshold = 0.95) // default = LSH scale path
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "LSH must never invent pairs (exact verify)")
+    assert(brute.size >= 20)
+    val recall = lsh.size.toDouble / brute.size
+    info(s"LSH recall vs brute force: $recall (${lsh.size}/${brute.size})")
+    assert(recall >= 0.9, s"default LSH recall $recall below 0.9")
+  }
+
+  test("decodeMeta plan has zero exchanges (row-local expression)") {
+    import spark.implicits._
+    val media = Seq((1L, "abc".getBytes), (2L, "def".getBytes)).toDF("id", "payload")
+    val plan = Multimodal.decodeMeta(media, "id", "payload").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"decodeMeta must not shuffle:\n$plan")
+  }
+
   test("text analysis: langid, quality, token counts") {
     val out = TextAnalysis.annotate(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(out(1L).getAs[String]("lang_pred") == "en")

@@ -53,6 +53,34 @@ class PipelineSpec extends SparkSpec {
     assert(mismatch.count() == 0)
   }
 
+  test("seq is identical across range-partition counts (boundary independence)") {
+    val df = pages.select("url", "text")
+    def seqs(parts: Int) = LinkagePipeline
+      .withDeterministicSeq(df, "url", parts)
+      .select("url", "seq").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(seqs(16) == seqs(64))
+    // and the derived default (rangePartitions = 0 -> bytes heuristic)
+    assert(seqs(16) == seqs(0))
+  }
+
+  test("per-key threshold table overrides the constant threshold") {
+    import spark.implicits._
+    import graft.operators.PairScorer
+    val scored = Seq(
+      ("a", "b", "u:x", 0.65),
+      ("c", "d", "d:y#3", 0.65), // salted key matches its base key
+      ("e", "f", "m:z", 0.65)
+    ).toDF("urlA", "urlB", "key", "score")
+    val perKey = Seq(("u:x", 0.6), ("d:y", 0.9)).toDF("key", "threshold")
+    val w = PairScorer.Weights(threshold = 0.7)
+    // constant threshold rejects all three
+    assert(PairScorer.threshold(scored, w).count() == 0)
+    // per-key: u:x lowered to 0.6 -> accepted; d:y raised to 0.9 -> rejected;
+    // m:z falls back to the constant 0.7 -> rejected
+    val out = PairScorer.threshold(scored, w, Some(perKey)).select("key").collect().map(_.getString(0))
+    assert(out.toSeq == Seq("u:x"))
+  }
+
   test("clusters are identical across parallelism levels (repartition)") {
     val a = LinkagePipeline.run(pages.repartition(2))
       .select("url", "cluster_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
