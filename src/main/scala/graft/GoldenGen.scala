@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Golden-fixture generator for the custom-kernel queries that have no
+  * ANSI-SQL oracle (MinHash/SimHash signatures, sign-LSH buckets, the full
+  * linkage pipeline). Run ONCE against the correctness scale factor:
+  *
+  *   sbt 'runMain graft.GoldenGen /root/testdata/sf0.01 golden'
+  *
+  * and commit the output. The kernels themselves are exactness-tested in
+  * ScalaTest (SimilaritySpec/OperatorsSpec/PipelineSpec); the fixture oracle
+  * then pins cross-run, cross-parallelism, cross-session determinism —
+  * any kernel or plan change that silently alters results turns the
+  * CORRECTNESS row red.
+  */
+object GoldenGen {
+
+  val fixtureQueries: Seq[String] = Seq(
+    "q_er_jw_score",
+    "q_dd_minhash_pairs",
+    "q_dd_simhash",
+    "q_txt_fingerprint",
+    "q_ann_lsh",
+    "q_er_pipeline"
+  )
+
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir) = args
+    val spark = SparkSession
+      .builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    fixtureQueries.foreach { name =>
+      SparkEntry
+        .queries(name)(spark, sfDir)
+        .coalesce(1)
+        .write
+        .mode("overwrite")
+        .parquet(s"$outDir/$name")
+      System.err.println(s"[golden] wrote $outDir/$name")
+    }
+    spark.stop()
+  }
+}

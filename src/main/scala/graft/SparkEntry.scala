@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{Normalize, SimilarityFunctions => SF}
@@ -354,23 +354,10 @@ object SparkEntry {
         .orderBy("qid", "rk")
     }),
     "q_ann_lsh" -> ((s, dir) => {
-      // LSH-bucketed ANN: random-hyperplane signs via deterministic hash
-      // projections, candidates restricted to same bucket (rows-only)
+      // sign-LSH bucket census via the native kernel (hyperplanes cached per
+      // JVM, one codegen'd dot-product loop per bit — golden-fixture oracle)
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val bucketBits = (0 until 8).map { p =>
-        val proj = aggregate(
-          zip_with(
-            col("v"),
-            transform(sequence(lit(0), size(col("v")) - 1), i => (pmod(xxhash64(i, lit(p)), lit(1000)) - 500.0) / 500.0),
-            (x, h) => x * h
-          ),
-          lit(0.0),
-          (acc, x) => acc + x
-        )
-        when(proj >= 0, lit(1)).otherwise(lit(0)).cast("string")
-      }
-      val bucketed = e.withColumn("bucket", concat(bucketBits: _*))
-      bucketed
+      e.select(col("vec_id"), SF.sign_lsh(col("v"), 8, 0).as("bucket"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), min("vec_id").as("min_vec"))
         .orderBy("bucket")
@@ -412,6 +399,106 @@ object SparkEntry {
         .select(col("doc_id"), element_at(col("fp"), 1).as("fp0"))
         .orderBy("doc_id")),
 
+    // ---- decision semantics as a data-plane operator (F9/F15/J4/W4) ----
+    "q_decision" -> ((s, dir) => {
+      // deterministic LLM-payload cases crafted from doc_id (m = doc_id % 8
+      // selects the semantic branch); the oracle recomputes every output
+      // symbolically in SQL — an independent check of the decision rules
+      val d = t(s, dir, "documents").select(col("doc_id"), (col("doc_id") % 8).as("m"))
+      val id0 = concat(lit("E"), col("doc_id"))
+      val id1 = concat(lit("E"), col("doc_id") + 1)
+      val id2 = concat(lit("E"), col("doc_id") + 2)
+      val xid = concat(lit("X"), col("doc_id"))
+      val resp = when(
+        col("m") === 0, // HIGH accept; sorts desc; X-id not in candidates
+        concat(
+          lit("""{"candidate_ranking":[{"id":""""), xid,
+          lit("""","score":0.35},{"id":""""), id0,
+          lit("""","score":0.92}],"nil_score":0.1,"explanation":"ok"}""")
+        )
+      ).when(
+        col("m") === 1, // MEDIUM -> NIL, scores wiped
+        concat(lit("""{"candidate_ranking":[{"id":""""), id0, lit("""","score":0.55}],"explanation":"ok"}"""))
+      ).when(
+        col("m") === 2, // nil_score dominates a HIGH score
+        concat(
+          lit("""{"candidate_ranking":[{"id":""""), id0,
+          lit("""","score":0.8}],"nil_score":0.95,"explanation":"ok"}""")
+        )
+      ).when(
+        col("m") === 3, // NIL entry flips nil mode
+        concat(
+          lit("""{"candidate_ranking":[{"id":"NIL","score":0.2},{"id":""""), id0,
+          lit("""","score":null}],"explanation":"ok"}""")
+        )
+      ).when(
+        col("m") === 4, // all-null scores: input order preserved
+        concat(
+          lit("""{"candidate_ranking":[{"id":""""), id1,
+          lit("""","score":null},{"id":""""), id0,
+          lit("""","score":null}],"explanation":"ok"}""")
+        )
+      ).when(col("m") === 5, lit("not json")) // invalid JSON -> error
+        .when(
+          col("m") === 6, // unexpected top-level key -> error
+          lit("""{"candidate_ranking":[],"answer":"Q42","explanation":"x"}""")
+        )
+        .otherwise( // m=7: out-of-range score -> error
+          concat(lit("""{"candidate_ranking":[{"id":""""), id0, lit("""","score":1.5}],"explanation":"x"}"""))
+        )
+      def cand(id: Column) = struct(
+        id.as("id"),
+        concat(lit("name-"), id).as("name"),
+        lit("desc").as("description"),
+        array(struct(lit("T1").as("id"), lit("thing").as("name"))).as("types")
+      )
+      val input = d.select(
+        concat(lit("task-"), lpad(col("doc_id").cast("string"), 6, "0")).as("task_id"),
+        resp.as("response"),
+        array(cand(id0), cand(id1), cand(id2)).as("candidates")
+      )
+      DecisionOps
+        .run(input, "task_id", "response", "candidates", requestedTopK = 3)
+        .select(
+          col("task_id"),
+          col("predicted_id"),
+          col("nil_score"),
+          col("explanation"),
+          col("error"),
+          array_join(transform(col("ranking"), e => e.getField("id")), ",").as("ranking_ids"),
+          try_element_at(col("ranking"), lit(1)).getField("score").as("top_score"),
+          size(col("ranking")).cast("long").as("n_ranking"),
+          try_element_at(filter(col("ranking"), e => e.getField("matched")), lit(1))
+            .getField("id")
+            .as("matched_id"),
+          array_join(transform(col("ranking"), e => e.getField("name")), ",").as("names_csv")
+        )
+        .orderBy("task_id")
+    }),
+
+    // ---- cursor codec (F12) + run-log read (S10) ----
+    "q_f12_cursor" -> ((s, dir) => {
+      val enc = graft.functions.Cursor
+        .encode(concat(lit("job-"), col("user_id")), col("event_id"))
+      t(s, dir, "events")
+        .where(col("event_id") < 200)
+        .select(col("event_id"), enc.as("cursor"))
+        .withColumn("decoded_job", graft.functions.Cursor.decode(col("cursor")).getField("job_id"))
+        .withColumn("decoded_seq", graft.functions.Cursor.decode(col("cursor")).getField("seq"))
+        .orderBy("event_id")
+    }),
+    "q_s10_runlog" -> ((s, dir) => {
+      // append-only run-log read semantics: latest entry per key by the
+      // monotone seq (result_store.py:92-103; RunLog sink writes, this is
+      // the queryable read path)
+      val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_seq"), col("event_type").as("last_type"))
+        .orderBy("user_id")
+    }),
+
     // ---- multimodal plumbing ----
     "q_mm_binary_meta" -> ((s, dir) =>
       // binary column plumbing: bytes -> typed metadata (decode stubbed as
@@ -428,7 +515,15 @@ object SparkEntry {
 
   /** DuckDB-runnable oracles; keys must alias every computed column to the
     * same name as the Spark result. Omitted keys get a rows-only check.
+    *
+    * Custom-kernel queries (MinHash, SimHash, sign-LSH, the full pipeline)
+    * have no ANSI-SQL equivalent: they oracle against golden parquet
+    * fixtures under /root/repo/golden/ generated ONCE from the
+    * ScalaTest-verified kernels at sf0.01 (`graft.GoldenGen`) — the oracle
+    * then checks cross-run/cross-parallelism determinism byte-for-byte.
     */
+  val goldenDir = "/root/repo/golden"
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
@@ -587,6 +682,58 @@ object SparkEntry {
     "q_mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | upper(substr(hex(encode(text)), 1, 8)) AS magic
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // NOT duckdb's jaro_winkler_similarity: it deviates from the textbook
+    // algorithm (tested: 250/499 rows differ by ~0.01 at sf0.01); the kernel
+    // is exactness-tested in SimilaritySpec, so the oracle is a fixture.
+    "q_er_jw_score" ->
+      s"SELECT id_a, id_b, jw FROM read_parquet('$goldenDir/q_er_jw_score/*.parquet') ORDER BY id_a",
+    "q_decision" ->
+      """WITH base AS (
+        |  SELECT doc_id, doc_id % 8 AS m,
+        |    'E' || doc_id AS id0, 'E' || (doc_id + 1) AS id1,
+        |    'E' || (doc_id + 2) AS id2, 'X' || doc_id AS xid
+        |  FROM documents)
+        |SELECT
+        |  'task-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS task_id,
+        |  CASE WHEN m = 0 THEN id0 ELSE 'NIL' END AS predicted_id,
+        |  CASE WHEN m = 0 THEN CAST(0.1 AS DOUBLE) WHEN m = 2 THEN CAST(0.95 AS DOUBLE) END AS nil_score,
+        |  CASE WHEN m <= 4 THEN 'ok' END AS explanation,
+        |  CASE WHEN m = 5 THEN 'LLM response must be valid JSON. Received: not json'
+        |       WHEN m = 6 THEN 'LLM response must not contain unexpected top-level keys. Found: answer'
+        |       WHEN m = 7 THEN 'score must be within [0, 1]. Received 1.5 for id ' || id0 || '.'
+        |  END AS error,
+        |  CASE WHEN m = 0 THEN id0 || ',' || xid || ',' || id1
+        |       WHEN m = 4 THEN id1 || ',' || id0 || ',' || id2
+        |       ELSE id0 || ',' || id1 || ',' || id2 END AS ranking_ids,
+        |  CASE WHEN m = 0 THEN CAST(0.92 AS DOUBLE) END AS top_score,
+        |  CAST(3 AS BIGINT) AS n_ranking,
+        |  CASE WHEN m = 0 THEN id0 END AS matched_id,
+        |  CASE WHEN m = 0 THEN 'name-' || id0 || ',,name-' || id1
+        |       WHEN m = 4 THEN 'name-' || id1 || ',name-' || id0 || ',name-' || id2
+        |       ELSE 'name-' || id0 || ',name-' || id1 || ',name-' || id2 END AS names_csv
+        |FROM base ORDER BY task_id""".stripMargin,
+    "q_f12_cursor" ->
+      """SELECT event_id,
+        | rtrim(replace(replace(to_base64(encode('{"job_id": "job-' || user_id || '", "seq": ' || event_id || '}')),
+        |   '+', '-'), '/', '_'), '=') AS cursor,
+        | 'job-' || user_id AS decoded_job,
+        | CAST(event_id AS BIGINT) AS decoded_seq
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+    "q_s10_runlog" ->
+      """SELECT user_id, last_seq, last_type FROM (
+        |  SELECT user_id, event_id AS last_seq, event_type AS last_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_dd_minhash_pairs" ->
+      s"SELECT urlA, urlB FROM read_parquet('$goldenDir/q_dd_minhash_pairs/*.parquet') ORDER BY urlA, urlB",
+    "q_dd_simhash" ->
+      s"SELECT doc_id, simhash FROM read_parquet('$goldenDir/q_dd_simhash/*.parquet') ORDER BY doc_id",
+    "q_txt_fingerprint" ->
+      s"SELECT doc_id, fp0 FROM read_parquet('$goldenDir/q_txt_fingerprint/*.parquet') ORDER BY doc_id",
+    "q_ann_lsh" ->
+      s"SELECT bucket, n, min_vec FROM read_parquet('$goldenDir/q_ann_lsh/*.parquet') ORDER BY bucket",
+    "q_er_pipeline" ->
+      s"SELECT url, cluster_id, status, seq FROM read_parquet('$goldenDir/q_er_pipeline/*.parquet') ORDER BY url"
   )
 }

@@ -93,7 +93,7 @@ object DecisionOps {
 
   /** F15 predict (lion_linker.py:702-734) over parsed payload columns. */
   def predict(ranking: Column, nilScore: Column, error: Column, threshold: Double = 0.5): Column = {
-    val top = element_at(ranking, 1)
+    val top = try_element_at(ranking, lit(1)) // ANSI-safe on empty rankings
     val topId = trim(top.getField("id"))
     val topScore = top.getField("score")
     val scoreVal = coalesce(topScore, lit(0.0))
