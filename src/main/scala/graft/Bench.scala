@@ -20,8 +20,43 @@ object Bench {
 
   private def err(s: String): Unit = System.err.println(s"[bench] $s")
 
-  private def timeFlagship(master: String, inputDir: String, reps: Int): Double = {
-    var best = Double.MaxValue
+  /** Engine-free control: a pure shuffle microbenchmark (synthetic longs,
+    * two-round hash aggregation) at the same two cluster sizes. Its N->4N
+    * efficiency is this host's shuffle-scaling CEILING — no engine code in
+    * the loop — published alongside the flagship number so the
+    * "shared-host bus, not the plan" claim is falsifiable.
+    */
+  private def timeControlOnce(master: String, rows: Long, tag: String): Double = {
+    val spark = LinkagePipeline.session(master, s"graft-control-$master")
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      import org.apache.spark.sql.functions._
+      def job(): Unit = spark
+        .range(rows)
+        .select(
+          (col("id") % 1000000).as("k"),
+          concat(lit("v-"), col("id") % 97, lit("-padpadpadpadpad")).as("v")
+        )
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), max("v").as("m"))
+        .groupBy(col("n") % 32)
+        .agg(count(lit(1)))
+        .foreach(_ => ())
+      job() // warmup
+      val t0 = System.nanoTime()
+      job()
+      val secs = (System.nanoTime() - t0) / 1e9
+      err(f"control $master $tag: $secs%.2f s")
+      secs
+    } finally spark.stop()
+  }
+
+  /** One warmed, timed flagship run in a fresh session. The co-tenant noise
+    * on this shared host is +/-2-3x run-to-run, so the caller INTERLEAVES
+    * sizes (N, 4N, N, 4N, ...) and takes the best per size — back-to-back
+    * alternation keeps a noise burst from landing entirely on one size.
+    */
+  private def timeFlagshipOnce(master: String, inputDir: String, tag: String): Double = {
     val spark = LinkagePipeline.session(master, s"graft-bench-$master")
     spark.sparkContext.setLogLevel("ERROR")
     try {
@@ -31,15 +66,12 @@ object Bench {
       LinkagePipeline
         .run(spark.read.parquet(inputDir).limit(20000))
         .foreach(_ => ())
-      (1 to reps).foreach { rep =>
-        val t0 = System.nanoTime()
-        LinkagePipeline.run(spark.read.parquet(inputDir)).foreach(_ => ())
-        val secs = (System.nanoTime() - t0) / 1e9
-        err(f"$master rep$rep: $secs%.2f s")
-        best = math.min(best, secs)
-      }
+      val t0 = System.nanoTime()
+      LinkagePipeline.run(spark.read.parquet(inputDir)).foreach(_ => ())
+      val secs = (System.nanoTime() - t0) / 1e9
+      err(f"$master $tag: $secs%.2f s")
+      secs
     } finally spark.stop()
-    best
   }
 
   def main(args: Array[String]): Unit = {
@@ -66,12 +98,27 @@ object Bench {
     // 4->16 threads; shuffle-heavy work saturates far earlier), so the
     // comparison reflects the engine, not the shared-host bandwidth wall
     val execCores = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXEC_CORES", "2").toInt
-    val tN = timeFlagship(s"local-cluster[1,$execCores,6144]", corpusDir, reps = 2)
-    val t4N = timeFlagship(s"local-cluster[4,$execCores,6144]", corpusDir, reps = 2)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val mN = s"local-cluster[1,$execCores,6144]"
+    val m4N = s"local-cluster[4,$execCores,6144]"
+    val ctlRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTROL_ROWS", "60000000").toLong
+    // interleaved rounds: flagship N, flagship 4N, control N, control 4N —
+    // best per size; co-tenant noise bursts then hit adjacent measurements
+    // of BOTH sizes instead of biasing one
+    var tN, t4N, cN, c4N = Double.MaxValue
+    (1 to reps).foreach { r =>
+      tN = math.min(tN, timeFlagshipOnce(mN, corpusDir, s"round$r"))
+      t4N = math.min(t4N, timeFlagshipOnce(m4N, corpusDir, s"round$r"))
+      cN = math.min(cN, timeControlOnce(mN, ctlRows, s"round$r"))
+      c4N = math.min(c4N, timeControlOnce(m4N, ctlRows, s"round$r"))
+    }
     val tputN = nDocs / tN
     val tput4N = nDocs / t4N
     val efficiency = tput4N / (4.0 * tputN)
+    val ctlEff = (ctlRows / c4N) / (4.0 * (ctlRows / cN))
     err(f"scaling: N=$tputN%.1f docs/s, 4N=$tput4N%.1f docs/s, efficiency=$efficiency%.3f")
+    err(f"control: N=$cN%.2f s, 4N=$c4N%.2f s, ceiling efficiency=$ctlEff%.3f")
+    err(f"normalized (flagship/ceiling): ${efficiency / ctlEff}%.3f")
 
     // ---- part 2: per-query timings on the sf dir ----
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -94,13 +141,21 @@ object Bench {
 
     val qs = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(
+    val json =
       s"""{"metric":"docs_per_sec_4n_executors","value":${"%.1f".format(tput4N)},"unit":"docs/sec",""" +
         s""""queries":$qs,"sf":"$sfDir","query_total_sec":${"%.2f".format(total)},""" +
         s""""scaling":{"flagship_docs":$nDocs,"n_def":"local-cluster[1,$execCores]",""" +
         s""""four_n_def":"local-cluster[4,$execCores]","docs_per_sec_n":${"%.1f".format(tputN)},""" +
         s""""docs_per_sec_4n":${"%.1f".format(tput4N)},"wall_n_sec":${"%.2f".format(tN)},""" +
-        s""""wall_4n_sec":${"%.2f".format(t4N)},"scaling_efficiency":${"%.3f".format(efficiency)}}}"""
-    )
+        s""""wall_4n_sec":${"%.2f".format(t4N)},"scaling_efficiency":${"%.3f".format(efficiency)},""" +
+        s""""control_wall_n_sec":${"%.2f".format(cN)},"control_wall_4n_sec":${"%.2f".format(c4N)},""" +
+        s""""control_ceiling_efficiency":${"%.3f".format(ctlEff)},""" +
+        s""""normalized_efficiency":${"%.3f".format(efficiency / ctlEff)}}}"""
+    println(json)
+    // sbt wraps stdout in [info]; give the driver a clean machine-parseable
+    // copy on disk as well
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    err(s"json written to $outPath")
   }
 }

@@ -90,6 +90,9 @@ object Main {
       // synth corpora are materialized to parquet first: the timed pipeline
       // reads from storage like a real run (and repeated scans of the input
       // don't re-run the generator)
+      // S4 materializer: synth:N (generated), csv:path (header CSV through
+      // any Hadoop FS scheme — the reference's CSV upload surface,
+      // app/api/routes.py:244-337), else parquet dir
       val pages =
         if (input.startsWith("synth:")) {
           val n = input.drop("synth:".length).toInt
@@ -98,6 +101,14 @@ object Main {
             .pages(spark, WebCorpus.Config(numClusters = math.max(n / 4, 1)))
             .write.mode("overwrite").parquet(synthDir)
           spark.read.parquet(synthDir)
+        } else if (input.startsWith("csv:") || input.endsWith(".csv")) {
+          val path = if (input.startsWith("csv:")) input.drop(4) else input
+          val df = spark.read.option("header", true).option("escape", "\\").csv(path)
+          require(
+            df.columns.contains("url") && df.columns.contains("text"),
+            s"csv input needs url,text columns; found ${df.columns.mkString(",")}"
+          )
+          df
         } else spark.read.parquet(input)
 
       if (opts.get("warmup").contains("true"))

@@ -38,6 +38,10 @@ object PairScorer {
 
   def features(pages: DataFrame): DataFrame = {
     val toks = Normalize.tokensOf(col("text"))
+    // persisted: this pass (tokenize + hash every document) is read three
+    // times — the IDF aggregation plus BOTH sides of the pair-scoring join —
+    // and recomputing it dominates CPU at scale. Serialized + rdd.compress
+    // keeps the cached bytes a fraction of the raw text; eviction is LRU.
     val base = pages.select(
       col("url"),
       SimilarityFunctions.term_freqs(toks, TfBuckets).as("tf"), // in-row, no shuffle
@@ -45,7 +49,7 @@ object PairScorer {
       // 120 chars: the banded Levenshtein leg is O(len*band); doubling the
       // cap quadruples the dominant pair kernel for negligible signal gain
       substring(regexp_replace(trim(col("text")), "\\s+", " "), 1, 120).as("text_cap")
-    )
+    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     // corpus IDF over hashed buckets: the only wide dependency, and its
     // output is bounded by TfBuckets -> collected + broadcast. df counts

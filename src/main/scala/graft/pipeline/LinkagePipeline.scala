@@ -70,6 +70,10 @@ object LinkagePipeline {
       // broadcast builds serialize on the driver; past ~8MB the parallel
       // shuffle join wins and keeps the driver off the critical path
       .config("spark.sql.autoBroadcastJoinThreshold", (8 * 1024 * 1024).toString)
+      // serialized cache/checkpoint blocks are re-read several times; lz4
+      // compressing them trades a little CPU for a lot of memory-bus bytes
+      // (text-heavy rows compress 3-5x) — measurable on shared-bus hosts
+      .config("spark.rdd.compress", "true")
       // don't idle cores waiting for PROCESS_LOCAL slots on cached blocks:
       // checkpointed partitions pin to one executor, and delay scheduling
       // would hold other executors' cores for up to 3s per wave
@@ -139,10 +143,12 @@ object LinkagePipeline {
         when(col("cluster_id").isNotNull, "linked").otherwise("nil").as("status"),
         col("text")
       )
-    // checkpoint the merged tail once: the seq pass needs a counting action
-    // and the caller's sink runs another — without this the join chain
-    // executes twice
-    val out = withDeterministicSeq(checkpointed(joined), "url")
+    // ONE materialization for the merged tail: withDeterministicSeq
+    // checkpoints its range-partitioned input (needed anyway for stable
+    // boundaries across its two passes), which also keeps the caller's sink
+    // action from re-executing the join chain — no separate checkpoint of
+    // `joined` (that would serialize the full text column twice)
+    val out = withDeterministicSeq(joined, "url")
     if (!plainScan) corpus.unpersist(blocking = false)
     out
   }
@@ -242,9 +248,20 @@ object LinkagePipeline {
     val nParts =
       if (rangePartitions > 0) rangePartitions
       else {
+        // checkpointed/RDD-backed frames report no stats (sizeInBytes =
+        // defaultSizeInBytes sentinel) — treat anything implausibly huge as
+        // unknown and fall back to the session's wide-op width
+        val spark = df.sparkSession
+        val fallback = math.max(
+          spark.sparkContext.defaultParallelism,
+          spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+        )
         val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-        val byBytes = (bytes / BigInt(128L * 1024 * 1024)).min(BigInt(1000000)).toInt + 1
-        math.max(df.sparkSession.sparkContext.defaultParallelism, byBytes)
+        if (bytes <= 0 || bytes >= BigInt(1L << 50)) fallback
+        else {
+          val byBytes = (bytes / BigInt(128L * 1024 * 1024)).min(BigInt(1000000)).toInt + 1
+          math.max(spark.sparkContext.defaultParallelism, byBytes)
+        }
       }
     val ranged = graft.util.Checkpoints.serializedLocal(
       df.repartitionByRange(nParts, col(orderCol)).withColumn("_pid", spark_partition_id())
