@@ -22,6 +22,7 @@ object GoldenGen {
     "q_dd_simhash",
     "q_txt_fingerprint",
     "q_ann_lsh",
+    "q_ann_ivf",
     "q_er_pipeline"
   )
 

@@ -363,6 +363,24 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF-bucketed ANN top-3 (deterministic hash-sampled codebook;
+      // golden-fixture oracle)
+      val e = t(s, dir, "embeddings")
+      SimilaritySearch
+        .ivfTopK(
+          e.where(col("vec_id") < 20),
+          e.where(col("vec_id") >= 20),
+          "vec_id",
+          "embedding",
+          k = 3,
+          nList = 32,
+          nProbe = 8
+        )
+        .select(col("qid"), col("rk"), col("neighbor"))
+        .orderBy("qid", "rk")
+    }),
+
     // ---- text analysis ----
     "q_txt_quality" -> ((s, dir) => {
       val toks = split(col("text"), " ")
@@ -733,6 +751,8 @@ object SparkEntry {
       s"SELECT doc_id, fp0 FROM read_parquet('$goldenDir/q_txt_fingerprint/*.parquet') ORDER BY doc_id",
     "q_ann_lsh" ->
       s"SELECT bucket, n, min_vec FROM read_parquet('$goldenDir/q_ann_lsh/*.parquet') ORDER BY bucket",
+    "q_ann_ivf" ->
+      s"SELECT qid, rk, neighbor FROM read_parquet('$goldenDir/q_ann_ivf/*.parquet') ORDER BY qid, rk",
     "q_er_pipeline" ->
       s"SELECT url, cluster_id, status, seq FROM read_parquet('$goldenDir/q_er_pipeline/*.parquet') ORDER BY url"
   )

@@ -244,6 +244,55 @@ object SimKernels {
     out
   }
 
+  /** The `nProbe` nearest centroids (by cosine) of a vector, as an int
+    * array of centroid indices — the IVF assign/probe kernel. Centroids
+    * travel as ONE broadcast 2D array; the per-row cost is nList dot
+    * products in a tight loop (no per-element lambdas, no MLlib model).
+    */
+  def nearestCentroids(
+      v: ArrayData,
+      centroidsBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      nProbe: Int
+  ): ArrayData = {
+    val cents = centroidsBc.value
+    val dim = v.numElements()
+    val n = cents.length
+    val take = math.min(nProbe, n)
+    val bestIdx = new Array[Int](take)
+    val bestCos = Array.fill(take)(Double.MinValue)
+    var ci = 0
+    while (ci < n) {
+      val c = cents(ci)
+      val m = math.min(dim, c.length)
+      var dot = 0.0
+      var nv = 0.0
+      var nc = 0.0
+      var i = 0
+      while (i < m) {
+        val x = v.getDouble(i)
+        dot += x * c(i); nv += x * x; nc += c(i) * c(i)
+        i += 1
+      }
+      val den = math.sqrt(nv) * math.sqrt(nc)
+      val cos = if (den == 0) 0.0 else dot / den
+      // insertion into the running top-nProbe (nProbe is tiny)
+      var j = 0
+      var placed = false
+      while (j < take && !placed) {
+        if (cos > bestCos(j)) {
+          var s = take - 1
+          while (s > j) { bestCos(s) = bestCos(s - 1); bestIdx(s) = bestIdx(s - 1); s -= 1 }
+          bestCos(j) = cos
+          bestIdx(j) = ci
+          placed = true
+        }
+        j += 1
+      }
+      ci += 1
+    }
+    new GenericArrayData(bestIdx.map(Int.box).asInstanceOf[Array[Any]])
+  }
+
   /** FNV-1a 64-bit over UTF-8 bytes — self-contained deterministic token
     * hash (stable across Spark versions / partitionings).
     */
@@ -470,6 +519,24 @@ case class SignLsh(child: Expression, bits: Int, seed: Int) extends UnaryExpress
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** IVF assign/probe: indices of the nProbe nearest broadcast centroids. */
+case class NearestCentroids(
+    child: Expression,
+    centroidsBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+    nProbe: Int
+) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroids"
+  override protected def nullSafeEval(v: Any): Any =
+    SimKernels.nearestCentroids(v.asInstanceOf[ArrayData], centroidsBc, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidsBc", centroidsBc, classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, a => s"graft.functions.SimKernels.nearestCentroids($a, $ref, $nProbe)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** k-slot MinHash signature of an array<string> shingle column. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -494,6 +561,11 @@ object SimilarityFunctions {
   def dense_cosine(a: Column, b: Column): Column = GraftShim.column(DenseCosine(e(a), e(b)))
   def sign_lsh(v: Column, bits: Int, seed: Int = 0): Column =
     GraftShim.column(SignLsh(e(v), bits, seed))
+  def nearest_centroids(
+      v: Column,
+      centroidsBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      nProbe: Int
+  ): Column = GraftShim.column(NearestCentroids(e(v), centroidsBc, nProbe))
   def minhash_shingles(tokens: Column, n: Int, k: Int): Column =
     GraftShim.column(MinHashShingles(e(tokens), n, k))
   def tfidf_weight(

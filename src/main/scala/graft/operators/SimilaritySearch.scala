@@ -53,6 +53,56 @@ object SimilaritySearch {
       .select("qid", "rk", "neighbor", "cos")
   }
 
+  /** IVF-bucketed ANN top-k (the other classic scale path, next to sign-LSH):
+    * `nList` centroids are drawn deterministically from the corpus by id
+    * hash (a seeded stand-in for k-means — the assignment/probe plumbing is
+    * identical; plug a trained codebook into `centroids` for real IVF),
+    * every corpus row is assigned to its nearest centroid (one broadcast
+    * pass, codegen kernel), and each query probes its `nProbe` nearest
+    * cells — the cross join shrinks to cell-local equi-joins.
+    *
+    * The centroid table is bounded (nList rows -> driver collect + one
+    * broadcast), never the corpus.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nList: Int = 64,
+      nProbe: Int = 8
+  ): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor"), col(vecCol).cast("array<double>").as("cv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    val n = math.max(c.count(), 1L)
+    val stride = math.max(n / math.max(nList, 1), 1L)
+    // deterministic ~nList-row sample as the codebook; bounded collect
+    val centroids: Array[Array[Double]] = c
+      .where(pmod(xxhash64(col("neighbor")), lit(stride)) === 0)
+      .orderBy("neighbor")
+      .limit(nList)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(centroids.nonEmpty, "ivfTopK: empty corpus")
+    val bc = c.sparkSession.sparkContext.broadcast(centroids)
+    val assigned = c.withColumn(
+      "cell",
+      element_at(SimilarityFunctions.nearest_centroids(col("cv"), bc, 1), 1)
+    )
+    val probed = q.withColumn(
+      "cell",
+      explode(SimilarityFunctions.nearest_centroids(col("qv"), bc, nProbe))
+    )
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("neighbor").asc)
+    probed
+      .join(assigned, "cell")
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select("qid", "rk", "neighbor", "cos")
+  }
+
   /** LSH-bucketed ANN top-k: queries only meet corpus rows in the same
     * bucket (one equi-join instead of a cross join). `tables` independent
     * hash tables trade compute for recall; results are deduped across

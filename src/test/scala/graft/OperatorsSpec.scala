@@ -92,6 +92,29 @@ class OperatorsSpec extends SparkSpec {
     lsh.foreach(r => assert(r.getAs[Double]("cos") <= 1.0 + 1e-9))
   }
 
+  test("IVF ANN recalls brute-force top-1 on clustered vectors") {
+    import spark.implicits._
+    // 8 well-separated direction clusters x 30 members
+    val rng = new scala.util.Random(11)
+    val dirs = Array.fill(8)(Array.fill(12)(rng.nextGaussian()))
+    val all = (0 until 240).map { i =>
+      val d = dirs(i % 8)
+      (i.toLong, d.map(x => (x + 0.05 * rng.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = all.where(col("vec_id") < 8)
+    val cs = all.where(col("vec_id") >= 8)
+    val brute = SimilaritySearch
+      .bruteForceTopK(qs, cs, "vec_id", "embedding", 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("neighbor")).toMap
+    val ivf = SimilaritySearch
+      .ivfTopK(qs, cs, "vec_id", "embedding", 1, nList = 16, nProbe = 4)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("neighbor")).toMap
+    assert(ivf.keySet == brute.keySet)
+    val agree = brute.count { case (q, n) => ivf.get(q).contains(n) }
+    info(s"IVF top-1 agreement: $agree/${brute.size}")
+    assert(agree >= brute.size - 1, s"IVF recall too low: $agree/${brute.size}")
+  }
+
   test("LSH near-dup default path recalls planted near-duplicates") {
     import spark.implicits._
     // 60 random-direction vectors + 20 planted near-dup pairs (cos > ~0.99)

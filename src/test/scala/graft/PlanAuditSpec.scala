@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Plan audits: the properties every 100 TB plan must keep — filters and
+  * projections reaching the parquet scan, broadcast of bounded sides, no
+  * exchange for row-local derivations. Asserted on the executed plan text
+  * so a regression (a lost pushdown, an accidental shuffle) fails CI, not a
+  * cluster bill.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private lazy val dir = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-audit").toString + "/t"
+    (0 until 1000)
+      .map(i => (i.toLong, s"text-$i", s"lang${i % 3}", i % 100))
+      .toDF("id", "text", "lang", "score")
+      .write.parquet(d)
+    d
+  }
+
+  test("filter and projection push down to the parquet scan") {
+    val q = spark.read
+      .parquet(dir)
+      .where(col("score") > 50 && col("lang") === "lang1")
+      .select("id", "lang")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThan(score,50)"), plan)
+    // pruned read schema: text column must NOT be scanned
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), readSchema)
+  }
+
+  test("pair scoring joins stay inside whole-stage codegen") {
+    import spark.implicits._
+    val pages = (0 until 200)
+      .map(i => (s"https://d$i.org/p", s"tok$i words common here for scoring"))
+      .toDF("url", "text")
+    val feats = graft.operators.PairScorer.features(pages)
+    val pairs = Seq(("https://d1.org/p", "https://d2.org/p", "k"))
+      .toDF("urlA", "urlB", "key")
+    val scored = graft.operators.PairScorer.score(pairs, feats)
+    scored.collect() // finalize the adaptive plan: codegen spans appear post-execution
+    val plan = scored.queryExecution.executedPlan.toString
+    // "*(n)" node prefixes mark whole-stage-codegen spans; the kernel
+    // projection and both feature joins must carry one
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("jaro_winkler")), plan)
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("BroadcastHashJoin")), plan)
+    // the similarity kernels are codegen'd expressions, not udfs
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"), plan)
+  }
+
+  test("per-key threshold table joins as a broadcast") {
+    import spark.implicits._
+    val scored = (0 until 500)
+      .map(i => (s"a$i", s"b$i", s"u:k${i % 7}", i / 500.0))
+      .toDF("urlA", "urlB", "key", "score")
+    val perKey = Seq(("u:k1", 0.2)).toDF("key", "threshold")
+    val out = graft.operators.PairScorer.threshold(scored, perKey = Some(perKey))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
