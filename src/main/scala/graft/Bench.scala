@@ -79,6 +79,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
     // ---- part 1: scaling evidence (N vs 4N executors) ----
+    val skipScaling = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_SCALING")
     val benchClusters = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS", "25000").toInt
     val corpusDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench-corpus-$benchClusters"
     val nDocs: Long = {
@@ -106,12 +107,13 @@ object Bench {
     // best per size; co-tenant noise bursts then hit adjacent measurements
     // of BOTH sizes instead of biasing one
     var tN, t4N, cN, c4N = Double.MaxValue
-    (1 to reps).foreach { r =>
+    if (!skipScaling) (1 to reps).foreach { r =>
       tN = math.min(tN, timeFlagshipOnce(mN, corpusDir, s"round$r"))
       t4N = math.min(t4N, timeFlagshipOnce(m4N, corpusDir, s"round$r"))
       cN = math.min(cN, timeControlOnce(mN, ctlRows, s"round$r"))
       c4N = math.min(c4N, timeControlOnce(m4N, ctlRows, s"round$r"))
     }
+    else { tN = 1; t4N = 1; cN = 1; c4N = 1 }
     val tputN = nDocs / tN
     val tput4N = nDocs / t4N
     val efficiency = tput4N / (4.0 * tputN)

@@ -116,6 +116,35 @@ object Decision {
     Right(trimmed.toList)
   }
 
+  /** JSON ranking entries -> RawEntry list (shared by the strict payload
+    * parser and the lenient output-export path).
+    */
+  def jsonEntriesToRaw(items: List[JValue]): Either[String, List[RawEntry]] = {
+    val out = scala.collection.mutable.ListBuffer.empty[RawEntry]
+    items.foreach {
+      case JObject(f) =>
+        val m = f.toMap
+        val id = m.get("id") match {
+          case Some(JString(s)) => Some(s)
+          case Some(_) => Some(new Object) // non-string id -> type error downstream
+          case None => None
+        }
+        val scoreField = m.get("score").orElse(m.get("confidence_score"))
+        val (score, numeric) = scoreField match {
+          case Some(JNull) => (Some(None), true)
+          case Some(JDouble(d)) => (Some(Some(d)), true)
+          case Some(JInt(i)) => (Some(Some(i.toDouble)), true)
+          case Some(JDecimal(d)) => (Some(Some(d.toDouble)), true)
+          case Some(JBool(b)) => (Some(Some(if (b) 1.0 else 0.0)), true) // python bool is numeric (isinstance int)
+          case Some(_) => (Some(Some(0.0)), false)
+          case None => (None, true)
+        }
+        out += RawEntry(id, score, numeric)
+      case _ => return Left("Each candidate ranking entry must be a JSON object.")
+    }
+    Right(out.toList)
+  }
+
   /** lion_linker.py:491-544 — strict JSON payload parsing. */
   def parseLlmJson(response: String, rankingSize: Int): Either[String, ParsedPayload] = {
     if (response == null || response.trim.isEmpty)
@@ -141,26 +170,9 @@ object Decision {
     }
     val rawEntries = rankingJson match {
       case JArray(items) =>
-        items.map {
-          case JObject(f) =>
-            val m = f.toMap
-            val id = m.get("id") match {
-              case Some(JString(s)) => Some(s)
-              case Some(_) => Some(new Object) // non-string id -> type error downstream
-              case None => None
-            }
-            val scoreField = m.get("score").orElse(m.get("confidence_score"))
-            val (score, numeric) = scoreField match {
-              case Some(JNull) => (Some(None), true)
-              case Some(JDouble(d)) => (Some(Some(d)), true)
-              case Some(JInt(i)) => (Some(Some(i.toDouble)), true)
-              case Some(JDecimal(d)) => (Some(Some(d.toDouble)), true)
-              case Some(JBool(b)) => (Some(Some(if (b) 1.0 else 0.0)), true) // python bool is numeric (isinstance int)
-              case Some(_) => (Some(Some(0.0)), false)
-              case None => (None, true)
-            }
-            RawEntry(id, score, numeric)
-          case _ => return Left("Each candidate ranking entry must be a JSON object.")
+        jsonEntriesToRaw(items) match {
+          case Right(r) => r
+          case Left(e) => return Left(e)
         }
       case JNull => Nil
       case _ => return Left("Candidate ranking must be provided as a list of objects.")
@@ -191,6 +203,106 @@ object Decision {
     }
 
     Right(ParsedPayload(ranking, nilScore, explanation))
+  }
+
+  /** lion_linker.py:856-935 (`_enrich_output_csv`, per-row kernel): the
+    * results-export flatten (S12). LENIENT answer parse (bad JSON -> empty
+    * ranking, bare list accepted), strict validate with errors degraded to
+    * empty, lenient candidate-metadata parse, then the shared enrichment;
+    * returns the `{col}_candidate_ranking` JSON payload
+    * {"candidate_ranking": [...], "explanation": ...}. Serialization is
+    * JSON-equivalent to python's json.dumps (compact separators differ;
+    * no consumer is byte-sensitive).
+    */
+  def enrichOutputAnswer(
+      rawAnswer: String,
+      rawMetadata: String,
+      predictedId: String,
+      rankingSize: Int
+  ): String = {
+    val (entries, explanation): (List[JValue], Option[String]) =
+      if (rawAnswer == null || rawAnswer.isEmpty) (Nil, None)
+      else
+        try {
+          JsonMethods.parse(rawAnswer) match {
+            case JObject(fields) =>
+              val m = fields.toMap
+              val ents = m.get(RankingKey) match {
+                case Some(JArray(items)) => items
+                case _ => Nil
+              }
+              val expl = m.get("explanation") match {
+                case Some(JString(s)) => Some(s.trim).filter(_.nonEmpty)
+                case _ => None
+              }
+              (ents, expl)
+            case JArray(items) => (items, None)
+            case _ => (Nil, None)
+          }
+        } catch { case _: Throwable => (Nil, None) }
+
+    val ranking: List[RankingEntry] =
+      jsonEntriesToRaw(entries)
+        .flatMap(validateCandidateRanking(_, rankingSize))
+        .getOrElse(Nil) // ValueError -> [] (py:906-911)
+
+    def jStr(v: JValue): String = v match {
+      case JString(s) => s
+      case JInt(i) => i.toString
+      case JDouble(d) => d.toString
+      case JDecimal(d) => d.toString
+      case JBool(b) => if (b) "True" else "False" // python str(bool)
+      case _ => null
+    }
+    val candidates: List[Candidate] =
+      if (rawMetadata == null || rawMetadata.isEmpty) Nil
+      else
+        try {
+          JsonMethods.parse(rawMetadata) match {
+            case JArray(items) =>
+              items.collect { case JObject(f) =>
+                val m = f.toMap
+                val types = m.get("types") match {
+                  case Some(JArray(ts)) =>
+                    ts.flatMap {
+                      case JObject(tf) =>
+                        val tm = tf.toMap
+                        Some(CandidateType(tm.get("id").map(jStr).orNull, tm.get("name").map(jStr).orNull))
+                      case JString(s) => Some(CandidateType("", s)) // bare-string type (py:846)
+                      case _ => None
+                    }
+                  case _ => Nil
+                }
+                Candidate(
+                  m.get("id").map(jStr).orNull,
+                  m.get("name").map(jStr).orNull,
+                  m.get("description").map(jStr).orNull,
+                  types
+                )
+              }
+            case _ => Nil
+          }
+        } catch { case _: Throwable => Nil }
+
+    val predicted = Option(predictedId).map(_.trim).getOrElse("")
+    val enriched = enrichCandidateRanking(ranking, candidates, predicted, rankingSize)
+
+    val payload = JObject(
+      RankingKey -> JArray(enriched.map { e =>
+        JObject(
+          "id" -> JString(e.id),
+          "score" -> e.score.map(JDouble(_): JValue).getOrElse(JNull),
+          "name" -> JString(e.name),
+          "types" -> JArray(
+            e.types.toList.map(t => JObject("id" -> JString(t.id), "name" -> JString(t.name)))
+          ),
+          "description" -> JString(e.description),
+          "match" -> JBool(e.matched)
+        )
+      }),
+      "explanation" -> JString(explanation.getOrElse(DefaultExplanationFallback))
+    )
+    JsonMethods.compact(JsonMethods.render(payload))
   }
 
   /** lion_linker.py:702-734. */

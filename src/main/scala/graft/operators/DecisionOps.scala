@@ -83,7 +83,82 @@ case class ParseLlmPayload(child: Expression, topK: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** enrich_answer(rawAnswer, rawMetadata, predictedId) -> the
+  * `{col}_candidate_ranking` JSON payload (S12 export flatten,
+  * lion_linker.py:856-935). Row-local, codegen'd.
+  */
+case class EnrichAnswer(
+    first: Expression,
+    second: Expression,
+    third: Expression,
+    rankingSize: Int
+) extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "enrich_answer"
+  override protected def nullSafeEval(a: Any, m: Any, p: Any): Any =
+    UTF8String.fromString(
+      Decision.enrichOutputAnswer(
+        a.asInstanceOf[UTF8String].toString,
+        m.asInstanceOf[UTF8String].toString,
+        p.asInstanceOf[UTF8String].toString,
+        rankingSize
+      )
+    )
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      (a, m, p) =>
+        "UTF8String.fromString(graft.operators.Decision.enrichOutputAnswer(" +
+          s"$a.toString(), $m.toString(), $p.toString(), $rankingSize))"
+    )
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 object DecisionOps {
+
+  /** Column API for the export flatten; null inputs degrade to "" (the
+    * python path treats non-strings as absent).
+    */
+  def enrich_answer(rawAnswer: Column, rawMetadata: Column, predictedId: Column, rankingSize: Int): Column =
+    GraftShim.column(
+      EnrichAnswer(
+        GraftShim.expression(coalesce(rawAnswer, lit(""))),
+        GraftShim.expression(coalesce(rawMetadata, lit(""))),
+        GraftShim.expression(coalesce(predictedId, lit(""))),
+        rankingSize
+      )
+    )
+
+  /** S12: the reference's results-CSV enrichment pass
+    * (`_enrich_output_csv`): for every mention column with a
+    * `{col}_llm_answer`, add `{col}_candidate_ranking` (unless already
+    * present) and drop all `*_candidate_metadata` columns. One row-local
+    * projection — the python version re-reads and rewrites the whole CSV.
+    */
+  def exportPredictions(
+      df: DataFrame,
+      mentionCols: Seq[String],
+      rankingSize: Int = 5,
+      predictionSuffix: String = "_pred_id"
+  ): DataFrame = {
+    var out = df
+    mentionCols.foreach { c =>
+      val answerCol = s"${c}_llm_answer"
+      val metaCol = s"${c}_candidate_metadata"
+      val rankCol = s"${c}_candidate_ranking"
+      if (out.columns.contains(answerCol) && !out.columns.contains(rankCol)) {
+        val meta = if (out.columns.contains(metaCol)) col(metaCol) else lit(null).cast("string")
+        val pred =
+          if (out.columns.contains(s"$c$predictionSuffix")) col(s"$c$predictionSuffix")
+          else lit(null).cast("string")
+        out = out.withColumn(rankCol, enrich_answer(col(answerCol), meta, pred, rankingSize))
+      }
+    }
+    out.drop(out.columns.filter(_.endsWith("_candidate_metadata")): _*)
+  }
 
   /** Column API for the strict parser. `coalesce` keeps null responses on
     * the error path (None response -> error, like the reference).

@@ -15,40 +15,6 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Typed metadata produced by the (stubbed) decoder. */
-  final case class MediaMeta(
-      n_bytes: Long,
-      magic: String, // first-4-bytes hex, the usual container sniff
-      kind: String, // image | audio | video | unknown
-      width: Int, // STUB: derived deterministically from content bytes
-      height: Int, // STUB
-      duration_ms: Long // STUB; 0 for images
-  )
-
-  /** STUB decoder: deterministic fake in place of a real codec. A real
-    * implementation replaces ONLY this function (same signature): parse the
-    * container, return true dimensions/duration.
-    */
-  def decodeStub(payload: Array[Byte]): MediaMeta = {
-    if (payload == null || payload.isEmpty) return MediaMeta(0L, "", "unknown", 0, 0, 0L)
-    val magic = payload.take(4).map("%02x".format(_)).mkString
-    val kind = magic match {
-      case m if m.startsWith("ffd8") => "image" // jpeg
-      case m if m.startsWith("8950") => "image" // png
-      case m if m.startsWith("4949") || m.startsWith("4d4d") => "image" // tiff
-      case m if m.startsWith("6674") || m.startsWith("0000") => "video" // mp4-ish
-      case m if m.startsWith("4f67") || m.startsWith("fff1") => "audio" // ogg/aac
-      case _ => "unknown"
-    }
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < math.min(payload.length, 256)) { h = (h ^ (payload(i) & 0xffL)) * 0x100000001b3L; i += 1 }
-    val w = 64 + math.floorMod(h, 1024).toInt
-    val ht = 64 + math.floorMod(h >>> 16, 1024).toInt
-    val dur = if (kind == "video" || kind == "audio") 1000L + math.floorMod(h >>> 24, 600000L) else 0L
-    MediaMeta(payload.length.toLong, magic, kind, w, ht, dur)
-  }
-
   /** Decode a binary column into typed metadata — a single row-local
     * codegen'd expression (graft.functions.DecodeMeta): the meta struct is
     * a pure function of the payload bytes, so adding it costs ZERO

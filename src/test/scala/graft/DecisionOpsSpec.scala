@@ -122,6 +122,50 @@ class DecisionOpsSpec extends SparkSpec {
     assert(ranking.take(2).map(_.getAs[String]("id")) == p.ranking.take(2).map(_.id))
   }
 
+  test("S12 export flatten: candidate_ranking payload added, metadata dropped") {
+    import spark.implicits._
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val answer =
+      """{"candidate_ranking":[{"id":"Q2","score":0.4},{"id":"Q1","score":0.9}],
+        | "explanation":"Q1 best."}""".stripMargin
+    val metadata =
+      """[{"id":"Q1","name":"Alpha","description":"First","types":[{"id":null,"name":"Person"},"RawType"]},
+        | {"id":"Q2","name":"Beta","description":"","types":[]}]""".stripMargin
+    val df = Seq(
+      ("r1", answer, metadata, "Q1"),
+      ("r2", "not json", metadata, "NIL"), // lenient: bad answer -> backfill
+      ("r3", null: String, null: String, null: String) // all absent
+    ).toDF("row_id", "title_llm_answer", "title_candidate_metadata", "title_pred_id")
+    val out = DecisionOps.exportPredictions(df, Seq("title"), rankingSize = 3)
+    assert(!out.columns.contains("title_candidate_metadata"), "metadata cols must drop")
+    assert(out.columns.contains("title_candidate_ranking"))
+    val rows = out.collect().map(r => r.getAs[String]("row_id") -> r.getAs[String]("title_candidate_ranking")).toMap
+
+    val p1 = JsonMethods.parse(rows("r1"))
+    val ids1 = (p1 \ "candidate_ranking" \\ classOf[JString]).collect { case s: String => s }
+    val entries1 = (p1 \ "candidate_ranking") match { case JArray(items) => items; case _ => Nil }
+    assert(entries1.map(e => (e \ "id").asInstanceOf[JString].s) == List("Q1", "Q2"))
+    assert((entries1.head \ "match") == JBool(true))
+    assert((entries1.head \ "name") == JString("Alpha"))
+    // bare-string type becomes {"id":"","name":"RawType"} (py:846)
+    val types1 = (entries1.head \ "types") match { case JArray(ts) => ts; case _ => Nil }
+    assert(types1.contains(JObject("id" -> JString(""), "name" -> JString("RawType"))))
+    assert((p1 \ "explanation") == JString("Q1 best."))
+
+    // lenient path: unparseable answer -> candidate backfill, null scores,
+    // fallback explanation
+    val p2 = JsonMethods.parse(rows("r2"))
+    val entries2 = (p2 \ "candidate_ranking") match { case JArray(items) => items; case _ => Nil }
+    assert(entries2.map(e => (e \ "id").asInstanceOf[JString].s) == List("Q1", "Q2"))
+    assert(entries2.forall(e => (e \ "score") == JNull))
+    assert((p2 \ "explanation") == JString(graft.operators.Decision.DefaultExplanationFallback))
+
+    // fully absent inputs: empty ranking, fallback explanation
+    val p3 = JsonMethods.parse(rows("r3"))
+    assert((p3 \ "candidate_ranking") == JArray(Nil))
+  }
+
   test("no candidates + NIL prediction: ranking survives without metadata") {
     val resp =
       """{"candidate_ranking":[{"id":"Q9","score":0.2}], "explanation":"low"}"""
