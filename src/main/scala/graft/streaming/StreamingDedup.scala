@@ -59,6 +59,39 @@ object StreamingDedup {
       }
   }
 
+  /** Incremental linkage: a stream of new pages joined against the latest
+    * batch clustering snapshot (stream-static join — the static side is a
+    * (key, cluster_id) frame derived from a previous `LinkagePipeline.run`
+    * output; Spark re-reads its source per micro-batch, so a refreshed
+    * snapshot dir picks up new batch runs without restarting the query).
+    * New pages that hit an existing block inherit its cluster; misses come
+    * out with a null cluster_id = the to-re-cluster queue (the reference's
+    * queue-worker pattern, task_queue.py:56-75, as a dataflow).
+    */
+  def incrementalLink(pages: DataFrame, clusterSnapshot: DataFrame): DataFrame = {
+    val keyed = annotate(pages).withColumn("key", concat(lit("u:"), col("canonical_url")))
+    val lookup = clusterSnapshot.select(col("key"), col("cluster_id"))
+    keyed
+      .join(lookup, Seq("key"), "left")
+      .select(
+        col("url"),
+        col("key"),
+        col("cluster_id"),
+        col("cluster_id").isNotNull.as("linked"),
+        col("fingerprint")
+      )
+  }
+
+  /** The static side for `incrementalLink`, derived from a batch
+    * predictions frame (url, cluster_id, ...): canonical-url block key ->
+    * cluster id, deduped deterministically by min cluster_id.
+    */
+  def clusterSnapshot(predictions: DataFrame): DataFrame =
+    predictions
+      .select(concat(lit("u:"), Normalize.canonicalUrl(col("url"))).as("key"), col("cluster_id"))
+      .groupBy("key")
+      .agg(min("cluster_id").as("cluster_id"))
+
   /** Windowed near-dup candidate counting with a watermark: pages grouped
     * by simhash-chunk key over event-time windows — the streaming analog of
     * block-size monitoring (emits per-block arrival counts for skew

@@ -42,6 +42,39 @@ class StreamingSpec extends SparkSpec {
     assert(out.filter(_.key == "k2").head.is_first)
   }
 
+  test("incremental linkage: stream-static join against a batch snapshot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // batch snapshot: a previous clustering of two canonical pages
+    val snapshot = StreamingDedup.clusterSnapshot(
+      Seq(
+        ("https://www.a.com/x", "c-1"),
+        ("http://a.com/x?utm=1", "c-1"),
+        ("https://b.com/y", "c-2")
+      ).toDF("url", "cluster_id")
+    )
+    val input = MemoryStream[(String, Timestamp, String)]
+    val pages = input.toDF().toDF("url", "warc_ts", "text")
+    val q = StreamingDedup
+      .incrementalLink(pages, snapshot)
+      .writeStream
+      .format("memory")
+      .queryName("inc_link")
+      .outputMode("append")
+      .start()
+    input.addData(
+      ("http://a.com/x", new Timestamp(1000), "known page variant"), // hits c-1
+      ("https://new.org/z", new Timestamp(2000), "never seen before") // miss
+    )
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("inc_link").collect().map(r => r.getAs[String]("url") -> r).toMap
+    assert(rows("http://a.com/x").getAs[String]("cluster_id") == "c-1")
+    assert(rows("http://a.com/x").getAs[Boolean]("linked"))
+    assert(rows("https://new.org/z").getAs[String]("cluster_id") == null)
+    assert(!rows("https://new.org/z").getAs[Boolean]("linked"))
+  }
+
   test("streaming annotate + windowed block counts run on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
