@@ -292,21 +292,18 @@ object SparkEntry {
 
     // ---- dedup family (training-data ops) ----
     "q_dd_ngram_jaccard" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(
-        col("doc_id"),
-        array_distinct(Normalize.shingles(split(col("text"), " "), 3)).as("sh")
-      )
-      val a = d.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      // hashed shingle sets (native kernel): identical values to the string
+      // intersect/union (DuckDB oracle) with zero shingle-string
+      // materialization and a token-array shuffle instead of an n-times
+      // bigger gram-array shuffle
+      val d = t(s, dir, "documents").select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val a = d.select(col("doc_id").as("id_a"), col("toks").as("t_a"))
+      val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("toks").as("t_b"))
       a.join(b, "id_a")
         .select(
           col("id_a"),
           col("id_b"),
-          round(
-            size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b"))),
-            6
-          ).as("jaccard")
+          round(SF.ngram_jaccard(col("t_a"), col("t_b"), 3), 6).as("jaccard")
         )
         .orderBy("id_a")
     }),
@@ -411,9 +408,10 @@ object SparkEntry {
         .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ws_tokens"))
         .orderBy("doc_id")),
     "q_txt_fingerprint" -> ((s, dir) =>
-      // rolling-hash document fingerprint (custom kernel; rows-only)
+      // rolling-hash document fingerprint via the FUSED shingle+minhash
+      // kernel (no shingle strings materialized; golden-fixture oracle)
       t(s, dir, "documents")
-        .select(col("doc_id"), SF.minhash_sig(Normalize.shingles(split(col("text"), " "), 4), 4).as("fp"))
+        .select(col("doc_id"), SF.minhash_shingles(split(col("text"), " "), 4, 4).as("fp"))
         .select(col("doc_id"), element_at(col("fp"), 1).as("fp0"))
         .orderBy("doc_id")),
 

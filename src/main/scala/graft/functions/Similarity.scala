@@ -373,6 +373,64 @@ object SimKernels {
     new GenericArrayData(sig)
   }
 
+  /** Sorted distinct shingle hashes of a token array: each n-token window
+    * is folded order-sensitively over per-token FNV hashes (identical
+    * shingle identity to hashing the joined strings, zero string
+    * materialization — the same fusion as minHashShingles).
+    */
+  private def shingleHashes(tokens: ArrayData, n: Int): Array[Long] = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return Array.emptyLongArray
+    val th = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      th(i) = if (tokens.isNullAt(i)) 0L else fnv64(tokens.getUTF8String(i))
+      i += 1
+    }
+    val out = new Array[Long](cnt - n + 1)
+    var w = 0
+    while (w <= cnt - n) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        h = (h ^ th(w + j)) * 0x100000001b3L
+        j += 1
+      }
+      out(w) = h
+      w += 1
+    }
+    java.util.Arrays.sort(out)
+    // in-place dedupe
+    var r = 1
+    var wr = 1
+    while (r < out.length) {
+      if (out(r) != out(wr - 1)) { out(wr) = out(r); wr += 1 }
+      r += 1
+    }
+    if (wr == out.length) out else java.util.Arrays.copyOf(out, wr)
+  }
+
+  /** Exact n-gram Jaccard of two token arrays over hashed shingle sets
+    * (|A∩B| / |A∪B|; 0.0 when both sides are empty — the verify leg of
+    * near-dup dedup without ever allocating shingle strings).
+    */
+  def ngramJaccard(a: ArrayData, b: ArrayData, n: Int): Double = {
+    val ha = shingleHashes(a, n)
+    val hb = shingleHashes(b, n)
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < ha.length && j < hb.length) {
+      val x = ha(i)
+      val y = hb(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = ha.length + hb.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
   /** MinHash signature: for each of k hash families, the minimum of
     * (fnv64(shingle) XOR seed_k) * PRIME over all shingles. Empty input
     * yields Long.MaxValue per slot.
@@ -519,6 +577,19 @@ case class SignLsh(child: Expression, bits: Int, seed: Int) extends UnaryExpress
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Exact hashed n-gram Jaccard of two array<string> token columns. */
+case class NgramJaccard(left: Expression, right: Expression, n: Int) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ngram_jaccard"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimKernels.ngramJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SimKernels.ngramJaccard($a, $b, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** IVF assign/probe: indices of the nProbe nearest broadcast centroids. */
 case class NearestCentroids(
     child: Expression,
@@ -561,6 +632,8 @@ object SimilarityFunctions {
   def dense_cosine(a: Column, b: Column): Column = GraftShim.column(DenseCosine(e(a), e(b)))
   def sign_lsh(v: Column, bits: Int, seed: Int = 0): Column =
     GraftShim.column(SignLsh(e(v), bits, seed))
+  def ngram_jaccard(a: Column, b: Column, n: Int): Column =
+    GraftShim.column(NgramJaccard(e(a), e(b), n))
   def nearest_centroids(
       v: Column,
       centroidsBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],

@@ -77,22 +77,20 @@ object Dedup {
       .select(col("urlA").as("id_a"), col("urlB").as("id_b"), col("hamming"))
   }
 
-  /** n-gram Jaccard verification over candidate pairs: joins token-shingle
-    * sets back to (id_a, id_b) pairs and computes exact Jaccard.
+  /** n-gram Jaccard verification over candidate pairs: joins token arrays
+    * back to (id_a, id_b) pairs and computes exact Jaccard over hashed
+    * shingle sets (native kernel — no shingle strings materialized, and the
+    * pair join ships token arrays, not the n-times-bigger gram arrays).
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id", n: Int = 3): DataFrame = {
     val sh = docs.select(
       col(idCol).cast("string").as("id"),
-      array_distinct(Normalize.shingles(Normalize.tokensOf(col("text")), n)).as("grams")
+      Normalize.tokensOf(col("text")).as("toks")
     )
     pairs
-      .join(sh.select(col("id").as("id_a"), col("grams").as("g_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("grams").as("g_b")), "id_b")
-      .withColumn(
-        "jaccard",
-        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          greatest(size(array_union(col("g_a"), col("g_b"))), lit(1))
-      )
+      .join(sh.select(col("id").as("id_a"), col("toks").as("t_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("toks").as("t_b")), "id_b")
+      .withColumn("jaccard", graft.functions.SimilarityFunctions.ngram_jaccard(col("t_a"), col("t_b"), n))
       .select("id_a", "id_b", "jaccard")
   }
 
