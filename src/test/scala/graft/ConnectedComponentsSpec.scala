@@ -53,6 +53,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     }
   }
 
+  test("compact-id opt-in produces identical assignments") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val edges = (1 to 80)
+      .map(_ => (s"u${rng.nextInt(30)}", s"u${rng.nextInt(30)}"))
+      .filter(e => e._1 != e._2)
+      .distinct
+    val df = edges.toDF("src", "dst")
+    val plain = ConnectedComponents.run(df).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val compact = ConnectedComponents
+      .run(df, compact = true)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(plain == compact)
+  }
+
   test("result is invariant under repartitioning") {
     import spark.implicits._
     val edges = (1 to 60).map(i => (s"v${i % 23}", s"v${(i * 7) % 23}")).filter(e => e._1 != e._2)
