@@ -81,6 +81,26 @@ class PipelineSpec extends SparkSpec {
     assert(out.toSeq == Seq("u:x"))
   }
 
+  test("per-key thresholds wire through Config end-to-end") {
+    import graft.operators.Blocker
+    val cfgDefault = LinkagePipeline.Config()
+    // a threshold table covering EVERY blocking key at an impossible 1.01:
+    // all pairs get the per-key value (clamped scores max at 1.0) -> zero
+    // links; keys absent from the table would fall back to the constant
+    val allKeys = Blocker
+      .allKeys(pages.select("url", "text"), cfgDefault.strategies)
+      .select("key")
+      .distinct()
+      .withColumn("threshold", lit(1.01))
+    val strictOut =
+      LinkagePipeline.run(pages, cfgDefault.copy(perKeyThresholds = Some(allKeys)))
+    val defaultLinked = LinkagePipeline.run(pages).where(col("status") === "linked").count()
+    val strictLinked = strictOut.where(col("status") === "linked").count()
+    info(s"default linked=$defaultLinked, all-keys-at-1.01 linked=$strictLinked")
+    assert(defaultLinked > 0)
+    assert(strictLinked == 0)
+  }
+
   test("clusters are identical across parallelism levels (repartition)") {
     val a = LinkagePipeline.run(pages.repartition(2))
       .select("url", "cluster_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
