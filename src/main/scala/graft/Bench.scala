@@ -30,21 +30,9 @@ object Bench {
     val spark = LinkagePipeline.session(master, s"graft-control-$master")
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      import org.apache.spark.sql.functions._
-      def job(): Unit = spark
-        .range(rows)
-        .select(
-          (col("id") % 1000000).as("k"),
-          concat(lit("v-"), col("id") % 97, lit("-padpadpadpadpad")).as("v")
-        )
-        .groupBy("k")
-        .agg(count(lit(1)).as("n"), max("v").as("m"))
-        .groupBy(col("n") % 32)
-        .agg(count(lit(1)))
-        .foreach(_ => ())
-      job() // warmup
+      BenchControl.controlJob(spark, rows) // warmup
       val t0 = System.nanoTime()
-      job()
+      BenchControl.controlJob(spark, rows)
       val secs = (System.nanoTime() - t0) / 1e9
       err(f"control $master $tag: $secs%.2f s")
       secs
@@ -82,7 +70,8 @@ object Bench {
     val skipScaling = sys.env.contains("SPARK_GRAFT_BENCH_SKIP_SCALING")
     val benchClusters = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLUSTERS", "25000").toInt
     val corpusDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench-corpus-$benchClusters"
-    val nDocs: Long = {
+    val nDocs: Long = if (skipScaling) 0L
+    else {
       val s = LinkagePipeline.session(s"local[$cpus]", "graft-bench-gen")
       s.sparkContext.setLogLevel("ERROR")
       try {
@@ -92,7 +81,7 @@ object Bench {
         s.read.parquet(corpusDir).count()
       } finally s.stop()
     }
-    err(s"scaling corpus: $nDocs docs at $corpusDir")
+    if (!skipScaling) err(s"scaling corpus: $nDocs docs at $corpusDir")
 
     // 2 cores/executor: N=2 and 4N=8 total cores both sit inside this VM's
     // linear memory-bandwidth regime (pure-CPU scaling measured ~0.88 at
@@ -113,14 +102,15 @@ object Bench {
       cN = math.min(cN, timeControlOnce(mN, ctlRows, s"round$r"))
       c4N = math.min(c4N, timeControlOnce(m4N, ctlRows, s"round$r"))
     }
-    else { tN = 1; t4N = 1; cN = 1; c4N = 1 }
     val tputN = nDocs / tN
     val tput4N = nDocs / t4N
     val efficiency = tput4N / (4.0 * tputN)
     val ctlEff = (ctlRows / c4N) / (4.0 * (ctlRows / cN))
-    err(f"scaling: N=$tputN%.1f docs/s, 4N=$tput4N%.1f docs/s, efficiency=$efficiency%.3f")
-    err(f"control: N=$cN%.2f s, 4N=$c4N%.2f s, ceiling efficiency=$ctlEff%.3f")
-    err(f"normalized (flagship/ceiling): ${efficiency / ctlEff}%.3f")
+    if (!skipScaling) {
+      err(f"scaling: N=$tputN%.1f docs/s, 4N=$tput4N%.1f docs/s, efficiency=$efficiency%.3f")
+      err(f"control: N=$cN%.2f s, 4N=$c4N%.2f s, ceiling efficiency=$ctlEff%.3f")
+      err(f"normalized (flagship/ceiling): ${efficiency / ctlEff}%.3f")
+    }
 
     // ---- part 2: per-query timings on the sf dir ----
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -143,16 +133,23 @@ object Bench {
 
     val qs = results.map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // never fabricate: a skipped scaling run emits {"skipped":true} and no
+    // headline throughput instead of made-up walls
+    val scalingJson =
+      if (skipScaling) """{"skipped":true}"""
+      else
+        s"""{"flagship_docs":$nDocs,"n_def":"local-cluster[1,$execCores]",""" +
+          s""""four_n_def":"local-cluster[4,$execCores]","docs_per_sec_n":${"%.1f".format(tputN)},""" +
+          s""""docs_per_sec_4n":${"%.1f".format(tput4N)},"wall_n_sec":${"%.2f".format(tN)},""" +
+          s""""wall_4n_sec":${"%.2f".format(t4N)},"scaling_efficiency":${"%.3f".format(efficiency)},""" +
+          s""""control_wall_n_sec":${"%.2f".format(cN)},"control_wall_4n_sec":${"%.2f".format(c4N)},""" +
+          s""""control_ceiling_efficiency":${"%.3f".format(ctlEff)},""" +
+          s""""normalized_efficiency":${"%.3f".format(efficiency / ctlEff)}}"""
+    val metricValue = if (skipScaling) "null" else "%.1f".format(tput4N)
     val json =
-      s"""{"metric":"docs_per_sec_4n_executors","value":${"%.1f".format(tput4N)},"unit":"docs/sec",""" +
+      s"""{"metric":"docs_per_sec_4n_executors","value":$metricValue,"unit":"docs/sec",""" +
         s""""queries":$qs,"sf":"$sfDir","query_total_sec":${"%.2f".format(total)},""" +
-        s""""scaling":{"flagship_docs":$nDocs,"n_def":"local-cluster[1,$execCores]",""" +
-        s""""four_n_def":"local-cluster[4,$execCores]","docs_per_sec_n":${"%.1f".format(tputN)},""" +
-        s""""docs_per_sec_4n":${"%.1f".format(tput4N)},"wall_n_sec":${"%.2f".format(tN)},""" +
-        s""""wall_4n_sec":${"%.2f".format(t4N)},"scaling_efficiency":${"%.3f".format(efficiency)},""" +
-        s""""control_wall_n_sec":${"%.2f".format(cN)},"control_wall_4n_sec":${"%.2f".format(c4N)},""" +
-        s""""control_ceiling_efficiency":${"%.3f".format(ctlEff)},""" +
-        s""""normalized_efficiency":${"%.3f".format(efficiency / ctlEff)}}}"""
+        s""""scaling":$scalingJson}"""
     println(json)
     // sbt wraps stdout in [info]; give the driver a clean machine-parseable
     // copy on disk as well

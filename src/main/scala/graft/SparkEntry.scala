@@ -714,7 +714,8 @@ object SparkEntry {
         |  'task-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS task_id,
         |  CASE WHEN m = 0 THEN id0 ELSE 'NIL' END AS predicted_id,
         |  CASE WHEN m = 0 THEN CAST(0.1 AS DOUBLE) WHEN m = 2 THEN CAST(0.95 AS DOUBLE) END AS nil_score,
-        |  CASE WHEN m <= 4 THEN 'ok' END AS explanation,
+        |  CASE WHEN m <= 4 THEN 'ok'
+        |       ELSE 'LLM response did not include an explanation.' END AS explanation,
         |  CASE WHEN m = 5 THEN 'LLM response must be valid JSON. Received: not json'
         |       WHEN m = 6 THEN 'LLM response must not contain unexpected top-level keys. Found: answer'
         |       WHEN m = 7 THEN 'score must be within [0, 1]. Received 1.5 for id ' || id0 || '.'

@@ -17,9 +17,14 @@ object Cursor {
 
   private val schema = "job_id STRING, seq BIGINT"
 
-  /** Canonical cursor JSON (python json.dumps spacing). */
-  def payloadJson(jobId: Column, seq: Column): Column =
-    concat(lit("{\"job_id\": \""), jobId, lit("\", \"seq\": "), seq.cast("long"), lit("}"))
+  /** Canonical cursor JSON (python json.dumps spacing). Backslashes and
+    * quotes in the job id are JSON-escaped (json.dumps does); other control
+    * characters are not expected in job ids.
+    */
+  def payloadJson(jobId: Column, seq: Column): Column = {
+    val escaped = regexp_replace(regexp_replace(jobId, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    concat(lit("{\"job_id\": \""), escaped, lit("\", \"seq\": "), seq.cast("long"), lit("}"))
+  }
 
   /** urlsafe_b64encode(payload).rstrip('='). */
   def encode(jobId: Column, seq: Column): Column =

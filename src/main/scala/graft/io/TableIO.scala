@@ -165,7 +165,10 @@ final class RunLog(dir: String, runId: String) {
       .withColumn("run_id", lit(runId))
       .withColumn("created_at", current_timestamp())
     stamped.write.mode("append").parquet(dir)
-    nextSeq = base + rows.count()
+    // count the stamped frame (reads the seq pass's checkpoint) — counting
+    // `rows` would re-execute its whole un-checkpointed lineage, and for a
+    // non-deterministic source could disagree with what was written
+    nextSeq = base + stamped.count()
   }
 
   def read(spark: SparkSession): DataFrame = spark.read.parquet(dir)

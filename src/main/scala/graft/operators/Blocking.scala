@@ -109,7 +109,10 @@ object Blocker {
         when(
           col("block_n").isNull,
           col("key")
-        ).otherwise(concat(col("key"), lit("#"), pmod(xxhash64(col("url")), nBuckets).cast("string")))
+          // "#s#" separator: collision-proof against base keys that happen
+          // to end in #<digits> (e.g. a domain key whose first text token is
+          // "#3") — PairScorer.threshold strips exactly this suffix
+        ).otherwise(concat(col("key"), lit("#s#"), pmod(xxhash64(col("url")), nBuckets).cast("string")))
       )
       .select("url", "key")
   }

@@ -204,9 +204,15 @@ object DecisionOps {
     val nilScore = lit(null).cast("double")
 
     // ---- parse + predict (row-local) ----
-    val candIds = filter(
-      transform(col(candidatesCol), c => trim(c.getField("id"))),
-      id => id =!= ""
+    // null candidates degrade to "no candidates" (python None -> []): the
+    // coalesce keeps the pad/backfill array algebra from null-propagating
+    // a valid ranking into null
+    val candIds = coalesce(
+      filter(
+        transform(col(candidatesCol), c => trim(c.getField("id"))),
+        id => id =!= ""
+      ),
+      array().cast("array<string>")
     )
     val parsed = df
       .withColumn("_p", parse_llm_payload(col(responseCol), requestedTopK))
@@ -261,15 +267,20 @@ object DecisionOps {
         col(taskCol).as("_tid"),
         col("_pred"),
         col("_p.nil_score").as("_nil"),
-        col("_p.explanation").as("_expl"),
+        // degrade-to-NIL rule (py:1063-1070): parse failures carry the
+        // fallback explanation, like the reference's default NIL payload
+        coalesce(col("_p.explanation"), lit(Decision.DefaultExplanationFallback)).as("_expl"),
         col("_p.error").as("_err"),
         col("_eff")
       )
 
     // ---- J4 enrichment join ----
-    // candidate lookup, LAST candidate wins per key (dict-overwrite
-    // semantics, py:739-744); exact-id match takes precedence over
-    // upper-cased match (py:823)
+    // Candidate lookup with the reference's dict-overwrite semantics
+    // (py:739-744): ONE key namespace where candidate i writes its exact id
+    // then its upper-cased id, later writes winning — emulated by emitting
+    // both key events with an event ordinal (2i, 2i+1) and keeping the max
+    // ordinal per (task, key). Entry resolution then tries the exact id
+    // first, the upper-cased id second (py:823).
     val cands = df
       .select(col(taskCol).as("_tid"), posexplode(col(candidatesCol)).as(Seq("_cidx", "_c")))
       .select(
@@ -281,27 +292,28 @@ object DecisionOps {
         col("_c.types").as("_ctypes")
       )
       .where(col("_cid") =!= "")
-    def lastWins(keyed: DataFrame, keyCol: String): DataFrame = {
-      val w = Window.partitionBy("_tid", keyCol).orderBy(col("_cidx").desc)
-      keyed.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn", "_cidx")
-    }
-    val exactLookup = lastWins(cands, "_cid")
-    val upperLookup = lastWins(cands.withColumn("_cid_up", upper(col("_cid"))).drop("_cid"), "_cid_up")
+    val events = cands
+      .select(col("_tid"), col("_cid").as("_key"), (col("_cidx") * 2).as("_ord"), col("_cname"), col("_cdesc"), col("_ctypes"))
+      .unionAll(
+        cands.select(col("_tid"), upper(col("_cid")).as("_key"), (col("_cidx") * 2 + 1).as("_ord"), col("_cname"), col("_cdesc"), col("_ctypes"))
+      )
+    val w = Window.partitionBy("_tid", "_key").orderBy(col("_ord").desc)
+    val lookup = events.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn", "_ord")
 
     val exploded = tasks
       .select(col("*"), posexplode_outer(col("_eff")).as(Seq("_pos", "_e")))
       .withColumn("_eid", trim(col("_e.id")))
 
-    val x = exactLookup.select(
+    val x = lookup.select(
       col("_tid").as("_xtid"),
-      col("_cid").as("_xkey"),
+      col("_key").as("_xkey"),
       col("_cname").as("_xname"),
       col("_cdesc").as("_xdesc"),
       col("_ctypes").as("_xtypes")
     )
-    val u = upperLookup.select(
+    val u = lookup.select(
       col("_tid").as("_utid"),
-      col("_cid_up").as("_ukey"),
+      col("_key").as("_ukey"),
       col("_cname").as("_uname"),
       col("_cdesc").as("_udesc"),
       col("_ctypes").as("_utypes")

@@ -23,7 +23,14 @@ object Multimodal {
     * carried through.
     */
   def decodeMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
-    df.withColumn("meta", graft.functions.MediaFunctions.decode_meta(col(payloadCol)))
+    // null payloads decode like empty ones (n_bytes=0, kind=unknown), never
+    // to a null struct — consumers read meta.* unconditionally
+    df.withColumn(
+      "meta",
+      graft.functions.MediaFunctions.decode_meta(
+        coalesce(col(payloadCol), lit(Array.emptyByteArray))
+      )
+    )
 
   /** Deterministic frame sampling plan for video payloads: emits
     * (id, frame_idx, ts_ms) rows at `everyMs` spacing from the decoded

@@ -36,7 +36,17 @@ object PairScorer {
     */
   val TfBuckets: Int = 1 << 18
 
-  def features(pages: DataFrame): DataFrame = {
+  /** Convenience wrapper when the caller won't manage the cache lifetime
+    * (the internal tokenize+hash cache is then released by LRU eviction).
+    */
+  def features(pages: DataFrame): DataFrame = featuresWithRelease(pages)._1
+
+  /** `features` plus a release handle that unpersists the internal
+    * tokenize+hash cache — call it once the downstream consumer (the pair
+    * join) has materialized, or each run keeps one cached corpus copy
+    * until LRU eviction.
+    */
+  def featuresWithRelease(pages: DataFrame): (DataFrame, () => Unit) = {
     val toks = Normalize.tokensOf(col("text"))
     // persisted: this pass (tokenize + hash every document) is read three
     // times — the IDF aggregation plus BOTH sides of the pair-scoring join —
@@ -69,12 +79,13 @@ object PairScorer {
 
     // weighting + L2 normalization happen in-row against the broadcast map:
     // the document side of features() has NO full-corpus shuffle at all
-    base.select(
+    val weighted = base.select(
       col("url"),
       col("title_norm"),
       col("text_cap"),
       SimilarityFunctions.tfidf_weight(col("tf"), idfBc).as("tfidf")
     )
+    (weighted, () => { base.unpersist(false); () })
   }
 
   /** Score candidate pairs. `pairs`: (urlA, urlB, key); `feats`: output of
@@ -115,14 +126,15 @@ object PairScorer {
   /** Threshold scored pairs, optionally per blocking key (SURVEY §2.9): a
     * (key, threshold) table is broadcast-joined against the scored pairs —
     * never a driver-side map — with `w.threshold` as the fallback for keys
-    * not in the table. Salted sub-block keys (`key#b`) match their base key.
+    * not in the table. Salted sub-block keys (`key#s#b`) match their base
+    * key.
     */
   def threshold(scored: DataFrame, w: Weights = Weights(), perKey: Option[DataFrame] = None): DataFrame =
     perKey match {
       case None => scored.where(col("score") >= w.threshold)
       case Some(t) =>
         scored
-          .withColumn("_bk", regexp_replace(col("key"), "#\\d+$", ""))
+          .withColumn("_bk", regexp_replace(col("key"), "#s#\\d+$", ""))
           .join(
             broadcast(t.select(col("key").as("_bk"), col("threshold").as("_th"))),
             Seq("_bk"),

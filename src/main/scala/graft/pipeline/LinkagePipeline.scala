@@ -111,13 +111,14 @@ object LinkagePipeline {
 
     val keys = Blocker.allKeys(corpus, cfg.strategies)
     val pairs = Blocker.pairs(keys, cfg.maxBlockSize)
-    val feats = PairScorer.features(corpus)
+    val (feats, releaseFeats) = PairScorer.featuresWithRelease(corpus)
     val scored = PairScorer.score(pairs, feats, cfg.weights)
     val accepted = PairScorer.threshold(scored, cfg.weights, cfg.perKeyThresholds)
 
     // scoring + CC reuse the accepted edge set: materialize it once
     // (reliable checkpoint if a dir is set, else local)
     val acceptedCk = checkpointed(accepted)
+    releaseFeats() // pair join materialized; drop the tokenize+hash cache
 
     val clusters = ConnectedComponents.run(
       acceptedCk.select(col("urlA").as("src"), col("urlB").as("dst")),
@@ -189,13 +190,15 @@ object LinkagePipeline {
     val accepted = io
       .readStage(spark, "accepted")
       .getOrElse {
-        val feats = PairScorer.features(corpus)
+        val (feats, releaseFeats) = PairScorer.featuresWithRelease(corpus)
         val scored = PairScorer.score(pairs, feats, cfg.weights)
-        io.commitStage(
+        val committed = io.commitStage(
           PairScorer.threshold(scored, cfg.weights, cfg.perKeyThresholds),
           "accepted",
           Seq("pairs")
         )
+        releaseFeats()
+        committed
       }
 
     val clusters = ConnectedComponents.runResumable(

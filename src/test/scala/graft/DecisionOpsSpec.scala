@@ -166,6 +166,37 @@ class DecisionOpsSpec extends SparkSpec {
     assert((p3 \ "candidate_ranking") == JArray(Nil))
   }
 
+  test("NULL candidates column degrades like empty, never nulls the ranking") {
+    val resp =
+      """{"candidate_ranking":[{"id":"Q1","score":0.9}], "explanation":"hi"}"""
+    val out = runCases(Seq(("t1", resp, null)))("t1")
+    assert(out.getAs[String]("predicted_id") == "Q1")
+    val ranking = out.getSeq[Row](out.fieldIndex("ranking"))
+    assert(ranking.map(_.getAs[String]("id")) == Seq("Q1"))
+  }
+
+  test("case-colliding candidate ids follow the dict-overwrite semantics") {
+    // python: lookup["ABC"]=First, lookup["ABC"(upper of abc)]=Second — the
+    // later candidate's upper write overwrites, so entry "ABC" sees Second
+    val cands = Seq(
+      cand("ABC", "First", "d1", Nil),
+      cand("abc", "Second", "d2", Nil)
+    )
+    val resp = """{"candidate_ranking":[{"id":"ABC","score":0.9}], "explanation":"x"}"""
+    val out = runCases(Seq(("t1", resp, cands)), topK = 3)("t1")
+    val ranking = out.getSeq[Row](out.fieldIndex("ranking"))
+    assert(ranking.head.getAs[String]("name") == "Second")
+    // cross-check against the exact driver-side port
+    import graft.model.{Candidate, RankingEntry}
+    val driver = graft.operators.Decision.enrichCandidateRanking(
+      List(RankingEntry("ABC", Some(0.9))),
+      List(Candidate("ABC", "First", "d1", Nil), Candidate("abc", "Second", "d2", Nil)),
+      "ABC",
+      3
+    )
+    assert(driver.head.name == ranking.head.getAs[String]("name"))
+  }
+
   test("no candidates + NIL prediction: ranking survives without metadata") {
     val resp =
       """{"candidate_ranking":[{"id":"Q9","score":0.2}], "explanation":"low"}"""

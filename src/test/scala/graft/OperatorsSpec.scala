@@ -146,6 +146,16 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"decodeMeta must not shuffle:\n$plan")
   }
 
+  test("decodeMeta: NULL payload decodes like empty (kind=unknown), not to a null struct") {
+    import spark.implicits._
+    val media = Seq((1L, "x".getBytes), (2L, null: Array[Byte])).toDF("id", "payload")
+    val rows = Multimodal.decodeMeta(media, "id", "payload")
+      .select("id", "meta.kind", "meta.n_bytes")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(2L).getAs[String]("kind") == "unknown")
+    assert(rows(2L).getAs[Long]("n_bytes") == 0L)
+  }
+
   test("text analysis: langid, quality, token counts") {
     val out = TextAnalysis.annotate(docs).collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     assert(out(1L).getAs[String]("lang_pred") == "en")

@@ -68,7 +68,7 @@ class PipelineSpec extends SparkSpec {
     import graft.operators.PairScorer
     val scored = Seq(
       ("a", "b", "u:x", 0.65),
-      ("c", "d", "d:y#3", 0.65), // salted key matches its base key
+      ("c", "d", "d:y#s#3", 0.65), // salted key matches its base key
       ("e", "f", "m:z", 0.65)
     ).toDF("urlA", "urlB", "key", "score")
     val perKey = Seq(("u:x", 0.6), ("d:y", 0.9)).toDF("key", "threshold")

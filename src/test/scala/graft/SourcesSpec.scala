@@ -99,6 +99,13 @@ class SourcesSpec extends SparkSpec {
     val expected = java.util.Base64.getUrlEncoder.withoutPadding
       .encodeToString("""{"job_id": "job-2", "seq": 12345}""".getBytes("UTF-8"))
     assert(one == expected)
+    // job ids with JSON-special chars round-trip (json.dumps escapes them)
+    val special = Seq(("job\"q\\x", 9L)).toDF("job_id", "seq")
+      .withColumn("cursor", Cursor.encode(col("job_id"), col("seq")))
+      .withColumn("d", Cursor.decode(col("cursor")))
+      .select("job_id", "d.job_id", "d.seq")
+      .collect()(0)
+    assert(special.getString(0) == special.getString(1) && special.getLong(2) == 9L)
     // malformed cursor decodes to null, not an exception (routes.py:49-55)
     val bad = Seq("!!!not-base64!!!", "").toDF("cursor")
       .select(graft.functions.Cursor.decode(col("cursor")).as("d"))
