@@ -43,6 +43,41 @@ object PairwiseEval {
     Metrics(tp, fp, fn)
   }
 
+  /** `metrics` as ONE distributed job returning a 1-row frame
+    * (tp, fp, fn, precision, recall, f1) — a single full-outer join + agg
+    * instead of three separate count actions; the battery/production form
+    * (the driver-side [[metrics]] stays for tests and small evals).
+    */
+  def metricsDf(assignments: DataFrame, gold: DataFrame): DataFrame = {
+    val pred = predictedPairs(assignments).withColumn("p", lit(1))
+    val goldPos =
+      (if (gold.columns.contains("label")) gold.where(col("label")) else gold)
+        .select("url_a", "url_b")
+        .withColumn("g", lit(1))
+    pred
+      .join(goldPos, Seq("url_a", "url_b"), "full_outer")
+      .agg(
+        sum(when(col("p").isNotNull && col("g").isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p").isNotNull && col("g").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("p").isNull && col("g").isNotNull, 1L).otherwise(0L)).as("fn")
+      )
+      .select(
+        col("tp"),
+        col("fp"),
+        col("fn"),
+        when(col("tp") + col("fp") === 0, 1.0)
+          .otherwise(round(col("tp") / (col("tp") + col("fp")), 6))
+          .as("precision"),
+        when(col("tp") + col("fn") === 0, 1.0)
+          .otherwise(round(col("tp") / (col("tp") + col("fn")), 6))
+          .as("recall"),
+        when(col("tp") + col("fp") === 0 && col("tp") + col("fn") === 0, 1.0)
+          .when(col("tp") === 0, 0.0)
+          .otherwise(round(lit(2.0) * col("tp") / (lit(2) * col("tp") + col("fp") + col("fn")), 6))
+          .as("f1")
+      )
+  }
+
   /** Per-blocking-key metrics (north rule: F1 within each blocking key).
     * Gold must carry `block_key`. Returns (block_key, tp, fp, fn, f1); FP
     * pairs are attributed to keys via the gold key of either member (min

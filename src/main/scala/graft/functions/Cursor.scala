@@ -17,12 +17,24 @@ object Cursor {
 
   private val schema = "job_id STRING, seq BIGINT"
 
-  /** Canonical cursor JSON (python json.dumps spacing). Backslashes and
-    * quotes in the job id are JSON-escaped (json.dumps does); other control
-    * characters are not expected in job ids.
+  /** Canonical cursor JSON (python json.dumps spacing). Escapes exactly what
+    * json.dumps escapes: backslash, quote, the short escapes
+    * \b \t \n \f \r, and \u00xx for every other control char — so a job id
+    * containing a newline/tab round-trips through encode/decode and through
+    * python json.loads instead of silently producing an unparseable cursor.
     */
   def payloadJson(jobId: Column, seq: Column): Column = {
-    val escaped = regexp_replace(regexp_replace(jobId, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    val base = regexp_replace(regexp_replace(jobId, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    val shortEscapes = Seq('\b' -> "\\b", '\t' -> "\\t", '\n' -> "\\n", '\f' -> "\\f", '\r' -> "\\r")
+    val uEscapes = (0 until 0x20)
+      .map(_.toChar)
+      .filterNot(shortEscapes.map(_._1).contains)
+      .map(c => c -> f"\\u${c.toInt}%04x")
+    // literal (non-regex) replace per control char: rare inputs, tiny
+    // payloads — 32 cheap scans, all inside one codegen'd projection
+    val escaped = (shortEscapes ++ uEscapes).foldLeft(base) { case (acc, (c, esc)) =>
+      replace(acc, lit(c.toString), lit(esc))
+    }
     concat(lit("{\"job_id\": \""), escaped, lit("\", \"seq\": "), seq.cast("long"), lit("}"))
   }
 

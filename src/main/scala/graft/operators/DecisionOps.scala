@@ -149,7 +149,15 @@ object DecisionOps {
       val answerCol = s"${c}_llm_answer"
       val metaCol = s"${c}_candidate_metadata"
       val rankCol = s"${c}_candidate_ranking"
-      if (out.columns.contains(answerCol) && !out.columns.contains(rankCol)) {
+      // reference semantics (lion_linker.py:872): skip only when the
+      // existing ranking column has at least one non-null value — an
+      // all-null (or empty-frame) column is recomputed. One bounded action
+      // per pre-existing ranking column (matches the reference, which
+      // re-reads the whole CSV to decide).
+      def hasAnyValue =
+        out.columns.contains(rankCol) &&
+          out.select(max(col(rankCol).isNotNull.cast("int")).as("any")).first().get(0) == 1
+      if (out.columns.contains(answerCol) && !hasAnyValue) {
         val meta = if (out.columns.contains(metaCol)) col(metaCol) else lit(null).cast("string")
         val pred =
           if (out.columns.contains(s"$c$predictionSuffix")) col(s"$c$predictionSuffix")

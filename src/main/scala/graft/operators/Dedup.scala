@@ -94,21 +94,18 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Embedding-cosine near-duplicate pairs above `threshold`.
-    *
-    * DEFAULT is the scale path: candidates restricted to pairs sharing a
-    * sign-LSH bucket in at least one of `lshTables` independent tables
-    * (equi-join on (table, bucket), verified by exact cosine). Recall for
-    * true near-dups at cos >= 0.9 with (6 bits, 6 tables) is ~0.95+ and
-    * rises with the threshold; the quadratic all-pairs cross join
-    * (`lshBits = 0`) remains available as the exact opt-in oracle mode.
+  /** Embedding-cosine near-duplicate pairs above `threshold` — EXACT by
+    * default (`lshBits = 0`: the quadratic all-pairs join; correct at any
+    * threshold, affordable only at bounded corpus sizes). The scale path is
+    * [[embeddingNearDupApprox]] — a separate name so the exact->approximate
+    * recall change is explicit at every call site.
     */
   def embeddingNearDup(
       embeddings: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       threshold: Double = 0.9,
-      lshBits: Int = 6,
+      lshBits: Int = 0,
       lshTables: Int = 6
   ): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
@@ -132,5 +129,26 @@ object Dedup {
       .withColumn("cos", SimilaritySearch.cosine(col("va"), col("vb")))
       .where(col("cos") > threshold)
       .select("id_a", "id_b", "cos")
+  }
+
+  /** APPROXIMATE embedding near-dup — the 100 TB path: candidates restricted
+    * to pairs sharing a sign-LSH bucket in at least one of `lshTables`
+    * independent tables (equi-join on (table, bucket)), then verified by
+    * exact cosine — false positives never survive; recall is what is
+    * approximate. Recall for true near-dups at cos >= 0.9 with
+    * (6 bits, 6 tables) is ~0.95+ and rises with the threshold (identical
+    * vectors are found with certainty). Explicitly named so callers opt into
+    * the recall trade (the exact mode stays [[embeddingNearDup]]).
+    */
+  def embeddingNearDupApprox(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      lshBits: Int = 6,
+      lshTables: Int = 6
+  ): DataFrame = {
+    require(lshBits > 0, "embeddingNearDupApprox needs lshBits > 0; use embeddingNearDup for the exact mode")
+    embeddingNearDup(embeddings, idCol, vecCol, threshold, lshBits, lshTables)
   }
 }

@@ -53,6 +53,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("ScalaUDF"), plan)
   }
 
+  test("battery near-dup and pairwise-eval plans are keyed, never cartesian") {
+    // the round-2 verdict's scale-killer findings: these two battery queries
+    // used all-pairs joins; they must stay on bucketed/keyed plans
+    val sf = "/root/testdata/sf0.001"
+    for (name <- Seq("q_dd_embedding_neardup", "q_a7_pairwise_eval")) {
+      val q = graft.SparkEntry.queries(name)(spark, sf)
+      q.collect() // finalize AQE before reading the executed plan
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name:\n$plan")
+    }
+  }
+
   test("per-key threshold table joins as a broadcast") {
     import spark.implicits._
     val scored = (0 until 500)
