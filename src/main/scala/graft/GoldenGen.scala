@@ -16,10 +16,11 @@ import org.apache.spark.sql.SparkSession
   */
 object GoldenGen {
 
+  // q_dd_simhash graduated to a fully symbolic DuckDB oracle (FNV-1a +
+  // bit-majority recomputed in SQL) — no fixture needed since round 3.
   val fixtureQueries: Seq[String] = Seq(
     "q_er_jw_score",
     "q_dd_minhash_pairs",
-    "q_dd_simhash",
     "q_txt_fingerprint",
     "q_ann_lsh",
     "q_ann_ivf",

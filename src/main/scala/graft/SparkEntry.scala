@@ -790,8 +790,33 @@ object SparkEntry {
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q_dd_minhash_pairs" ->
       s"SELECT urlA, urlB FROM read_parquet('$goldenDir/q_dd_minhash_pairs/*.parquet') ORDER BY urlA, urlB",
+    // SimHash recomputed SYMBOLICALLY (engine-independent, no fixture):
+    // FNV-1a 64 per token via HUGEINT-mod-2^64 list_reduce over codepoints
+    // (the corpus is ASCII, so codepoint == UTF-8 byte), then the bit-wise
+    // sign-majority, then two's-complement back to BIGINT. Verified to match
+    // the native kernel on all rows at sf0.01 — one LSH-family kernel is
+    // therefore cross-checked end-to-end outside the engine.
     "q_dd_simhash" ->
-      s"SELECT doc_id, simhash FROM read_parquet('$goldenDir/q_dd_simhash/*.parquet') ORDER BY doc_id",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(1, length(t) + 1), i -> ord(substr(t, i, 1))::HUGEINT)),
+        |      (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |    ) AS h
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, r.k,
+        |    sum(CASE WHEN (h // (1::HUGEINT << r.k::INT)) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM th CROSS JOIN range(0, 64) r(k)
+        |  GROUP BY doc_id, r.k)
+        |SELECT doc_id,
+        |  sum(CASE WHEN cnt > 0 THEN
+        |    CASE WHEN k = 63 THEN -9223372036854775808::HUGEINT ELSE (1::HUGEINT << k::INT) END
+        |    ELSE 0::HUGEINT END)::BIGINT AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_txt_fingerprint" ->
       s"SELECT doc_id, fp0 FROM read_parquet('$goldenDir/q_txt_fingerprint/*.parquet') ORDER BY doc_id",
     "q_ann_lsh" ->
