@@ -533,6 +533,29 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ---- gold-data evaluation (the reference's labeled fixture) ----
+    "q_eval_gold" -> ((s, dir) => {
+      // the reference's real 30-row gold fixture through the full harness
+      // (gt-excluded mentions -> blocking -> scoring -> top-1 decision),
+      // symbolic-scoring form so DuckDB recomputes every step independently
+      val table = graft.eval.GoldEval.loadTable(s)
+      val proc = graft.eval.GoldEval.processingFrame(table)
+      val mentions = graft.eval.GoldEval.mentionVariants(proc)
+      val entities = graft.eval.GoldEval.entityTable(table)
+      val linked = graft.eval.GoldEval.linkLev(mentions, entities)
+      val gold = table.select(col("title").as("row_key"), col("title_QID").as("gold_id"))
+      linked
+        .join(mentions.select("url", "row_key"), "url")
+        .join(gold, "row_key")
+        .select(
+          col("url"),
+          col("predicted_id"),
+          col("gold_id"),
+          (col("predicted_id") === col("gold_id")).as("correct")
+        )
+        .orderBy("url")
+    }),
+
     // ---- multimodal plumbing ----
     "q_mm_binary_meta" -> ((s, dir) =>
       // binary column plumbing: bytes -> typed metadata (decode stubbed as
@@ -783,6 +806,54 @@ object SparkEntry {
         | 'job-' || user_id AS decoded_job,
         | CAST(event_id AS BIGINT) AS decoded_seq
         |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin,
+    // the whole gold harness recomputed symbolically: variants, gt-excluded
+    // mention frame, the two blocking keys, lev-ratio scoring, top-1-or-NIL
+    // decision, gold join-back — an engine-independent end-to-end check of
+    // the evaluation pipeline on the reference's own labeled data
+    "q_eval_gold" ->
+      s"""WITH t AS (SELECT title, title_QID FROM read_csv('${graft.eval.GoldEval.defaultGoldCsv}', header=true, all_varchar=true)),
+        |m AS (
+        |  SELECT 'm:v0:' || title AS url, title AS text, title AS row_key FROM t
+        |  UNION ALL
+        |  SELECT 'm:v1:' || title, ' ' || replace(title, ' ', '  ') || ' ', title FROM t
+        |  UNION ALL
+        |  SELECT 'm:v2:' || title,
+        |    substr(title, 1, length(title) - 2) || substr(title, length(title), 1) || substr(title, length(title) - 1, 1),
+        |    title
+        |  FROM t
+        |  WHERE len(string_split(regexp_replace(trim(lower(title)), '\\s+', ' ', 'g'), ' ')) >= 2
+        |    AND length(title) >= 4 AND substr(title, length(title) - 1, 2) NOT LIKE '% %'),
+        |e AS (SELECT title_QID AS entity_id, title AS label FROM t
+        |      UNION ALL SELECT 'X' || title_QID, title || ' II' FROM t),
+        |corpus AS (SELECT url, text FROM m UNION ALL SELECT 'kb:' || entity_id, label FROM e),
+        |norm AS (SELECT url, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS nt FROM corpus),
+        |keys AS (
+        |  SELECT DISTINCT url, key FROM (
+        |    SELECT url, 'n:' || nt AS key FROM norm
+        |    UNION ALL
+        |    SELECT url, 'ft:' || string_split(nt, ' ')[1] FROM norm)),
+        |pairs AS (
+        |  SELECT DISTINCT a.url AS urlA, b.url AS urlB
+        |  FROM keys a JOIN keys b ON a.key = b.key AND a.url < b.url
+        |  WHERE a.url LIKE 'kb:%' AND b.url LIKE 'm:%'),
+        |scored AS (
+        |  SELECT p.urlA, p.urlB,
+        |    CASE WHEN greatest(length(na.nt), length(nb.nt)) = 0 THEN 1.0
+        |      ELSE 1.0 - levenshtein(na.nt, nb.nt)::DOUBLE / greatest(length(na.nt), length(nb.nt))
+        |    END AS score
+        |  FROM pairs p JOIN norm na ON na.url = p.urlA JOIN norm nb ON nb.url = p.urlB),
+        |top AS (
+        |  SELECT urlB AS url, urlA, score,
+        |    row_number() OVER (PARTITION BY urlB ORDER BY score DESC, urlA ASC) AS rn
+        |  FROM scored)
+        |SELECT m.url,
+        |  coalesce(CASE WHEN top.score >= 0.5 THEN substr(top.urlA, 4) ELSE 'NIL' END, 'NIL') AS predicted_id,
+        |  t.title_QID AS gold_id,
+        |  coalesce(CASE WHEN top.score >= 0.5 THEN substr(top.urlA, 4) ELSE 'NIL' END, 'NIL') = t.title_QID AS correct
+        |FROM m
+        |LEFT JOIN (SELECT * FROM top WHERE rn = 1) top ON top.url = m.url
+        |JOIN t ON t.title = m.row_key
+        |ORDER BY m.url""".stripMargin,
     "q_s10_runlog" ->
       """SELECT user_id, last_seq, last_type FROM (
         |  SELECT user_id, event_id AS last_seq, event_type AS last_type,

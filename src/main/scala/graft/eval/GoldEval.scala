@@ -1,0 +1,175 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Blocker, BlockingStrategy, PairScorer}
+
+/** The reference's REAL gold harness: the 30-row labeled fixture
+  * /root/reference/tests/data/film_with_QIDs.csv:1-31 (title -> title_QID)
+  * run through blocking + pairwise scoring + top-1 decision, with the
+  * reference's gt-column exclusion (`gt_columns` drops the label column from
+  * the processing frame before linking — lion_linker/lion_linker.py:196,
+  * 945,969) and the predictions joined back to gold only for evaluation.
+  *
+  * The KB side is derived deterministically from the fixture (the true
+  * entity per row plus a near-miss distractor per entity), standing in for
+  * the reference's retriever candidate sets — the gold QIDs are legitimate
+  * KB content; what must NOT leak into linking is the mention-row label,
+  * which is exactly what `processingFrame` drops.
+  */
+object GoldEval {
+
+  /** Fixture path, overridable per checkout (-Dgraft.gold.csv / GRAFT_GOLD_CSV). */
+  val defaultGoldCsv: String = sys.props
+    .get("graft.gold.csv")
+    .orElse(sys.env.get("GRAFT_GOLD_CSV"))
+    .getOrElse("/root/reference/tests/data/film_with_QIDs.csv")
+
+  def loadTable(spark: SparkSession, path: String = defaultGoldCsv): DataFrame =
+    spark.read.option("header", true).csv(path)
+
+  /** P1 gt exclusion: the frame the linker is allowed to see. */
+  def processingFrame(table: DataFrame, gtColumns: Seq[String] = Seq("title_QID")): DataFrame =
+    table.drop(gtColumns.filter(table.columns.contains): _*)
+
+  /** Candidate entity table from the fixture: (entity_id, label) — the true
+    * entity per gold row plus one deterministic near-miss distractor
+    * (id X<qid>, label "<title> II") so top-1 has something to beat.
+    */
+  def entityTable(table: DataFrame, idCol: String = "title_QID", labelCol: String = "title"): DataFrame =
+    table
+      .select(col(idCol).as("entity_id"), col(labelCol).as("label"))
+      .unionAll(
+        table.select(
+          concat(lit("X"), col(idCol)).as("entity_id"),
+          concat(col(labelCol), lit(" II")).as("label")
+        )
+      )
+
+  /** Deterministic mention variants per processing row — the corpus whose
+    * pairs are the labeled pairs of the F1 gate:
+    *   v0 the raw mention;
+    *   v1 a whitespace variant (doubled inner + leading/trailing spaces —
+    *      identical after normalization);
+    *   v2 an adjacent-transposition typo in the last two characters
+    *      (only for >=2-token mentions whose final two characters are both
+    *      non-space, so the typo stays inside the last word and first-token
+    *      blocking still reaches the true entity).
+    * Output: (url, text, row_key) with row_key = the raw mention (unique in
+    * the fixture), used ONLY by the evaluator to join back to gold.
+    */
+  def mentionVariants(processing: DataFrame, mentionCol: String = "title"): DataFrame = {
+    val m = col(mentionCol)
+    val L = length(m)
+    val ntokens = size(graft.functions.Normalize.tokensOf(m))
+    val v0 = processing.select(concat(lit("m:v0:"), m).as("url"), m.as("text"), m.as("row_key"))
+    val v1 = processing.select(
+      concat(lit("m:v1:"), m).as("url"),
+      concat(lit(" "), regexp_replace(m, " ", "  "), lit(" ")).as("text"),
+      m.as("row_key")
+    )
+    val v2 = processing
+      .where(ntokens >= 2 && L >= 4 && m.substr(L - 1, lit(2)).contains(" ") === false)
+      .select(
+        concat(lit("m:v2:"), m).as("url"),
+        concat(m.substr(lit(1), L - 2), m.substr(L, lit(1)), m.substr(L - 1, lit(1))).as("text"),
+        m.as("row_key")
+      )
+    v0.unionAll(v1).unionAll(v2)
+  }
+
+  /** Normalized text used by blocking keys and the symbolic score. */
+  private def ntext(text: org.apache.spark.sql.Column) =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Exact-normalized-label blocking: v0/v1 variants and the true entity
+    * collapse to one key.
+    */
+  object NormLabelBlocking extends BlockingStrategy {
+    val name = "norm_label"
+    def keys(pages: DataFrame): DataFrame =
+      pages.select(col("url"), concat(lit("n:"), ntext(col("text"))).as("key"))
+  }
+
+  /** First-token blocking: reaches typo variants (typo is in the LAST word). */
+  object FirstTokenBlocking extends BlockingStrategy {
+    val name = "first_token"
+    def keys(pages: DataFrame): DataFrame =
+      pages.select(
+        col("url"),
+        concat(lit("ft:"), element_at(graft.functions.Normalize.tokensOf(col("text")), 1)).as("key")
+      )
+  }
+
+  /** Candidate (entity, mention) pairs through the production Blocker.
+    * `Blocker.pairs` orients urlA < urlB, and "kb:" < "m:" lexicographically,
+    * so mixed pairs always arrive as (urlA = entity, urlB = mention).
+    */
+  private def candidatePairs(corpus: DataFrame): DataFrame =
+    Blocker
+      .pairs(Blocker.allKeys(corpus, Seq(NormLabelBlocking, FirstTokenBlocking)))
+      .where(col("urlA").startsWith("kb:") && col("urlB").startsWith("m:"))
+
+  private def corpusOf(mentions: DataFrame, entities: DataFrame): DataFrame =
+    mentions
+      .select(col("url"), col("text"))
+      .unionAll(entities.select(concat(lit("kb:"), col("entity_id")).as("url"), col("label").as("text")))
+
+  /** Top-1-or-NIL decision over scored (urlA=entity, urlB=mention, score)
+    * pairs: per mention the best-scoring entity (ties by entity id — W1/W2
+    * ranking semantics), NIL below `nilThreshold` or with no candidates
+    * (the reference's match_threshold rule, DecisionOps.predict).
+    */
+  private def decideTop1(scored: DataFrame, mentions: DataFrame, nilThreshold: Double): DataFrame = {
+    val w = Window.partitionBy("urlB").orderBy(col("score").desc, col("urlA").asc)
+    val top = scored
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(
+        col("urlB").as("url"),
+        when(col("score") >= nilThreshold, col("urlA").substr(lit(4), length(col("urlA"))))
+          .otherwise("NIL")
+          .as("predicted_id"),
+        col("score")
+      )
+    mentions
+      .select(col("url"))
+      .join(top, Seq("url"), "left")
+      .select(col("url"), coalesce(col("predicted_id"), lit("NIL")).as("predicted_id"), col("score"))
+  }
+
+  /** Full-kernel linking: block -> PairScorer (JW + banded Levenshtein +
+    * TF-IDF cosine) -> top-1 decision. Returns (url, predicted_id, score).
+    */
+  def link(
+      mentions: DataFrame,
+      entities: DataFrame,
+      weights: PairScorer.Weights = PairScorer.Weights(),
+      nilThreshold: Double = 0.5
+  ): DataFrame = {
+    val corpus = corpusOf(mentions, entities)
+    val scored = PairScorer.score(candidatePairs(corpus), PairScorer.features(corpus), weights)
+    decideTop1(scored.select("urlA", "urlB", "score"), mentions, nilThreshold)
+  }
+
+  /** Symbolic-scoring variant (battery/oracle form): identical blocking and
+    * decision, score = Levenshtein ratio over normalized text — every step
+    * is reproducible in ANSI SQL, so the DuckDB oracle recomputes the whole
+    * harness independently.
+    */
+  def linkLev(mentions: DataFrame, entities: DataFrame, nilThreshold: Double = 0.5): DataFrame = {
+    val corpus = corpusOf(mentions, entities)
+    val n = corpus.select(col("url"), ntext(col("text")).as("nt"))
+    val scored = candidatePairs(corpus)
+      .join(n.select(col("url").as("urlA"), col("nt").as("nt_a")), "urlA")
+      .join(n.select(col("url").as("urlB"), col("nt").as("nt_b")), "urlB")
+      .select(
+        col("urlA"),
+        col("urlB"),
+        graft.functions.Normalize.levRatio(col("nt_a"), col("nt_b")).as("score")
+      )
+    decideTop1(scored, mentions, nilThreshold)
+  }
+}
