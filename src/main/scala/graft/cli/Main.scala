@@ -1,6 +1,6 @@
 package graft.cli
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators._
@@ -29,6 +29,81 @@ object Main {
     "domain" -> DomainBlocking,
     "minhash" -> MinHashBlocking()
   )
+
+  /** Mention-column resolution, mirroring the reference's precedence
+    * (app/services/linker.py:428-471): explicit selection first, then link
+    * columns, then the configured mention columns, then the first header
+    * column. Selection/link items may be column NAMES or positional INDEXES
+    * (a digits-only item); unknown names / out-of-range indexes in
+    * selection/link are hard errors, configured mention columns are
+    * silently filtered to those present.
+    */
+  def resolveMentionColumns(
+      header: Seq[String],
+      selection: Seq[String] = Nil,
+      linkColumns: Seq[String] = Nil,
+      mentionConfig: Seq[String] = Nil
+  ): Seq[String] = {
+    def resolveStrict(items: Seq[String], what: String): Seq[String] =
+      items.map { item =>
+        if (item.nonEmpty && item.forall(_.isDigit)) {
+          val idx = item.toInt
+          require(idx >= 0 && idx < header.length, s"$what column index out of range: $item")
+          header(idx)
+        } else {
+          require(header.contains(item), s"$what column not found: $item")
+          item
+        }
+      }
+    if (selection.nonEmpty) resolveStrict(selection, "Selection")
+    else if (linkColumns.nonEmpty) resolveStrict(linkColumns, "Link")
+    else {
+      val configured = mentionConfig.filter(header.contains)
+      if (configured.nonEmpty) configured
+      else header.headOption.toSeq
+    }
+  }
+
+  private def csvList(opts: Map[String, String], key: String): Seq[String] =
+    opts.get(key).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** Lift an arbitrary input frame into the pipeline's (url, text, ...)
+    * shape: drop gt columns (reference gt_columns semantics — P1, errors
+    * ignored for absent names), resolve mention columns by the reference
+    * precedence, synthesize `text` from the mention columns and `url` from
+    * --id-column / an `id_row` column / an existing `url` column / a
+    * content hash, in that order. A frame that already has url+text and no
+    * column flags passes through untouched (minus gt columns).
+    */
+  def preparePages(df: DataFrame, opts: Map[String, String]): DataFrame = {
+    val gtCols = csvList(opts, "gt-columns").filter(df.columns.contains)
+    val dropped = if (gtCols.nonEmpty) df.drop(gtCols: _*) else df
+    val header = dropped.columns.toSeq
+    val hasFlags =
+      Seq("select-columns", "link-columns", "mention-columns", "id-column").exists(opts.contains)
+    if (!hasFlags && header.contains("url") && header.contains("text")) dropped
+    else {
+      val mentionCols = resolveMentionColumns(
+        header,
+        csvList(opts, "select-columns"),
+        csvList(opts, "link-columns"),
+        csvList(opts, "mention-columns")
+      )
+      require(mentionCols.nonEmpty, "no mention column resolvable: empty header")
+      val idCol = opts
+        .get("id-column")
+        .orElse(Seq("id_row", "url").find(header.contains))
+      val url = idCol match {
+        case Some(c) => col(c).cast("string")
+        // content-addressed fallback: deterministic across partitionings
+        // (duplicate rows collapse to one page, which linkage tolerates)
+        case None => sha2(to_json(struct(header.map(col): _*)), 256)
+      }
+      val text = concat_ws(" ", mentionCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+      dropped.select((Seq(url.as("url"), text.as("text")) ++
+        header.filterNot(c => c == "url" || c == "text").map(col)): _*)
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
@@ -93,7 +168,7 @@ object Main {
       // S4 materializer: synth:N (generated), csv:path (header CSV through
       // any Hadoop FS scheme — the reference's CSV upload surface,
       // app/api/routes.py:244-337), else parquet dir
-      val pages =
+      val raw =
         if (input.startsWith("synth:")) {
           val n = input.drop("synth:".length).toInt
           val synthDir = s"$output-input"
@@ -103,19 +178,22 @@ object Main {
           spark.read.parquet(synthDir)
         } else if (input.startsWith("csv:") || input.endsWith(".csv")) {
           val path = if (input.startsWith("csv:")) input.drop(4) else input
-          val df = spark.read.option("header", true).option("escape", "\\").csv(path)
-          require(
-            df.columns.contains("url") && df.columns.contains("text"),
-            s"csv input needs url,text columns; found ${df.columns.mkString(",")}"
-          )
-          df
+          spark.read.option("header", true).option("escape", "\\").csv(path)
         } else spark.read.parquet(input)
+      // any table shape is accepted: gt columns dropped, mention columns
+      // resolved by name or index (--select-columns/--link-columns/
+      // --mention-columns), url synthesized when absent
+      val pages = preparePages(raw, opts)
 
       if (opts.get("warmup").contains("true"))
         LinkagePipeline.run(pages.limit(20000), cfg).foreach(_ => ())
 
       val t0 = System.nanoTime()
-      val preds = opts.get("snapshots") match {
+      val preds = if (opts.get("dry-run").contains("true")) {
+        // hermetic all-NIL pass with the full output schema, zero scoring
+        // (reference dry-run, app/services/linker.py:100-123,742-839)
+        LinkagePipeline.dryRun(pages)
+      } else opts.get("snapshots") match {
         case Some(snapDir) =>
           val hash = graft.io.TableIO.configHash(
             Map(

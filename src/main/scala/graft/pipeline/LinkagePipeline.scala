@@ -154,6 +154,27 @@ object LinkagePipeline {
     out
   }
 
+  /** Dry-run (reference `LION_DRY_RUN`, app/services/linker.py:100-123,
+    * 742-839): deterministic all-NIL predictions with the FULL output schema
+    * and zero scoring/joins — blank mentions are skipped like the
+    * reference's `if not mention.strip(): continue`, every surviving row is
+    * its own singleton cluster with score 0.0 and status "nil", and `seq` is
+    * the same deterministic total order as a real run.
+    */
+  def dryRun(pages: DataFrame): DataFrame = {
+    val out = pages
+      .select("url", "text")
+      .where(length(trim(coalesce(col("text"), lit("")))) > 0)
+      .select(
+        col("url"),
+        col("url").as("cluster_id"),
+        lit(0.0).as("score"),
+        lit("nil").as("status"),
+        col("text")
+      )
+    withDeterministicSeq(out, "url")
+  }
+
   /** See graft.util.Checkpoints.serializedLocal. */
   def checkpointed(df: DataFrame): DataFrame = graft.util.Checkpoints.serializedLocal(df)
 

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.cli.Main
+import graft.pipeline.LinkagePipeline
+
+/** CLI input-shaping semantics: mention-column resolution by the reference
+  * precedence (selection > link columns > configured mention columns > first
+  * column, names or positional indexes — app/services/linker.py:428-471),
+  * gt-column exclusion, url synthesis, and dry-run mode.
+  */
+class CliSpec extends SparkSpec {
+
+  private val header = Seq("film", "film_QID", "director", "year")
+
+  test("mention-column resolution precedence and positional indexes") {
+    // selection wins, by index
+    assert(Main.resolveMentionColumns(header, selection = Seq("2")) === Seq("director"))
+    // selection by name
+    assert(Main.resolveMentionColumns(header, selection = Seq("film")) === Seq("film"))
+    // link columns when no selection (mixed name + index)
+    assert(Main.resolveMentionColumns(header, linkColumns = Seq("3", "film")) === Seq("year", "film"))
+    // configured mention columns filter to present ones
+    assert(
+      Main.resolveMentionColumns(header, mentionConfig = Seq("nope", "director")) === Seq("director")
+    )
+    // fallback: first header column
+    assert(Main.resolveMentionColumns(header) === Seq("film"))
+    // strict errors for selection/link
+    intercept[IllegalArgumentException](Main.resolveMentionColumns(header, selection = Seq("9")))
+    intercept[IllegalArgumentException](Main.resolveMentionColumns(header, linkColumns = Seq("nope")))
+  }
+
+  test("preparePages: gt drop + index-resolved mention on a table without url/text") {
+    import spark.implicits._
+    val df = Seq(
+      ("Avatar", "Q24871", "James Cameron", "2009"),
+      ("Titanic", "Q44578", "James Cameron", "1997")
+    ).toDF(header: _*)
+    val pages = Main.preparePages(
+      df,
+      Map("gt-columns" -> "film_QID", "select-columns" -> "0", "id-column" -> "film")
+    )
+    assert(pages.columns.contains("url") && pages.columns.contains("text"))
+    assert(!pages.columns.contains("film_QID"))
+    val rows = pages.select("url", "text").orderBy("url").collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("Avatar", "Titanic"))
+    assert(rows.map(_.getString(1)).toSeq === Seq("Avatar", "Titanic"))
+  }
+
+  test("preparePages: url synthesized deterministically when no id column exists") {
+    import spark.implicits._
+    val df = Seq(("doc one text", "en"), ("doc two text", "fr")).toDF("body", "lang")
+    val pages = Main.preparePages(df, Map("mention-columns" -> "body"))
+    val urls = pages.select("url").collect().map(_.getString(0))
+    assert(urls.distinct.length === 2 && urls.forall(_.length === 64)) // sha256 hex
+    // and the linkage pipeline runs end-to-end over it
+    val preds = LinkagePipeline.run(pages)
+    assert(preds.count() === 2)
+    assert(preds.columns.toSet === Set("url", "cluster_id", "score", "status", "text", "seq"))
+  }
+
+  test("preparePages: frame already shaped (url, text) passes through untouched") {
+    import spark.implicits._
+    val df = Seq(("https://a.org/x", "hello world")).toDF("url", "text")
+    assert(Main.preparePages(df, Map.empty).collect() === df.collect())
+  }
+
+  test("dry-run: full output schema, all nil, blank mentions skipped, deterministic seq") {
+    import spark.implicits._
+    val pages = Seq(
+      ("u3", "gamma text"),
+      ("u1", "alpha text"),
+      ("u2", "   "), // blank mention -> skipped (reference: not mention.strip())
+      ("u4", "delta text")
+    ).toDF("url", "text")
+    val out = LinkagePipeline.dryRun(pages).orderBy("seq").collect()
+    assert(out.length === 3)
+    assert(out.forall(_.getAs[String]("status") == "nil"))
+    assert(out.forall(r => r.getAs[String]("cluster_id") == r.getAs[String]("url")))
+    assert(out.forall(_.getAs[Double]("score") == 0.0))
+    // seq: dense 1..N in url order
+    assert(out.map(_.getAs[Long]("seq")).toSeq === Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[String]("url")).toSeq === Seq("u1", "u3", "u4"))
+  }
+}
