@@ -115,6 +115,29 @@ object Bench {
       err(f"normalized (flagship/ceiling): ${efficiency / ctlEff}%.3f")
     }
 
+    // ---- part 1b: durable-checkpoint overhead (one-off datapoint) ----
+    // the executor-loss-safe CC path (Config.checkpointDir) vs the default
+    // localCheckpoint, same input, one timed run each at local[cpus] —
+    // proves the durability premium is affordable for the large-run default
+    var durPlain, durCk = -1.0
+    if (!skipScaling && !sys.env.contains("SPARK_GRAFT_BENCH_SKIP_DURABLE")) {
+      val spark = LinkagePipeline.session(s"local[$cpus]", "graft-bench-durable")
+      spark.sparkContext.setLogLevel("ERROR")
+      try {
+        val ckDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench-ck-${System.nanoTime()}"
+        LinkagePipeline.run(spark.read.parquet(corpusDir).limit(20000)).foreach(_ => ()) // warmup
+        var t0 = System.nanoTime()
+        LinkagePipeline.run(spark.read.parquet(corpusDir)).foreach(_ => ())
+        durPlain = (System.nanoTime() - t0) / 1e9
+        t0 = System.nanoTime()
+        LinkagePipeline
+          .run(spark.read.parquet(corpusDir), LinkagePipeline.Config(checkpointDir = Some(ckDir)))
+          .foreach(_ => ())
+        durCk = (System.nanoTime() - t0) / 1e9
+        err(f"durable-cc: plain=$durPlain%.2f s, durable=$durCk%.2f s, overhead=${durCk / durPlain}%.2fx")
+      } finally spark.stop()
+    }
+
     // ---- part 2: per-query timings on the sf dir ----
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     if (!sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")) {
@@ -147,7 +170,10 @@ object Bench {
           s""""wall_4n_sec":${"%.2f".format(t4N)},"scaling_efficiency":${"%.3f".format(efficiency)},""" +
           s""""control_wall_n_sec":${"%.2f".format(cN)},"control_wall_4n_sec":${"%.2f".format(c4N)},""" +
           s""""control_ceiling_efficiency":${"%.3f".format(ctlEff)},""" +
-          s""""normalized_efficiency":${"%.3f".format(efficiency / ctlEff)}}"""
+          s""""normalized_efficiency":${"%.3f".format(efficiency / ctlEff)},""" +
+          s""""durable_cc_plain_sec":${"%.2f".format(durPlain)},""" +
+          s""""durable_cc_wall_sec":${"%.2f".format(durCk)},""" +
+          s""""durable_cc_overhead":${if (durPlain > 0) "%.3f".format(durCk / durPlain) else "null"}}"""
     val metricValue = if (skipScaling) "null" else "%.1f".format(tput4N)
     val json =
       s"""{"metric":"docs_per_sec_4n_executors","value":$metricValue,"unit":"docs/sec",""" +

@@ -120,7 +120,10 @@ object Main {
     val cfg = LinkagePipeline.Config(
       strategies = strategies,
       weights = weights,
-      maxBlockSize = opts.get("max-block-size").map(_.toInt).getOrElse(1000)
+      maxBlockSize = opts.get("max-block-size").map(_.toInt).getOrElse(1000),
+      // --checkpoint-dir: executor-loss-safe CC checkpoints (the large-run
+      // setting); lighter than full --snapshots resumability
+      checkpointDir = opts.get("checkpoint-dir")
     )
 
     val spark = LinkagePipeline.session(master, "graft-linkage-cli")

@@ -36,15 +36,28 @@ final case class StageManifest(
     partitionCounts: Map[String, Long],
     seq: Long,
     inputStages: List[String],
-    createdAt: String // ISO-8601 UTC (F17; informational, never compared)
+    createdAt: String, // ISO-8601 UTC (F17; informational, never compared)
+    /** In-flight `df.observe()` metrics captured DURING the stage's write
+      * (A2 streamed-counter analog, reference SSE progress
+      * app/api/routes.py:552-575) — zero extra passes, unlike the post-hoc
+      * partition counts. Default keeps pre-round-3 manifests readable.
+      */
+    metrics: Map[String, Double] = Map.empty
 )
 
 trait TableIO {
 
   /** Commit `df` as stage `stage`; returns the committed frame re-read from
     * storage (lineage truncated — doubles as the CC iteration checkpoint).
+    * `observedMetrics` is called AFTER the data commit (so `Observation.get`
+    * on the committed plan has its values) and lands in the manifest.
     */
-  def commitStage(df: DataFrame, stage: String, inputStages: Seq[String] = Nil): DataFrame
+  def commitStage(
+      df: DataFrame,
+      stage: String,
+      inputStages: Seq[String] = Nil,
+      observedMetrics: () => Map[String, Double] = () => Map.empty
+  ): DataFrame
 
   /** The stage's frame iff a valid manifest exists for this run config. */
   def readStage(spark: SparkSession, stage: String): Option[DataFrame]
@@ -70,7 +83,12 @@ final class ParquetTableIO(baseDir: String, runId: String, configHash: String) e
   private def fs(p: Path, spark: SparkSession) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  override def commitStage(df: DataFrame, stage: String, inputStages: Seq[String]): DataFrame = {
+  override def commitStage(
+      df: DataFrame,
+      stage: String,
+      inputStages: Seq[String],
+      observedMetrics: () => Map[String, Double]
+  ): DataFrame = {
     val dir = stageDir(stage)
     df.write.mode("overwrite").parquet(s"$dir/data")
     val spark = df.sparkSession
@@ -91,7 +109,8 @@ final class ParquetTableIO(baseDir: String, runId: String, configHash: String) e
       partCounts,
       seqCounter,
       inputStages.toList,
-      java.time.Instant.now().toString
+      java.time.Instant.now().toString,
+      observedMetrics()
     )
     // same FileSystem as the data: manifests survive non-local baseDirs
     val mp = manifestPath(stage)

@@ -33,7 +33,15 @@ object LinkagePipeline {
         * thresholds, broadcast-joined at threshold time (SURVEY §2.9);
         * `weights.threshold` is the fallback.
         */
-      perKeyThresholds: Option[DataFrame] = None
+      perKeyThresholds: Option[DataFrame] = None,
+      /** Durable checkpoint root for the edge set + CC iterations. Unset
+        * (small/interactive runs): fast serialized localCheckpoint, NOT
+        * executor-loss-safe. Set (the large-run default on a real cluster):
+        * every iteration persists to this dir (hdfs://, s3a://, ...) and
+        * survives executor loss — the lighter sibling of the fully
+        * resumable `runResumable` snapshots.
+        */
+      checkpointDir: Option[String] = None
   )
 
   /** Spark session tuned for the engine: AQE + skew join on, shuffle
@@ -116,13 +124,16 @@ object LinkagePipeline {
     val accepted = PairScorer.threshold(scored, cfg.weights, cfg.perKeyThresholds)
 
     // scoring + CC reuse the accepted edge set: materialize it once
-    // (reliable checkpoint if a dir is set, else local)
-    val acceptedCk = checkpointed(accepted)
+    // (durable checkpoint when a dir is configured, else serialized local)
+    val snapshot: DataFrame => DataFrame =
+      cfg.checkpointDir.map(graft.util.Checkpoints.reliable).getOrElse(checkpointed)
+    val acceptedCk = snapshot(accepted)
     releaseFeats() // pair join materialized; drop the tokenize+hash cache
 
     val clusters = ConnectedComponents.run(
       acceptedCk.select(col("urlA").as("src"), col("urlB").as("dst")),
-      cfg.maxCcIterations
+      cfg.maxCcIterations,
+      snapshot
     )
 
     val bestScore = acceptedCk
@@ -202,22 +213,50 @@ object LinkagePipeline {
     val spark = pages.sparkSession
     val corpus = pages.select("url", "text")
 
+    // A2 in-flight progress counters: df.observe() rides the stage's own
+    // write job (zero extra passes) and the values land in the stage
+    // manifest — the reference streams these over SSE
+    // (app/api/routes.py:552-575); here the manifest is the progress feed
+    def metricsOf(obs: org.apache.spark.sql.Observation): Map[String, Double] =
+      obs.get.collect { case (k, v: Number) => k -> v.doubleValue() }
+
     val keys = io
       .readStage(spark, "keys")
-      .getOrElse(io.commitStage(Blocker.allKeys(corpus, cfg.strategies), "keys"))
+      .getOrElse {
+        val obs = org.apache.spark.sql.Observation()
+        val observed = Blocker
+          .allKeys(corpus, cfg.strategies)
+          .observe(
+            obs,
+            count(lit(1)).as("blocked_key_rows"),
+            approx_count_distinct(col("url")).as("pages_with_keys_approx")
+          )
+        io.commitStage(observed, "keys", Nil, () => metricsOf(obs))
+      }
     val pairs = io
       .readStage(spark, "pairs")
-      .getOrElse(io.commitStage(Blocker.pairs(keys, cfg.maxBlockSize), "pairs", Seq("keys")))
+      .getOrElse {
+        val obs = org.apache.spark.sql.Observation()
+        val observed = Blocker
+          .pairs(keys, cfg.maxBlockSize)
+          .observe(obs, count(lit(1)).as("candidate_pairs"))
+        io.commitStage(observed, "pairs", Seq("keys"), () => metricsOf(obs))
+      }
     val accepted = io
       .readStage(spark, "accepted")
       .getOrElse {
         val (feats, releaseFeats) = PairScorer.featuresWithRelease(corpus)
         val scored = PairScorer.score(pairs, feats, cfg.weights)
-        val committed = io.commitStage(
-          PairScorer.threshold(scored, cfg.weights, cfg.perKeyThresholds),
-          "accepted",
-          Seq("pairs")
-        )
+        val obs = org.apache.spark.sql.Observation()
+        val observed = PairScorer
+          .threshold(scored, cfg.weights, cfg.perKeyThresholds)
+          .observe(
+            obs,
+            count(lit(1)).as("accepted_edges"),
+            avg(col("score")).as("accepted_score_avg"),
+            min(col("score")).as("accepted_score_min")
+          )
+        val committed = io.commitStage(observed, "accepted", Seq("pairs"), () => metricsOf(obs))
         releaseFeats()
         committed
       }

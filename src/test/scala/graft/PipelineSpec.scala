@@ -108,4 +108,17 @@ class PipelineSpec extends SparkSpec {
       .select("url", "cluster_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(a == b)
   }
+
+  test("durable checkpointDir run matches the localCheckpoint run exactly") {
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
+    val plain = LinkagePipeline.run(pages)
+      .select("url", "cluster_id", "seq").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val durable = LinkagePipeline
+      .run(pages, LinkagePipeline.Config(checkpointDir = Some(ckDir)))
+      .select("url", "cluster_id", "seq").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(durable == plain)
+    // the edge set + every CC iteration actually persisted durably
+    val cks = new java.io.File(ckDir).list()
+    assert(cks != null && cks.count(_.startsWith("ck_")) >= 2, cks.mkString(","))
+  }
 }

@@ -44,6 +44,18 @@ class ResumeSpec extends SparkSpec {
     assert(m.get.rowCount > 0)
     assert(m.get.partitionCounts.values.sum == m.get.rowCount)
     assert(m.get.inputStages == List("keys"))
+
+    // in-flight observed metrics (A2 progress counters) landed in the
+    // manifests of the run that COMPUTED the stages (run1); they match the
+    // committed row counts and the accepted stage carries score stats
+    val keysM = io1.manifest("keys").get
+    assert(keysM.metrics.get("blocked_key_rows").contains(keysM.rowCount.toDouble), keysM.metrics)
+    assert(keysM.metrics.getOrElse("pages_with_keys_approx", 0.0) > 0.0, keysM.metrics)
+    val pairsM = io1.manifest("pairs").get
+    assert(pairsM.metrics.get("candidate_pairs").contains(pairsM.rowCount.toDouble), pairsM.metrics)
+    val accM = io1.manifest("accepted").get
+    assert(accM.metrics.get("accepted_edges").contains(accM.rowCount.toDouble), accM.metrics)
+    assert(accM.metrics.getOrElse("accepted_score_min", -1.0) >= 0.70, accM.metrics)
     rmrf(java.nio.file.Paths.get(base))
   }
 
