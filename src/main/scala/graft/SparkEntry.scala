@@ -859,8 +859,49 @@ object SparkEntry {
         |  SELECT user_id, event_id AS last_seq, event_type AS last_type,
         |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // MinHash-LSH candidate pairs recomputed SYMBOLICALLY: per-token FNV-1a,
+    // order-sensitive 3-token shingle fold, 16 family mixes (the 64x64-bit
+    // multiply mod 2^64 done by 32-bit split so INT128 never overflows),
+    // signed minima, and band keys as VALUE pairs (band hash ids don't
+    // matter for pair generation). Engine-independent end-to-end.
     "q_dd_minhash_pairs" ->
-      s"SELECT urlA, urlB FROM read_parquet('$goldenDir/q_dd_minhash_pairs/*.parquet') ORDER BY urlA, urlB",
+      """WITH tok AS (
+        |  SELECT 'doc:' || lpad(doc_id::VARCHAR, 6, '0') AS url,
+        |    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |th AS (
+        |  SELECT url,
+        |    list_transform(toks, t ->
+        |      list_reduce(
+        |        list_prepend(14695981039346656037::HUGEINT,
+        |          list_transform(range(1, length(t) + 1), i -> ord(substr(t, i, 1))::HUGEINT)),
+        |        (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)) AS ths
+        |  FROM tok),
+        |shs AS (
+        |  SELECT url,
+        |    list_transform(range(1, len(ths) - 1), w ->
+        |      list_reduce(list_prepend(14695981039346656037::HUGEINT, ths[w:w+2]),
+        |        (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)) AS shs
+        |  FROM th WHERE len(ths) >= 3),
+        |mixed AS (
+        |  SELECT url,
+        |    list_transform(range(1, 17), s ->
+        |      list_min(list_transform(
+        |        list_transform(shs, h ->
+        |          ((xor(h, (11400714819323198485::HUGEINT * s) % 18446744073709551616::HUGEINT) // 4294967296)
+        |             * 18397679294719823053::HUGEINT % 4294967296) * 4294967296
+        |          + (xor(h, (11400714819323198485::HUGEINT * s) % 18446744073709551616::HUGEINT) % 4294967296)
+        |             * 18397679294719823053::HUGEINT),
+        |        m -> CASE WHEN m % 18446744073709551616::HUGEINT >= 9223372036854775808::HUGEINT
+        |               THEN (m % 18446744073709551616::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+        |               ELSE (m % 18446744073709551616::HUGEINT)::BIGINT END))) AS sig
+        |  FROM shs),
+        |bands AS (
+        |  SELECT url, b.b, [sig[2 * b.b + 1], sig[2 * b.b + 2]] AS bk
+        |  FROM mixed CROSS JOIN range(0, 8) b(b))
+        |SELECT DISTINCT a.url AS urlA, b.url AS urlB
+        |FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.url < b.url
+        |ORDER BY urlA, urlB""".stripMargin,
     // SimHash recomputed SYMBOLICALLY (engine-independent, no fixture):
     // FNV-1a 64 per token via HUGEINT-mod-2^64 list_reduce over codepoints
     // (the corpus is ASCII, so codepoint == UTF-8 byte), then the bit-wise
@@ -888,8 +929,37 @@ object SparkEntry {
         |    CASE WHEN k = 63 THEN -9223372036854775808::HUGEINT ELSE (1::HUGEINT << k::INT) END
         |    ELSE 0::HUGEINT END)::BIGINT AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // fused 4-shingle MinHash slot 0 recomputed SYMBOLICALLY (same FNV +
+    // family-mix arithmetic as q_dd_minhash_pairs, raw single-space
+    // tokenization mirroring the Spark query); empty/short docs pin to
+    // Long.MaxValue like the kernel
     "q_txt_fingerprint" ->
-      s"SELECT doc_id, fp0 FROM read_parquet('$goldenDir/q_txt_fingerprint/*.parquet') ORDER BY doc_id",
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_transform(toks, t ->
+        |      list_reduce(
+        |        list_prepend(14695981039346656037::HUGEINT,
+        |          list_transform(range(1, length(t) + 1), i -> ord(substr(t, i, 1))::HUGEINT)),
+        |        (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)) AS ths
+        |  FROM tok)
+        |SELECT doc_id,
+        |  CASE WHEN len(ths) < 4 THEN 9223372036854775807
+        |  ELSE (
+        |    SELECT min(CASE WHEN hv >= 9223372036854775808::HUGEINT
+        |        THEN (hv - 18446744073709551616::HUGEINT)::BIGINT ELSE hv::BIGINT END)
+        |    FROM (
+        |      SELECT (((a // 4294967296) * 18397679294719823053::HUGEINT % 4294967296) * 4294967296
+        |             + (a % 4294967296) * 18397679294719823053::HUGEINT) % 18446744073709551616::HUGEINT AS hv
+        |      FROM (
+        |        SELECT xor(
+        |          list_reduce(list_prepend(14695981039346656037::HUGEINT, ths[w:w+3]),
+        |            (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT),
+        |          11400714819323198485::HUGEINT) AS a
+        |        FROM unnest(range(1, len(ths) - 2)) u(w)))
+        |  ) END AS fp0
+        |FROM th ORDER BY doc_id""".stripMargin,
     "q_ann_lsh" ->
       s"SELECT bucket, n, min_vec FROM read_parquet('$goldenDir/q_ann_lsh/*.parquet') ORDER BY bucket",
     "q_ann_ivf" ->
