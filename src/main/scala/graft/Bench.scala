@@ -171,9 +171,9 @@ object Bench {
           s""""control_wall_n_sec":${"%.2f".format(cN)},"control_wall_4n_sec":${"%.2f".format(c4N)},""" +
           s""""control_ceiling_efficiency":${"%.3f".format(ctlEff)},""" +
           s""""normalized_efficiency":${"%.3f".format(efficiency / ctlEff)},""" +
-          s""""durable_cc_plain_sec":${"%.2f".format(durPlain)},""" +
-          s""""durable_cc_wall_sec":${"%.2f".format(durCk)},""" +
-          s""""durable_cc_overhead":${if (durPlain > 0) "%.3f".format(durCk / durPlain) else "null"}}"""
+          s""""durable_cc_plain_sec":${if (durPlain > 0) "%.2f".format(durPlain) else "null"},""" +
+          s""""durable_cc_wall_sec":${if (durCk > 0) "%.2f".format(durCk) else "null"},""" +
+          s""""durable_cc_overhead":${if (durPlain > 0 && durCk > 0) "%.3f".format(durCk / durPlain) else "null"}}"""
     val metricValue = if (skipScaling) "null" else "%.1f".format(tput4N)
     val json =
       s"""{"metric":"docs_per_sec_4n_executors","value":$metricValue,"unit":"docs/sec",""" +

@@ -864,10 +864,14 @@ object SparkEntry {
     // multiply mod 2^64 done by 32-bit split so INT128 never overflows),
     // signed minima, and band keys as VALUE pairs (band hash ids don't
     // matter for pair generation). Engine-independent end-to-end.
+    // Known, accepted divergences that CANNOT occur at this sf: (1) Spark
+    // salt-splits bands over 1000 urls (oracle doesn't — max block here is
+    // tiny); (2) a 32-bit murmur collision between two band values would
+    // merge Spark blocks the oracle keeps apart (~n^2/2^33 per band).
     "q_dd_minhash_pairs" ->
       """WITH tok AS (
         |  SELECT 'doc:' || lpad(doc_id::VARCHAR, 6, '0') AS url,
-        |    string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS toks
+        |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
         |  FROM documents),
         |th AS (
         |  SELECT url,

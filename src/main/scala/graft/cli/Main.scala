@@ -83,11 +83,19 @@ object Main {
       Seq("select-columns", "link-columns", "mention-columns", "id-column").exists(opts.contains)
     if (!hasFlags && header.contains("url") && header.contains("text")) dropped
     else {
+      // with no explicit mention config, an existing `text` column is the
+      // default mention source — otherwise a flag like --id-column on a
+      // (url, text) frame would fall through to header.head and silently
+      // rebuild `text` from the id column
+      val mentionCfg = csvList(opts, "mention-columns") match {
+        case Nil => Seq("text")
+        case cfg => cfg
+      }
       val mentionCols = resolveMentionColumns(
         header,
         csvList(opts, "select-columns"),
         csvList(opts, "link-columns"),
-        csvList(opts, "mention-columns")
+        mentionCfg
       )
       require(mentionCols.nonEmpty, "no mention column resolvable: empty header")
       val idCol = opts
@@ -198,13 +206,19 @@ object Main {
         LinkagePipeline.dryRun(pages)
       } else opts.get("snapshots") match {
         case Some(snapDir) =>
+          // the hash must cover EVERYTHING that shapes the linker input —
+          // the column-resolution flags included — or a rerun with a
+          // different mention column would silently resume stages computed
+          // from differently-shaped text
+          val shapeFlags = Seq("select-columns", "link-columns", "mention-columns", "id-column", "gt-columns")
+            .map(k => k -> opts.getOrElse(k, ""))
           val hash = graft.io.TableIO.configHash(
             Map(
               "input" -> input,
               "strategies" -> strategies.map(_.name).mkString(","),
               "threshold" -> weights.threshold.toString,
               "maxBlockSize" -> cfg.maxBlockSize.toString
-            )
+            ) ++ shapeFlags
           )
           val io = new graft.io.ParquetTableIO(snapDir, runId = java.util.UUID.randomUUID.toString, hash)
           LinkagePipeline.runResumable(pages, cfg, io)

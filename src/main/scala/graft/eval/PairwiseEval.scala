@@ -34,9 +34,12 @@ object PairwiseEval {
     */
   def metrics(assignments: DataFrame, gold: DataFrame): Metrics = {
     val pred = predictedPairs(assignments)
-    val goldPos =
+    // dedup: a gold pair listed under several block keys/strategies must
+    // count once (the semi-join tp would, but a duplicated row inflates fn)
+    val goldPos = (
       if (gold.columns.contains("label")) gold.where(col("label")).select("url_a", "url_b")
       else gold.select("url_a", "url_b")
+    ).distinct()
     val tp = pred.join(goldPos, Seq("url_a", "url_b"), "left_semi").count()
     val fp = pred.join(goldPos, Seq("url_a", "url_b"), "left_anti").count()
     val fn = goldPos.join(pred, Seq("url_a", "url_b"), "left_anti").count()
@@ -53,6 +56,9 @@ object PairwiseEval {
     val goldPos =
       (if (gold.columns.contains("label")) gold.where(col("label")) else gold)
         .select("url_a", "url_b")
+        // dedup before the full-outer join: a duplicated gold pair would
+        // fan out the join and double-count tp/fn vs the semi-join form
+        .distinct()
         .withColumn("g", lit(1))
     pred
       .join(goldPos, Seq("url_a", "url_b"), "full_outer")

@@ -156,7 +156,7 @@ object DecisionOps {
       // re-reads the whole CSV to decide).
       def hasAnyValue =
         out.columns.contains(rankCol) &&
-          out.select(max(col(rankCol).isNotNull.cast("int")).as("any")).first().get(0) == 1
+          !out.select(rankCol).where(col(rankCol).isNotNull).isEmpty // limit-1 probe, not a full scan
       if (out.columns.contains(answerCol) && !hasAnyValue) {
         val meta = if (out.columns.contains(metaCol)) col(metaCol) else lit(null).cast("string")
         val pred =

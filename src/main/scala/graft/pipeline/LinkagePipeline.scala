@@ -124,16 +124,21 @@ object LinkagePipeline {
     val accepted = PairScorer.threshold(scored, cfg.weights, cfg.perKeyThresholds)
 
     // scoring + CC reuse the accepted edge set: materialize it once
-    // (durable checkpoint when a dir is configured, else serialized local)
-    val snapshot: DataFrame => DataFrame =
-      cfg.checkpointDir.map(graft.util.Checkpoints.reliable).getOrElse(checkpointed)
-    val acceptedCk = snapshot(accepted)
+    // (durable checkpoint when a dir is configured, else serialized local).
+    // Separate roots: the accepted checkpoint is re-read AFTER CC (bestScore)
+    // so it must survive the whole run; CC iterations only ever read the
+    // latest frame and rotate keep-last-2 to bound durable storage.
+    val edgeSnapshot: DataFrame => DataFrame =
+      cfg.checkpointDir.map(d => graft.util.Checkpoints.reliable(s"$d/accepted")).getOrElse(checkpointed)
+    val ccSnapshot: DataFrame => DataFrame =
+      cfg.checkpointDir.map(d => graft.util.Checkpoints.reliable(s"$d/cc", keepLast = 2)).getOrElse(checkpointed)
+    val acceptedCk = edgeSnapshot(accepted)
     releaseFeats() // pair join materialized; drop the tokenize+hash cache
 
     val clusters = ConnectedComponents.run(
       acceptedCk.select(col("urlA").as("src"), col("urlB").as("dst")),
       cfg.maxCcIterations,
-      snapshot
+      ccSnapshot
     )
 
     val bestScore = acceptedCk

@@ -23,13 +23,26 @@ object Checkpoints {
     * (`LinkagePipeline.Config.checkpointDir`); the write IS the materializing
     * action, so nothing is computed twice (RDD `checkpoint()` would re-run
     * the plan for its checkpoint job).
+    *
+    * `keepLast > 0` rotates: after writing ck_i, ck_(i-keepLast) is deleted
+    * — iterative callers (CC) only ever read the latest frame, and without
+    * rotation a 20-iteration run would leave 20 full edge-set copies on
+    * durable storage. Callers whose checkpoints are re-read later in the
+    * run (the accepted edge set) use keepLast = 0 (keep everything).
     */
-  def reliable(dir: String): DataFrame => DataFrame = {
+  def reliable(dir: String, keepLast: Int = 0): DataFrame => DataFrame = {
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     df => {
-      val p = s"$dir/ck_${counter.getAndIncrement()}"
+      val i = counter.getAndIncrement()
+      val p = s"$dir/ck_$i"
       df.write.mode("overwrite").parquet(p)
-      df.sparkSession.read.parquet(p)
+      val out = df.sparkSession.read.parquet(p)
+      if (keepLast > 0 && i - keepLast >= 0) {
+        val stale = new org.apache.hadoop.fs.Path(s"$dir/ck_${i - keepLast}")
+        val fs = stale.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(stale, true)
+      }
+      out
     }
   }
 }

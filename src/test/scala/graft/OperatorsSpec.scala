@@ -130,13 +130,13 @@ class OperatorsSpec extends SparkSpec {
       .embeddingNearDup(all, threshold = 0.95, lshBits = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Dedup
-      .embeddingNearDup(all, threshold = 0.95) // default = LSH scale path
+      .embeddingNearDupApprox(all, threshold = 0.95) // the explicit LSH scale path
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(brute), "LSH must never invent pairs (exact verify)")
     assert(brute.size >= 20)
     val recall = lsh.size.toDouble / brute.size
     info(s"LSH recall vs brute force: $recall (${lsh.size}/${brute.size})")
-    assert(recall >= 0.9, s"default LSH recall $recall below 0.9")
+    assert(recall >= 0.9, s"approx LSH recall $recall below 0.9")
   }
 
   test("decodeMeta plan has zero exchanges (row-local expression)") {

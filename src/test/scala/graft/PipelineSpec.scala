@@ -117,8 +117,11 @@ class PipelineSpec extends SparkSpec {
       .run(pages, LinkagePipeline.Config(checkpointDir = Some(ckDir)))
       .select("url", "cluster_id", "seq").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(durable == plain)
-    // the edge set + every CC iteration actually persisted durably
-    val cks = new java.io.File(ckDir).list()
-    assert(cks != null && cks.count(_.startsWith("ck_")) >= 2, cks.mkString(","))
+    // the edge set persisted durably; CC iterations rotate keep-last-2
+    val acceptedCks = new java.io.File(s"$ckDir/accepted").list()
+    assert(acceptedCks != null && acceptedCks.contains("ck_0"), String.valueOf(acceptedCks))
+    val ccCks = new java.io.File(s"$ckDir/cc").list()
+    assert(ccCks != null && ccCks.count(_.startsWith("ck_")) >= 1, String.valueOf(ccCks))
+    assert(ccCks.count(_.startsWith("ck_")) <= 2, s"CC checkpoints must rotate: ${ccCks.mkString(",")}")
   }
 }
