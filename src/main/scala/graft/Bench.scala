@@ -119,23 +119,26 @@ object Bench {
     // the executor-loss-safe CC path (Config.checkpointDir) vs the default
     // localCheckpoint, same input, one timed run each at local[cpus] —
     // proves the durability premium is affordable for the large-run default
-    var durPlain, durCk = -1.0
-    if (!skipScaling && !sys.env.contains("SPARK_GRAFT_BENCH_SKIP_DURABLE")) {
-      val spark = LinkagePipeline.session(s"local[$cpus]", "graft-bench-durable")
+    // fresh session per timed run (same protocol as the scaling part): the
+    // plain run's localCheckpoint blocks are never unpersisted, and in a
+    // shared session their memory pressure throttles whichever run goes
+    // second (first measured as a bogus 7x durable overhead)
+    def timeDurableOnce(cfg: LinkagePipeline.Config, tag: String): Double = {
+      val spark = LinkagePipeline.session(s"local[$cpus]", s"graft-bench-durable-$tag")
       spark.sparkContext.setLogLevel("ERROR")
       try {
-        val ckDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench-ck-${System.nanoTime()}"
         LinkagePipeline.run(spark.read.parquet(corpusDir).limit(20000)).foreach(_ => ()) // warmup
-        var t0 = System.nanoTime()
-        LinkagePipeline.run(spark.read.parquet(corpusDir)).foreach(_ => ())
-        durPlain = (System.nanoTime() - t0) / 1e9
-        t0 = System.nanoTime()
-        LinkagePipeline
-          .run(spark.read.parquet(corpusDir), LinkagePipeline.Config(checkpointDir = Some(ckDir)))
-          .foreach(_ => ())
-        durCk = (System.nanoTime() - t0) / 1e9
-        err(f"durable-cc: plain=$durPlain%.2f s, durable=$durCk%.2f s, overhead=${durCk / durPlain}%.2fx")
+        val t0 = System.nanoTime()
+        LinkagePipeline.run(spark.read.parquet(corpusDir), cfg).foreach(_ => ())
+        (System.nanoTime() - t0) / 1e9
       } finally spark.stop()
+    }
+    var durPlain, durCk = -1.0
+    if (!skipScaling && !sys.env.contains("SPARK_GRAFT_BENCH_SKIP_DURABLE")) {
+      val ckDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench-ck-${System.nanoTime()}"
+      durPlain = timeDurableOnce(LinkagePipeline.Config(), "plain")
+      durCk = timeDurableOnce(LinkagePipeline.Config(checkpointDir = Some(ckDir)), "ck")
+      err(f"durable-cc: plain=$durPlain%.2f s, durable=$durCk%.2f s, overhead=${durCk / durPlain}%.2fx")
     }
 
     // ---- part 2: per-query timings on the sf dir ----

@@ -964,8 +964,42 @@ object SparkEntry {
         |        FROM unnest(range(1, len(ths) - 2)) u(w)))
         |  ) END AS fp0
         |FROM th ORDER BY doc_id""".stripMargin,
+    // sign-LSH recomputed SYMBOLICALLY, float math included: the splitmix64
+    // hyperplane generator runs as staged HUGEINT mod-2^64 arithmetic (the
+    // two 64x64 multiplies via 32-bit split), plane scaling (h>>>11)/2^53*2-1
+    // is exact power-of-two float math, and the dot product accumulates in
+    // the kernel's element order via list_reduce — bit-identical doubles,
+    // so the sign bits (and buckets) match exactly.
     "q_ann_lsh" ->
-      s"SELECT bucket, n, min_vec FROM read_parquet('$goldenDir/q_ann_lsh/*.parquet') ORDER BY bucket",
+      """WITH pl0 AS (
+        |  SELECT p.p, i.i,
+        |    (p.p * 2654435769::HUGEINT + i.i + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS x0
+        |  FROM range(0, 8) p(p) CROSS JOIN range(0, 64) i(i)),
+        |pl1 AS (
+        |  SELECT p, i,
+        |    (((xor(x0, x0 // 1073741824) // 4294967296) * 13787848793156543929::HUGEINT % 4294967296) * 4294967296
+        |     + (xor(x0, x0 // 1073741824) % 4294967296) * 13787848793156543929::HUGEINT)
+        |    % 18446744073709551616::HUGEINT AS x1
+        |  FROM pl0),
+        |pl2 AS (
+        |  SELECT p, i,
+        |    (((xor(x1, x1 // 134217728) // 4294967296) * 10723151780598845931::HUGEINT % 4294967296) * 4294967296
+        |     + (xor(x1, x1 // 134217728) % 4294967296) * 10723151780598845931::HUGEINT)
+        |    % 18446744073709551616::HUGEINT AS x2
+        |  FROM pl1),
+        |plw AS (
+        |  SELECT p, list((xor(x2, x2 // 2147483648) // 2048)::DOUBLE / 9007199254740992.0 * 2.0 - 1.0 ORDER BY i) AS ws
+        |  FROM pl2 GROUP BY p),
+        |vec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, p,
+        |    list_reduce(list_transform(range(1, 65), i -> v[i] * ws[i]), (a, b) -> a + b) AS dot
+        |  FROM vec CROSS JOIN plw),
+        |buckets AS (
+        |  SELECT vec_id, sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p::INT) ELSE 0 END)::BIGINT AS bucket
+        |  FROM dots GROUP BY vec_id)
+        |SELECT bucket, count(*) AS n, min(vec_id) AS min_vec
+        |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_ann_ivf" ->
       s"SELECT qid, rk, neighbor FROM read_parquet('$goldenDir/q_ann_ivf/*.parquet') ORDER BY qid, rk",
     "q_er_pipeline" ->

@@ -75,6 +75,38 @@ object ConnectedComponents {
     (row.getLong(0), BigDecimal(row.getDecimal(1)))
   }
 
+  /** Snapshot + convergence signature in ONE action: the (count, hash-sum)
+    * signature rides the checkpoint job itself via `df.observe`, replacing
+    * the per-iteration second scan of the checkpointed edge set. Falls back
+    * to the explicit scan if the snapshot implementation happens not to
+    * drive the observation (defensive — localCheckpoint and parquet writes
+    * both do).
+    */
+  private def snapshotWithSignature(
+      edges: DataFrame,
+      snapshot: DataFrame => DataFrame
+  ): (DataFrame, (Long, BigDecimal)) = {
+    val obs = org.apache.spark.sql.Observation()
+    val observed = edges.observe(
+      obs,
+      count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)).as("h")
+    )
+    val out = snapshot(observed)
+    // the observation listener fires async after the snapshot's action;
+    // bounded wait (obs.get blocks), then fall back to the explicit scan
+    // rather than hang if the snapshot impl didn't drive the observation
+    val sig =
+      try {
+        val m = scala.concurrent.Await.result(
+          scala.concurrent.Future(obs.get)(scala.concurrent.ExecutionContext.global),
+          scala.concurrent.duration.Duration(5, java.util.concurrent.TimeUnit.SECONDS)
+        )
+        (m("n").asInstanceOf[Long], BigDecimal(m("h").asInstanceOf[java.math.BigDecimal]))
+      } catch { case _: java.util.concurrent.TimeoutException => signature(out) }
+    (out, sig)
+  }
+
   /** Node-id compaction: urls -> dense longs via the deterministic seq
     * operator, ordered by url — so numeric min over ids IS lexicographic
     * min over urls and the cluster_id contract survives the mapping. CC
@@ -133,13 +165,12 @@ object ConnectedComponents {
       .select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
     val ids = if (compact) Some(compactIds(edges0, snapshot)) else None
-    var edges = snapshot(ids.fold(edges0)(mapEdges(edges0, _)).distinct())
-    var sig = signature(edges)
+    var (edges, sig) =
+      snapshotWithSignature(ids.fold(edges0)(mapEdges(edges0, _)).distinct(), snapshot)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val next = snapshot(smallStar(largeStar(edges)))
-      val nextSig = signature(next)
+      val (next, nextSig) = snapshotWithSignature(smallStar(largeStar(edges)), snapshot)
       converged = nextSig == sig
       sig = nextSig
       edges = next

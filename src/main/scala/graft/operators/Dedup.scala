@@ -111,15 +111,23 @@ object Dedup {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val paired =
       if (lshBits > 0) {
+        // bucket join ships ONLY (id, key) — never the dense vectors (an
+        // exploded vector column would shuffle the embeddings lshTables
+        // times); vectors re-attach to the deduped candidate pairs via two
+        // id-equi-joins, the same fetch-join shape as simHashPairs
         val keys = (0 until lshTables).map(t =>
           struct(lit(t).as("t"), SimilaritySearch.hyperplaneBucket(col("v"), lshBits, seed = t).as("b"))
         )
-        val bucketed = e.withColumn("key", explode(array(keys: _*)))
-        val a = bucketed.select(col("id").as("id_a"), col("v").as("va"), col("key"))
-        val b = bucketed.select(col("id").as("id_b"), col("v").as("vb"), col("key"))
-        a.join(b, Seq("key"))
+        val buckets = e.select(col("id"), explode(array(keys: _*)).as("key"))
+        val cand = buckets
+          .select(col("id").as("id_a"), col("key"))
+          .join(buckets.select(col("id").as("id_b"), col("key")), Seq("key"))
           .where(col("id_a") < col("id_b"))
-          .dropDuplicates("id_a", "id_b")
+          .select("id_a", "id_b")
+          .distinct()
+        cand
+          .join(e.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+          .join(e.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       } else {
         val a = e.select(col("id").as("id_a"), col("v").as("va"))
         val b = e.select(col("id").as("id_b"), col("v").as("vb"))
