@@ -143,10 +143,12 @@ object Bench {
 
     // ---- part 2: per-query timings on the sf dir ----
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts part 2 to named queries (dev loop)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     if (!sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")) {
       val spark = LinkagePipeline.session(s"local[$cpus]", "graft-bench-queries")
       spark.sparkContext.setLogLevel("ERROR")
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1).filter(q => only.forall(_.contains(q._1))).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).foreach(_ => ())

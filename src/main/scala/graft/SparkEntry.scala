@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{Normalize, SimilarityFunctions => SF}
+import graft.functions.{Normalize, PromptRender, SimilarityFunctions => SF}
 import graft.operators._
 import graft.pipeline.LinkagePipeline
 
@@ -137,6 +137,27 @@ object SparkEntry {
         .orderBy("event_id")
         .limit(100)
         .select("event_id", "user_id", "event_type")),
+    "q_w7_job_claim" -> ((s, dir) => {
+      // W7: oldest-queued-job claim over a jobs table derived from events —
+      // one min(struct) aggregation + broadcast apply, no global sort/window
+      val jobs = t(s, dir, "events")
+        .where(col("event_id") <= 200)
+        .select(
+          concat(lit("job-"), lpad(col("event_id").cast("string"), 6, "0")).as("job_id"),
+          when(col("event_id") % 3 === 0, "queued")
+            .when(col("event_id") % 3 === 1, "running")
+            .otherwise("done")
+            .as("status"),
+          (col("event_id") * 7 % 1000).as("created_at"),
+          lit(null).cast("long").as("started_at"),
+          lit(null).cast("long").as("finished_at"),
+          lit(null).cast("string").as("error")
+        )
+      JobQueue
+        .claimNext(jobs, lit(424242L))
+        .select("job_id", "status", "created_at", "started_at")
+        .orderBy("job_id")
+    }),
 
     // ---- scalar functions (F3, F4, F6, F8, F11, F14) ----
     "q_f3_wsnorm" -> ((s, dir) =>
@@ -175,6 +196,48 @@ object SparkEntry {
         .groupBy("band")
         .agg(count(lit(1)).as("n"))
         .orderBy("band")),
+    "q_f16_prompt_render" -> ((s, dir) => {
+      // F16: candidate-text + table rendering as pure string projections.
+      // Candidates derive from the documents row; nulls/empties are planted
+      // deterministically so every reference edge path (null name -> "None",
+      // null desc -> variant default, empty type name kept, desc-or-name
+      // fallback) is exercised and oracled.
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("lang")).as("lang2"),
+        col("source"),
+        when(col("doc_id") % 5 === 0, lit(""))
+          .when(col("doc_id") % 11 === 0, lit(null))
+          .otherwise(substring(col("text"), 1, 20))
+          .as("frag")
+      )
+      val cands = array(
+        struct(
+          concat(lit("Q"), col("doc_id")).as("id"),
+          col("source").as("name"),
+          col("frag").as("description"),
+          array(struct(lit("T1").as("id"), col("lang2").as("name"))).as("types")
+        ),
+        struct(
+          concat(lit("R"), col("doc_id")).as("id"),
+          col("lang2").as("name"),
+          lit(null).cast("string").as("description"),
+          array(
+            struct(lit("T2").as("id"), lit("").as("name")),
+            struct(lit("T3").as("id"), col("source").as("name"))
+          ).as("types")
+        )
+      )
+      d.select(
+        col("doc_id"),
+        PromptRender.candidatesAngle(cands).as("angle"),
+        PromptRender.candidatesCompact(cands).as("compact"),
+        PromptRender.candidatesTableLlama(cands).as("tablellama"),
+        PromptRender
+          .tablePipe(array(array(lit("lang"), lit("source")), array(col("lang2"), col("source"))))
+          .as("table_txt")
+      ).orderBy("doc_id")
+    }),
 
     // ---- aggregations (A2, A4, A5, A7) ----
     "q_a2_progress_counters" -> ((s, dir) =>
@@ -638,6 +701,52 @@ object SparkEntry {
     "q_w6_cursor_page" ->
       """SELECT event_id, user_id, event_type FROM events
         |WHERE event_id > 5000 ORDER BY event_id LIMIT 100""".stripMargin,
+    "q_w7_job_claim" ->
+      """WITH jobs AS (
+        |  SELECT 'job-' || lpad(CAST(event_id AS VARCHAR), 6, '0') AS job_id,
+        |    CASE WHEN event_id % 3 = 0 THEN 'queued'
+        |         WHEN event_id % 3 = 1 THEN 'running' ELSE 'done' END AS status,
+        |    (event_id * 7) % 1000 AS created_at
+        |  FROM events WHERE event_id <= 200),
+        |oldest AS (
+        |  SELECT job_id FROM jobs WHERE status = 'queued'
+        |  ORDER BY created_at, job_id LIMIT 1)
+        |SELECT j.job_id,
+        |  CASE WHEN o.job_id IS NOT NULL THEN 'running' ELSE j.status END AS status,
+        |  j.created_at,
+        |  CASE WHEN o.job_id IS NOT NULL THEN CAST(424242 AS BIGINT) ELSE NULL END AS started_at
+        |FROM jobs j LEFT JOIN oldest o ON j.job_id = o.job_id
+        |ORDER BY j.job_id""".stripMargin,
+    // F16 recomputed symbolically: every rendered string rebuilt with ANSI
+    // concat from the same planted null/empty columns — exercises null name
+    // -> "None", null desc -> "N.A."/"None", dropped null type names, kept
+    // empty type names, desc-or-name fallback, ws normalization
+    "q_f16_prompt_render" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang2,
+        |    source,
+        |    CASE WHEN doc_id % 5 = 0 THEN ''
+        |         WHEN doc_id % 11 = 0 THEN NULL
+        |         ELSE substr(text, 1, 20) END AS frag
+        |  FROM documents)
+        |SELECT doc_id,
+        |  '<id: Q' || doc_id || '; name: ' || source || '; description: ' ||
+        |    coalesce(frag, 'N.A.') || '; types: ' || coalesce(lang2, '') ||
+        |    '>,<id: R' || doc_id || '; name: ' || coalesce(lang2, 'None') ||
+        |    '; description: N.A.; types: ,' || source || '>' AS angle,
+        |  'CANDIDATES (ID | TYPE | DESCRIPTION):' || chr(10) ||
+        |    '- Q' || doc_id || ' | ' || coalesce(lang2, 'N.A.') || ' | ' ||
+        |    coalesce(nullif(regexp_replace(trim(coalesce(nullif(frag, ''), source)), '\s+', ' ', 'g'), ''), 'N.A.') ||
+        |    chr(10) ||
+        |    '- R' || doc_id || ' | ' || source || ' | ' ||
+        |    coalesce(nullif(regexp_replace(trim(lang2), '\s+', ' ', 'g'), ''), 'N.A.') AS compact,
+        |  '<' || source || ' [DESCRIPTION] ' || coalesce(frag, 'None') ||
+        |    ' [TYPE] ' || coalesce(lang2, '') ||
+        |    '>,<' || coalesce(lang2, 'None') ||
+        |    ' [DESCRIPTION] None [TYPE] ,' || source || '>' AS tablellama,
+        |  '|lang|source|' || chr(10) || '|' || coalesce(lang2, 'None') || '|' || source || '|' AS table_txt
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_f3_wsnorm" ->
       """SELECT doc_id, coalesce(nullif(regexp_replace(trim(substr(text, 1, 40)), '\s+', ' ', 'g'), ''), 'N.A.') AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -28,6 +28,58 @@ object Sources {
       .option("escape", "\\")
       .csv(path)
 
+  /** S4 (multipart half): merge uploaded byte parts into one file, the
+    * reference's finalize step (app/api/routes.py:303-337) — list
+    * `<partsDir>/<n>.part` files with integer stems, sort by part number,
+    * optionally verify 1..totalParts are all present (the reference 409s
+    * listing the missing numbers), then stream-concatenate bytes to
+    * `targetPath`. Hadoop FS streams end to end: parts never materialize in
+    * memory and the merged file can land on any cluster filesystem. Returns
+    * total bytes written; feed the target to [[csvScan]].
+    */
+  def mergeParts(
+      spark: SparkSession,
+      partsDir: String,
+      targetPath: String,
+      totalParts: Option[Int] = None
+  ): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(partsDir)
+    val fs = dir.getFileSystem(conf)
+    require(fs.exists(dir), s"Upload parts not found: $partsDir")
+    val parts = fs
+      .listStatus(dir)
+      .toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".part"))
+      .flatMap { st =>
+        val stem = st.getPath.getName.stripSuffix(".part")
+        stem.toIntOption.map(_ -> st.getPath)
+      }
+      .sortBy(_._1)
+    totalParts.foreach { expected =>
+      val have = parts.map(_._1).toSet
+      val missing = (1 to expected).filterNot(have)
+      require(missing.isEmpty, s"Missing parts: ${missing.mkString(", ")}")
+    }
+    val target = new org.apache.hadoop.fs.Path(targetPath)
+    val out = target.getFileSystem(conf).create(target, true)
+    val buf = new Array[Byte](1024 * 1024)
+    var written = 0L
+    try {
+      parts.foreach { case (_, p) =>
+        val in = fs.open(p)
+        try {
+          var n = in.read(buf)
+          while (n >= 0) {
+            if (n > 0) { out.write(buf, 0, n); written += n }
+            n = in.read(buf)
+          }
+        } finally in.close()
+      }
+    } finally out.close()
+    written
+  }
+
   /** S3: inline {header, rows} table source (app/services/linker.py:294-311)
     * — width-validated, row_id injected when absent.
     */
