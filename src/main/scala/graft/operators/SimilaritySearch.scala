@@ -71,19 +71,22 @@ object SimilaritySearch {
       vecCol: String,
       k: Int,
       nList: Int = 64,
-      nProbe: Int = 8
+      nProbe: Int = 8,
+      codebook: Option[Array[Array[Double]]] = None
   ): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor"), col(vecCol).cast("array<double>").as("cv"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
-    val n = math.max(c.count(), 1L)
-    val stride = math.max(n / math.max(nList, 1), 1L)
-    // deterministic ~nList-row sample as the codebook; bounded collect
-    val centroids: Array[Array[Double]] = c
-      .where(pmod(xxhash64(col("neighbor")), lit(stride)) === 0)
-      .orderBy("neighbor")
-      .limit(nList)
-      .collect()
-      .map(_.getSeq[Double](1).toArray)
+    // codebook precedence: a trained one (trainIvf) plugs in; otherwise a
+    // deterministic hash-stride sample (bounded collect) stands in
+    val centroids: Array[Array[Double]] = codebook.getOrElse {
+      val n = math.max(c.count(), 1L)
+      val stride = math.max(n / math.max(nList, 1), 1L)
+      c.where(pmod(xxhash64(col("neighbor")), lit(stride)) === 0)
+        .orderBy("neighbor")
+        .limit(nList)
+        .collect()
+        .map(_.getSeq[Double](1).toArray)
+    }
     require(centroids.nonEmpty, "ivfTopK: empty corpus")
     val bc = c.sparkSession.sparkContext.broadcast(centroids)
     val assigned = c.withColumn(
@@ -101,6 +104,81 @@ object SimilaritySearch {
       .withColumn("rk", row_number().over(w).cast("long"))
       .where(col("rk") <= k)
       .select("qid", "rk", "neighbor", "cos")
+  }
+
+  /** Distributed spherical k-means (Lloyd's) IVF codebook trainer, matching
+    * [[ivfTopK]]'s max-cosine assignment. Per iteration: ONE broadcast of
+    * the (nList x dim) codebook, one map-side-combined groupBy producing at
+    * most nList rows of (count, per-dimension sum) — the corpus never
+    * shuffles, so an iteration over 10^12 rows moves nList*(dim+1) doubles.
+    * Cell means are left unnormalized (cosine assignment is scale-invariant).
+    *
+    * Init is the same deterministic hash-stride sample ivfTopK uses
+    * untrained; empty cells keep their previous centroid. Training on a
+    * sampled subset (`corpus.sample(...)`) and assigning the full corpus is
+    * the usual 100 TB shape — the trainer takes whatever frame it is given.
+    *
+    * Result is deterministic up to floating-point summation order across
+    * partitions (the cell MEMBERSHIP each iteration is exact; only the
+    * mean's last bits can differ run to run).
+    */
+  def trainIvf(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nList: Int,
+      maxIters: Int = 10,
+      tol: Double = 1e-6
+  ): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    val c = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("cv"))
+      .where(col("cv").isNotNull && size(col("cv")) > 0)
+    val n = c.count()
+    require(n > 0, "trainIvf: empty corpus")
+    val k = math.min(nList.toLong, n).toInt
+    val stride = math.max(n / k, 1L)
+    var centroids: Array[Array[Double]] = c
+      .where(pmod(xxhash64(col("id")), lit(stride)) === 0)
+      .orderBy("id")
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    if (centroids.length < k) // hash stride can undershoot on tiny inputs
+      centroids = c.orderBy("id").limit(k).collect().map(_.getSeq[Double](1).toArray)
+    val dim = centroids.head.length
+    val vecs = c.select("cv").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var iter = 0
+      var shift = Double.MaxValue
+      while (iter < maxIters && shift > tol) {
+        val bc = spark.sparkContext.broadcast(centroids)
+        val sums = (0 until dim).map(i => sum(element_at(col("cv"), i + 1)).as(s"s$i"))
+        val cellStats = vecs
+          .withColumn("cell", element_at(SimilarityFunctions.nearest_centroids(col("cv"), bc, 1), 1))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("cnt"), sums: _*)
+          .collect() // <= nList rows
+        val next = centroids.map(_.clone())
+        cellStats.foreach { r =>
+          val cell = r.getInt(0)
+          val cnt = r.getLong(1).toDouble
+          next(cell) = Array.tabulate(dim)(i => r.getDouble(i + 2) / cnt)
+        }
+        shift = centroids
+          .zip(next)
+          .map { case (a, b) =>
+            var s = 0.0; var i = 0
+            while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+            math.sqrt(s)
+          }
+          .max
+        centroids = next
+        bc.unpersist()
+        iter += 1
+      }
+      centroids
+    } finally { vecs.unpersist(); () }
   }
 
   /** LSH-bucketed ANN top-k: queries only meet corpus rows in the same

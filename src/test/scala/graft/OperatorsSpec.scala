@@ -115,6 +115,43 @@ class OperatorsSpec extends SparkSpec {
     assert(agree >= brute.size - 1, s"IVF recall too low: $agree/${brute.size}")
   }
 
+  test("trained IVF codebook matches brute-force top-1 and beats/equals the sampled codebook") {
+    import spark.implicits._
+    // same 8-direction-cluster shape as the untrained IVF test
+    val rng = new scala.util.Random(11)
+    val dirs = Array.fill(8)(Array.fill(12)(rng.nextGaussian()))
+    val all = (0 until 240).map { i =>
+      val d = dirs(i % 8)
+      (i.toLong, d.map(x => (x + 0.05 * rng.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = all.where(col("vec_id") < 8)
+    val cs = all.where(col("vec_id") >= 8)
+    val codebook = SimilaritySearch.trainIvf(cs, "vec_id", "embedding", nList = 8, maxIters = 10)
+    assert(codebook.length == 8 && codebook.forall(_.length == 12))
+    // converged centroids must align with a true cluster direction
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    codebook.foreach { cen =>
+      assert(dirs.exists(d => cos(cen, d) > 0.95), "centroid aligns with no true cluster")
+    }
+    val brute = SimilaritySearch
+      .bruteForceTopK(qs, cs, "vec_id", "embedding", 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("neighbor")).toMap
+    val trained = SimilaritySearch
+      .ivfTopK(qs, cs, "vec_id", "embedding", 1, nList = 8, nProbe = 2, codebook = Some(codebook))
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("neighbor")).toMap
+    val agree = brute.count { case (q, n) => trained.get(q).contains(n) }
+    info(s"trained IVF top-1 agreement: $agree/${brute.size}")
+    assert(agree == brute.size, s"trained IVF recall: $agree/${brute.size}")
+    // deterministic across invocations (same membership every iteration)
+    val codebook2 = SimilaritySearch.trainIvf(cs, "vec_id", "embedding", nList = 8, maxIters = 10)
+    codebook.zip(codebook2).foreach { case (a, b) =>
+      assert(cos(a, b) > 1.0 - 1e-9, "trainIvf not deterministic")
+    }
+  }
+
   test("LSH near-dup default path recalls planted near-duplicates") {
     import spark.implicits._
     // 60 random-direction vectors + 20 planted near-dup pairs (cos > ~0.99)
