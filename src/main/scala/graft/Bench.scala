@@ -148,6 +148,12 @@ object Bench {
     if (!sys.env.contains("SPARK_GRAFT_BENCH_SKIP_QUERIES")) {
       val spark = LinkagePipeline.session(s"local[$cpus]", "graft-bench-queries")
       spark.sparkContext.setLogLevel("ERROR")
+      // JIT/codegen warmup OUTSIDE the timed loop: without it the first
+      // timed query pays ~4-5 s of janino + C2 compilation that is session
+      // cost, not query cost (measured: q1_agg 5.4 s cold vs 0.8 s warm)
+      SparkEntry.queries
+        .get("q1_agg")
+        .foreach(fn => try fn(spark, sfDir).foreach(_ => ()) catch { case _: Throwable => () })
       SparkEntry.queries.toSeq.sortBy(_._1).filter(q => only.forall(_.contains(q._1))).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {

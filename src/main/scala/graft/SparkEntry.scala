@@ -458,6 +458,25 @@ object SparkEntry {
         .select(col("qid"), col("rk"), col("neighbor"))
         .orderBy("qid", "rk")
     }),
+    "q_ann_ivf_trained" -> ((s, dir) => {
+      // IVF with a TRAINED spherical-k-means codebook (trainIvf). The oracle
+      // is fully symbolic: queries are exact copies of the first 20 corpus
+      // vectors (vec_id + 1000000), and an identical vector lands in the
+      // same IVF cell as its original under ANY codebook — so trained top-1
+      // recovers the original with certainty (max natural pair cosine in
+      // this table is far below 1), independent of fp summation jitter in
+      // the k-means means.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val codebook = SimilaritySearch.trainIvf(e, "vec_id", "v", nList = 16, maxIters = 5)
+      val planted = e
+        .where(col("vec_id") < 20)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("v"))
+      SimilaritySearch
+        .ivfTopK(planted, e, "vec_id", "v", k = 1, nList = 16, nProbe = 1, codebook = Some(codebook))
+        .select(col("qid"), col("rk"), col("neighbor"))
+        .orderBy("qid")
+    }),
 
     // ---- text analysis ----
     "q_txt_quality" -> ((s, dir) => {
@@ -1111,6 +1130,10 @@ object SparkEntry {
         |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_ann_ivf" ->
       s"SELECT qid, rk, neighbor FROM read_parquet('$goldenDir/q_ann_ivf/*.parquet') ORDER BY qid, rk",
+    // symbolic: planted identical copies are recovered with certainty (see query)
+    "q_ann_ivf_trained" ->
+      """SELECT vec_id + 1000000 AS qid, 1::BIGINT AS rk, vec_id AS neighbor
+        |FROM embeddings WHERE vec_id < 20 ORDER BY qid""".stripMargin,
     "q_er_pipeline" ->
       s"SELECT url, cluster_id, status, seq FROM read_parquet('$goldenDir/q_er_pipeline/*.parquet') ORDER BY url"
   )
