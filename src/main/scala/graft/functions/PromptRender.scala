@@ -138,9 +138,17 @@ object PromptRender {
     )
 
   /** TableLlama table (generator.py:25-34): `col: | h1 | h2 |` then
-    * ` [SEP] row i: | v1 | v2 |` appended with no separator.
+    * ` [SEP] row i: | v1 | v2 |` appended with no separator. An EMPTY rows
+    * array fails loudly like the reference (`rows[0]` IndexError) instead
+    * of silently rendering "" — without the guard, sequence(0, -1) yields a
+    * descending [0,-1] and zip_with null-pads the empty side to "".
     */
   def tableTableLlama(rows: Column): Column =
+    when(size(rows) === 0, raise_error(lit("tableTableLlama: empty rows"))).otherwise(
+      tableTableLlamaNonEmpty(rows)
+    )
+
+  private def tableTableLlamaNonEmpty(rows: Column): Column =
     array_join(
       zip_with(
         rows,

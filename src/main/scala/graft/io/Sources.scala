@@ -56,17 +56,24 @@ object Sources {
         stem.toIntOption.map(_ -> st.getPath)
       }
       .sortBy(_._1)
-    totalParts.foreach { expected =>
-      val have = parts.map(_._1).toSet
-      val missing = (1 to expected).filterNot(have)
-      require(missing.isEmpty, s"Missing parts: ${missing.mkString(", ")}")
+    // with a declared count, merge EXACTLY parts 1..N (the reference
+    // finalize reads range(1, total_parts+1)) — a stale 0.part or a
+    // leftover part beyond N from an aborted upload must not leak foreign
+    // bytes into the merged file
+    val selected = totalParts match {
+      case Some(expected) =>
+        val have = parts.map(_._1).toSet
+        val missing = (1 to expected).filterNot(have)
+        require(missing.isEmpty, s"Missing parts: ${missing.mkString(", ")}")
+        parts.filter { case (i, _) => i >= 1 && i <= expected }
+      case None => parts
     }
     val target = new org.apache.hadoop.fs.Path(targetPath)
     val out = target.getFileSystem(conf).create(target, true)
     val buf = new Array[Byte](1024 * 1024)
     var written = 0L
     try {
-      parts.foreach { case (_, p) =>
+      selected.foreach { case (_, p) =>
         val in = fs.open(p)
         try {
           var n = in.read(buf)

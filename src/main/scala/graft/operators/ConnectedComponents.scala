@@ -94,16 +94,17 @@ object ConnectedComponents {
     )
     val out = snapshot(observed)
     // the observation listener fires async after the snapshot's action;
-    // bounded wait (obs.get blocks), then fall back to the explicit scan
-    // rather than hang if the snapshot impl didn't drive the observation
+    // poll getOrEmpty (each call waits <=100ms, never hangs) with a 5s
+    // budget, then fall back to the explicit scan if the snapshot impl
+    // didn't drive the observation — no Future/thread involved, so a
+    // never-firing observation can't leak a blocked pool thread
+    val getOrEmpty = () => org.apache.spark.sql.GraftShim.observationGetOrEmpty(obs)
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    var m = getOrEmpty()
+    while (m.isEmpty && System.nanoTime() < deadline) m = getOrEmpty()
     val sig =
-      try {
-        val m = scala.concurrent.Await.result(
-          scala.concurrent.Future(obs.get)(scala.concurrent.ExecutionContext.global),
-          scala.concurrent.duration.Duration(5, java.util.concurrent.TimeUnit.SECONDS)
-        )
-        (m("n").asInstanceOf[Long], BigDecimal(m("h").asInstanceOf[java.math.BigDecimal]))
-      } catch { case _: java.util.concurrent.TimeoutException => signature(out) }
+      if (m.nonEmpty) (m("n").asInstanceOf[Long], BigDecimal(m("h").asInstanceOf[java.math.BigDecimal]))
+      else signature(out)
     (out, sig)
   }
 

@@ -147,7 +147,14 @@ object SimilaritySearch {
     if (centroids.length < k) // hash stride can undershoot on tiny inputs
       centroids = c.orderBy("id").limit(k).collect().map(_.getSeq[Double](1).toArray)
     val dim = centroids.head.length
-    val vecs = c.select("cv").persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // train only on vectors of the codebook's dimension: ANSI element_at
+    // would throw on shorter rows (and longer rows would skew the means).
+    // Ragged rows are merely excluded from TRAINING — nearestCentroids
+    // tolerates them at assignment/search time.
+    val vecs = c
+      .select("cv")
+      .where(size(col("cv")) === dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var iter = 0
       var shift = Double.MaxValue

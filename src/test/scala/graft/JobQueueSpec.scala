@@ -91,5 +91,11 @@ class JobQueueSpec extends SparkSpec {
       Sources.mergeParts(spark, dir, target, totalParts = Some(4))
     }
     assert(err.getMessage.contains("Missing parts: 3, 4"))
+    // stale parts outside 1..N (a 0.part, a leftover 3.part from an aborted
+    // wider upload) must NOT leak bytes into the merged file
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "000000.part"), "STALE0\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "000003.part"), "STALE3\n")
+    Sources.mergeParts(spark, dir, target, totalParts = Some(2))
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(target)) === "url,text\na,b\nc,d\n")
   }
 }

@@ -109,6 +109,16 @@ class PromptRenderSpec extends SparkSpec {
     )
   }
 
+  test("tablellama table fails loudly on an empty rows array (reference: rows[0] IndexError)") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("rows array<array<string>>")
+    val df = spark.createDataFrame(Seq(Row(Seq.empty[Seq[String]])).asJava, schema)
+    val err = intercept[Exception] {
+      df.select(PromptRender.tableTableLlama(col("rows")).as("out")).head()
+    }
+    assert(err.getMessage.contains("empty rows"))
+  }
+
   test("template substitution matches generate_prompt (null -> None)") {
     import scala.jdk.CollectionConverters._
     val schema = org.apache.spark.sql.types.StructType
