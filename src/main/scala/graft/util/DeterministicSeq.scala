@@ -30,18 +30,26 @@ object DeterministicSeq {
     val nParts =
       if (rangePartitions > 0) rangePartitions
       else {
-        // checkpointed/RDD-backed frames report no stats (sizeInBytes =
-        // defaultSizeInBytes sentinel) — treat anything implausibly huge as
-        // unknown and fall back to the session's wide-op width
+        // size from the largest PLAUSIBLE LEAF, not the whole plan: join
+        // output estimates multiply (measured: the 3-way prediction-merge
+        // tail over an 85k-row corpus estimated 6.6 TB -> 49k range
+        // partitions -> a 2-minute repartition of a 5-second frame), while
+        // a merge's true output is ~proportional to its largest input.
+        // Checkpointed/RDD-backed leaves report the defaultSizeInBytes
+        // sentinel (~8 EB) — treat implausibly huge as unknown; if no leaf
+        // has an honest size, fall back to the session's wide-op width.
         val spark = df.sparkSession
         val fallback = math.max(
           spark.sparkContext.defaultParallelism,
           spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
         )
-        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-        if (bytes <= 0 || bytes >= BigInt(1L << 50)) fallback
+        val leafBytes = df.queryExecution.optimizedPlan
+          .collectLeaves()
+          .map(_.stats.sizeInBytes)
+          .filter(b => b > 0 && b < BigInt(1L << 50))
+        if (leafBytes.isEmpty) fallback
         else {
-          val byBytes = (bytes / BigInt(128L * 1024 * 1024)).min(BigInt(1000000)).toInt + 1
+          val byBytes = (leafBytes.max / BigInt(128L * 1024 * 1024)).min(BigInt(1000000)).toInt + 1
           math.max(spark.sparkContext.defaultParallelism, byBytes)
         }
       }
