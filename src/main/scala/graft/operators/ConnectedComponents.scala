@@ -42,7 +42,12 @@ object ConnectedComponents {
       .where(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct()
+    // no terminal distinct: small-star's min-aggregations are duplicate-
+    // insensitive and its own terminal distinct dedups the round's output,
+    // so deduping here would spend a full extra shuffle per iteration to
+    // save only the duplicate share of small-star's shuffle volume
+    // (star-shaped intermediates duplicate little; measured a wash at
+    // sf0.1 chain graphs and one fewer exchange in the executed plan)
   }
 
   /** One small-star round: orient edges (big -> small); for every node u
