@@ -144,7 +144,7 @@ object PromptRender {
     * descending [0,-1] and zip_with null-pads the empty side to "".
     */
   def tableTableLlama(rows: Column): Column =
-    when(size(rows) === 0, raise_error(lit("tableTableLlama: empty rows"))).otherwise(
+    when(rows.isNull || size(rows) === 0, raise_error(lit("tableTableLlama: empty rows"))).otherwise(
       tableTableLlamaNonEmpty(rows)
     )
 

@@ -65,7 +65,12 @@ object Sources {
         val have = parts.map(_._1).toSet
         val missing = (1 to expected).filterNot(have)
         require(missing.isEmpty, s"Missing parts: ${missing.mkString(", ")}")
-        parts.filter { case (i, _) => i >= 1 && i <= expected }
+        val inRange = parts.filter { case (i, _) => i >= 1 && i <= expected }
+        // two filenames parsing to the same index ('1.part' beside
+        // '000001.part') would concatenate that part's bytes twice
+        val dup = inRange.groupBy(_._1).filter(_._2.size > 1).keys
+        require(dup.isEmpty, s"Duplicate part numbers: ${dup.toSeq.sorted.mkString(", ")}")
+        inRange
       case None => parts
     }
     val target = new org.apache.hadoop.fs.Path(targetPath)

@@ -146,7 +146,11 @@ object SimilaritySearch {
       .map(_.getSeq[Double](1).toArray)
     if (centroids.length < k) // hash stride can undershoot on tiny inputs
       centroids = c.orderBy("id").limit(k).collect().map(_.getSeq[Double](1).toArray)
+    // ragged corpora: the codebook itself must be uniform too — a sampled
+    // short centroid would crash the driver-side shift loop and the
+    // Array.tabulate(dim) mean update, not just the element_at aggregation
     val dim = centroids.head.length
+    centroids = centroids.filter(_.length == dim)
     // train only on vectors of the codebook's dimension: ANSI element_at
     // would throw on shorter rows (and longer rows would skew the means).
     // Ragged rows are merely excluded from TRAINING — nearestCentroids

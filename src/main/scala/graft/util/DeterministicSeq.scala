@@ -43,14 +43,21 @@ object DeterministicSeq {
           spark.sparkContext.defaultParallelism,
           spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
         )
+        def plausible(b: BigInt): Boolean = b > 0 && b < BigInt(1L << 50)
         val leafBytes = df.queryExecution.optimizedPlan
           .collectLeaves()
           .map(_.stats.sizeInBytes)
-          .filter(b => b > 0 && b < BigInt(1L << 50))
-        if (leafBytes.isEmpty) fallback
-        else {
-          val byBytes = (leafBytes.max / BigInt(128L * 1024 * 1024)).min(BigInt(1000000)).toInt + 1
-          math.max(spark.sparkContext.defaultParallelism, byBytes)
+          .filter(plausible)
+        val planBytes = Some(df.queryExecution.optimizedPlan.stats.sizeInBytes).filter(plausible)
+        // the plan estimate keeps filter/aggregate cardinality reduction;
+        // the leaf max caps its join multiplication — min of the two
+        // dominates either alone
+        val bytes = (planBytes.toSeq ++ (if (leafBytes.nonEmpty) Seq(leafBytes.max) else Nil)).minOption
+        bytes match {
+          case None => fallback
+          case Some(b) =>
+            val byBytes = (b / BigInt(128L * 1024 * 1024)).min(BigInt(1000000)).toInt + 1
+            math.max(spark.sparkContext.defaultParallelism, byBytes)
         }
       }
     val ranged = Checkpoints.serializedLocal(

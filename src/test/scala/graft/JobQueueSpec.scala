@@ -97,5 +97,12 @@ class JobQueueSpec extends SparkSpec {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "000003.part"), "STALE3\n")
     Sources.mergeParts(spark, dir, target, totalParts = Some(2))
     assert(java.nio.file.Files.readString(java.nio.file.Paths.get(target)) === "url,text\na,b\nc,d\n")
+    // two filenames parsing to the same part number -> loud failure, not
+    // double-concatenated bytes
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "1.part"), "DUP\n")
+    val dupErr = intercept[IllegalArgumentException] {
+      Sources.mergeParts(spark, dir, target, totalParts = Some(2))
+    }
+    assert(dupErr.getMessage.contains("Duplicate part numbers: 1"))
   }
 }

@@ -117,6 +117,12 @@ class PromptRenderSpec extends SparkSpec {
       df.select(PromptRender.tableTableLlama(col("rows")).as("out")).head()
     }
     assert(err.getMessage.contains("empty rows"))
+    // NULL rows array fails the same way (reference: TypeError on rows=None)
+    val dfNull = spark.createDataFrame(Seq(Row(null)).asJava, schema)
+    val errNull = intercept[Exception] {
+      dfNull.select(PromptRender.tableTableLlama(col("rows")).as("out")).head()
+    }
+    assert(errNull.getMessage.contains("empty rows"))
   }
 
   test("template substitution matches generate_prompt (null -> None)") {
