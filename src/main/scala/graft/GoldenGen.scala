@@ -16,15 +16,14 @@ import org.apache.spark.sql.SparkSession
   */
 object GoldenGen {
 
-  // q_dd_simhash, q_dd_minhash_pairs, q_txt_fingerprint and q_ann_lsh
-  // graduated to fully symbolic DuckDB oracles (FNV-1a / shingle-fold /
-  // family-mix / splitmix64+ordered-float-dot arithmetic recomputed in SQL)
-  // — no fixtures needed since round 3. Still fixture-pinned: JW (dynamic-
-  // programming string kernel with no tractable SQL form), IVF (argmin over
-  // trained centroids), and the full pipeline (inherently engine-defined) —
-  // all exactness-tested in ScalaTest.
+  // q_dd_simhash, q_dd_minhash_pairs, q_txt_fingerprint, q_ann_lsh and
+  // q_er_jw_score graduated to fully symbolic DuckDB oracles (FNV-1a /
+  // shingle-fold / family-mix / splitmix64+ordered-float-dot arithmetic and
+  // a recursive-CTE textbook Jaro-Winkler recomputed in SQL) — no fixtures
+  // needed since round 3. Still fixture-pinned: IVF (argmin over trained
+  // centroids) and the full pipeline (inherently engine-defined) — both
+  // exactness-tested in ScalaTest.
   val fixtureQueries: Seq[String] = Seq(
-    "q_er_jw_score",
     "q_ann_ivf",
     "q_er_pipeline"
   )

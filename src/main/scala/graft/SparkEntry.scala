@@ -896,11 +896,70 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | upper(substr(hex(encode(text)), 1, 8)) AS magic
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // NOT duckdb's jaro_winkler_similarity: it deviates from the textbook
-    // algorithm (tested: 250/499 rows differ by ~0.01 at sf0.01); the kernel
-    // is exactness-tested in SimilaritySpec, so the oracle is a fixture.
+    // Fully SYMBOLIC textbook Jaro-Winkler — an engine-independent
+    // reimplementation of the greedy-matching algorithm as a recursive CTE
+    // (NOT duckdb's jaro_winkler_similarity, which deviates from the
+    // textbook algorithm on 250/499 rows at sf0.01). The fold over source
+    // positions carries the matched-character masks as 0/1 strings; the
+    // transposition count compares the in-order matched characters of both
+    // sides; prefix boost only above the 0.7 threshold, capped at 4.
+    // Arithmetic is written with the same association as the Scala kernel
+    // (SimKernels.jaroWinkler) so IEEE doubles agree to the last bit.
     "q_er_jw_score" ->
-      s"SELECT id_a, id_b, jw FROM read_parquet('$goldenDir/q_er_jw_score/*.parquet') ORDER BY id_a",
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         substr(a.text, 1, 30) AS sa, substr(b.text, 1, 30) AS sb
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |),
+        |rec AS (
+        |  SELECT id_a, id_b, sa, sb,
+        |         length(sa) AS la, length(sb) AS lb,
+        |         greatest(greatest(length(sa), length(sb)) // 2 - 1, 0) AS w,
+        |         0 AS i, repeat('0', length(sb)) AS bmask, '' AS amask
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT id_a, id_b, sa, sb, la, lb, w, i + 1,
+        |         CASE WHEN j IS NULL THEN bmask
+        |              ELSE substr(bmask, 1, j) || '1' || substr(bmask, j + 2) END,
+        |         amask || CASE WHEN j IS NULL THEN '0' ELSE '1' END
+        |  FROM (
+        |    SELECT *,
+        |      list_filter(range(greatest(0, i - w), least(lb - 1, i + w) + 1),
+        |                  x -> substr(bmask, x + 1, 1) = '0'
+        |                   AND substr(sb, x + 1, 1) = substr(sa, i + 1, 1))[1] AS j
+        |    FROM rec WHERE i < la
+        |  )
+        |),
+        |fin AS (SELECT * FROM rec WHERE i = la),
+        |calc AS (
+        |  SELECT id_a, id_b, la, lb, sa, sb,
+        |    CAST(length(replace(amask, '0', '')) AS DOUBLE) AS m,
+        |    list_transform(list_filter(range(0, la), x -> substr(amask, x+1, 1) = '1'),
+        |                   x -> substr(sa, x+1, 1)) AS achars,
+        |    list_transform(list_filter(range(0, lb), x -> substr(bmask, x+1, 1) = '1'),
+        |                   x -> substr(sb, x+1, 1)) AS bchars
+        |  FROM fin
+        |),
+        |jaro AS (
+        |  SELECT id_a, id_b, la, lb, sa, sb, m,
+        |    CASE WHEN m = 0 THEN 0.0 ELSE
+        |      (m/la + m/lb + (m - CAST(length(list_filter(range(1, CAST(m AS INT) + 1),
+        |          k -> achars[k] <> bchars[k])) AS DOUBLE) / 2.0) / m) / 3.0
+        |    END AS j
+        |  FROM calc
+        |),
+        |jwv AS (
+        |  SELECT id_a, id_b,
+        |    CASE
+        |      WHEN la = 0 AND lb = 0 THEN 1.0
+        |      WHEN la = 0 OR lb = 0 THEN 0.0
+        |      WHEN j <= 0.7 THEN j
+        |      ELSE j + list_max(list_filter(range(0, least(4, la, lb) + 1),
+        |               p -> substr(sa, 1, p) = substr(sb, 1, p))) * 0.1 * (1.0 - j)
+        |    END AS jw
+        |  FROM jaro
+        |)
+        |SELECT id_a, id_b, round(jw, 6) AS jw FROM jwv ORDER BY id_a""".stripMargin,
     "q_decision" ->
       """WITH base AS (
         |  SELECT doc_id, doc_id % 8 AS m,
