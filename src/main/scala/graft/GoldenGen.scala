@@ -16,15 +16,15 @@ import org.apache.spark.sql.SparkSession
   */
 object GoldenGen {
 
-  // q_dd_simhash, q_dd_minhash_pairs, q_txt_fingerprint, q_ann_lsh and
-  // q_er_jw_score graduated to fully symbolic DuckDB oracles (FNV-1a /
-  // shingle-fold / family-mix / splitmix64+ordered-float-dot arithmetic and
-  // a recursive-CTE textbook Jaro-Winkler recomputed in SQL) — no fixtures
-  // needed since round 3. Still fixture-pinned: IVF (argmin over trained
-  // centroids) and the full pipeline (inherently engine-defined) — both
-  // exactness-tested in ScalaTest.
+  // Every kernel query graduated to a fully symbolic DuckDB oracle
+  // (FNV-1a / shingle-fold / family-mix / splitmix64 / xxhash64 wrap
+  // arithmetic, ordered-float dot products, and a recursive-CTE textbook
+  // Jaro-Winkler, all recomputed in SQL) — no kernel fixtures needed since
+  // round 3. The ONLY fixture-pinned query is the full linkage pipeline,
+  // which is inherently engine-defined (blocking-strategy composition +
+  // iterative CC); its correctness authority is PipelineSpec/GoldEvalSpec
+  // and the fixture pins cross-run determinism.
   val fixtureQueries: Seq[String] = Seq(
-    "q_ann_ivf",
     "q_er_pipeline"
   )
 

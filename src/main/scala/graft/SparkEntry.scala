@@ -443,7 +443,7 @@ object SparkEntry {
 
     "q_ann_ivf" -> ((s, dir) => {
       // IVF-bucketed ANN top-3 (deterministic hash-sampled codebook;
-      // golden-fixture oracle)
+      // fully symbolic DuckDB oracle — xxhash64 + assignment re-derived)
       val e = t(s, dir, "embeddings")
       SimilaritySearch
         .ivfTopK(
@@ -1187,8 +1187,113 @@ object SparkEntry {
         |  FROM dots GROUP BY vec_id)
         |SELECT bucket, count(*) AS n, min(vec_id) AS min_vec
         |FROM buckets GROUP BY bucket ORDER BY bucket""".stripMargin,
+    // Fully SYMBOLIC IVF: the deterministic hash-stride codebook sample,
+    // max-cosine assignment, nProbe probing and top-k rank are all
+    // recomputed engine-free. Spark's xxhash64(bigint) (xxh64 of the 8-byte
+    // long, seed 42) is re-derived in HUGEINT arithmetic mod 2^64 — mulmod
+    // splits the 64-bit operand into 32-bit halves so the 128-bit
+    // intermediate fits HUGEINT (same pattern as the sign-LSH oracle's
+    // splitmix64). Cosines accumulate per-index in kernel order
+    // (list_reduce), so doubles — and therefore the (cos DESC, id ASC)
+    // rankings — are bit-identical to the NearestCentroids/DenseCosine
+    // expressions.
     "q_ann_ivf" ->
-      s"SELECT qid, rk, neighbor FROM read_parquet('$goldenDir/q_ann_ivf/*.parquet') ORDER BY qid, rk",
+      """WITH
+        |hx0 AS (
+        |  SELECT vec_id,
+        |    ((((vec_id::HUGEINT // 4294967296) * 14029467366897019727::HUGEINT % 4294967296) * 4294967296
+        |      + (vec_id::HUGEINT % 4294967296) * 14029467366897019727::HUGEINT)
+        |     % 18446744073709551616::HUGEINT) AS lp2
+        |  FROM embeddings WHERE vec_id >= 20),
+        |hx1 AS (
+        |  SELECT vec_id,
+        |    ((((((lp2 * 2147483648::HUGEINT + lp2 // 8589934592) % 18446744073709551616::HUGEINT) // 4294967296)
+        |        * 11400714785074694791::HUGEINT % 4294967296) * 4294967296
+        |      + (((lp2 * 2147483648::HUGEINT + lp2 // 8589934592) % 18446744073709551616::HUGEINT) % 4294967296)
+        |        * 11400714785074694791::HUGEINT)
+        |     % 18446744073709551616::HUGEINT) AS k1
+        |  FROM hx0),
+        |hx2 AS (
+        |  SELECT vec_id,
+        |    (((((xor(2870177450012600311::HUGEINT, k1) * 134217728::HUGEINT
+        |         + xor(2870177450012600311::HUGEINT, k1) // 137438953472) % 18446744073709551616::HUGEINT // 4294967296)
+        |        * 11400714785074694791::HUGEINT % 4294967296) * 4294967296
+        |      + ((xor(2870177450012600311::HUGEINT, k1) * 134217728::HUGEINT
+        |          + xor(2870177450012600311::HUGEINT, k1) // 137438953472) % 18446744073709551616::HUGEINT % 4294967296)
+        |        * 11400714785074694791::HUGEINT
+        |      + 9650029242287828579::HUGEINT)
+        |     % 18446744073709551616::HUGEINT) AS h0
+        |  FROM hx1),
+        |hx3 AS (
+        |  SELECT vec_id,
+        |    (((xor(h0, h0 // 8589934592) // 4294967296) * 14029467366897019727::HUGEINT % 4294967296) * 4294967296
+        |     + (xor(h0, h0 // 8589934592) % 4294967296) * 14029467366897019727::HUGEINT)
+        |    % 18446744073709551616::HUGEINT AS h1
+        |  FROM hx2),
+        |hx4 AS (
+        |  SELECT vec_id,
+        |    (((xor(h1, h1 // 536870912) // 4294967296) * 1609587929392839161::HUGEINT % 4294967296) * 4294967296
+        |     + (xor(h1, h1 // 536870912) % 4294967296) * 1609587929392839161::HUGEINT)
+        |    % 18446744073709551616::HUGEINT AS h2
+        |  FROM hx3),
+        |hashes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN xor(h2, h2 // 4294967296) >= 9223372036854775808::HUGEINT
+        |         THEN (xor(h2, h2 // 4294967296) - 18446744073709551616::HUGEINT)::BIGINT
+        |         ELSE xor(h2, h2 // 4294967296)::BIGINT END AS h
+        |  FROM hx4),
+        |corpus AS (SELECT vec_id AS neighbor, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id >= 20),
+        |q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+        |stride AS (SELECT greatest((SELECT count(*) FROM corpus) // 32, 1) AS s),
+        |cents AS (
+        |  SELECT row_number() OVER (ORDER BY c.neighbor) - 1 AS ci, c.cv
+        |  FROM corpus c JOIN hashes hh ON hh.vec_id = c.neighbor
+        |  WHERE ((hh.h % (SELECT s FROM stride)) + (SELECT s FROM stride)) % (SELECT s FROM stride) = 0
+        |  ORDER BY c.neighbor LIMIT 32),
+        |ccos AS (
+        |  SELECT c.neighbor, ct.ci,
+        |    CASE WHEN sqrt(list_reduce(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i]), (a, b) -> a + b))
+        |            * sqrt(list_reduce(list_transform(range(1, 65), i -> ct.cv[i] * ct.cv[i]), (a, b) -> a + b)) = 0
+        |         THEN 0.0
+        |         ELSE list_reduce(list_transform(range(1, 65), i -> c.cv[i] * ct.cv[i]), (a, b) -> a + b)
+        |              / (sqrt(list_reduce(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i]), (a, b) -> a + b))
+        |                 * sqrt(list_reduce(list_transform(range(1, 65), i -> ct.cv[i] * ct.cv[i]), (a, b) -> a + b)))
+        |    END AS cos
+        |  FROM corpus c CROSS JOIN cents ct),
+        |assigned AS (
+        |  SELECT neighbor, ci AS cell FROM (
+        |    SELECT neighbor, ci, row_number() OVER (PARTITION BY neighbor ORDER BY cos DESC, ci ASC) AS rn
+        |    FROM ccos) WHERE rn = 1),
+        |qcos AS (
+        |  SELECT qq.qid, ct.ci,
+        |    CASE WHEN sqrt(list_reduce(list_transform(range(1, 65), i -> qq.qv[i] * qq.qv[i]), (a, b) -> a + b))
+        |            * sqrt(list_reduce(list_transform(range(1, 65), i -> ct.cv[i] * ct.cv[i]), (a, b) -> a + b)) = 0
+        |         THEN 0.0
+        |         ELSE list_reduce(list_transform(range(1, 65), i -> qq.qv[i] * ct.cv[i]), (a, b) -> a + b)
+        |              / (sqrt(list_reduce(list_transform(range(1, 65), i -> qq.qv[i] * qq.qv[i]), (a, b) -> a + b))
+        |                 * sqrt(list_reduce(list_transform(range(1, 65), i -> ct.cv[i] * ct.cv[i]), (a, b) -> a + b)))
+        |    END AS cos
+        |  FROM q qq CROSS JOIN cents ct),
+        |probed AS (
+        |  SELECT qid, ci AS cell FROM (
+        |    SELECT qid, ci, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, ci ASC) AS rn
+        |    FROM qcos) WHERE rn <= 8),
+        |cands AS (
+        |  SELECT p.qid, a.neighbor
+        |  FROM probed p JOIN assigned a ON a.cell = p.cell),
+        |final_cos AS (
+        |  SELECT cd.qid, cd.neighbor,
+        |    CASE WHEN sqrt(list_reduce(list_transform(range(1, 65), i -> qq.qv[i] * qq.qv[i]), (a, b) -> a + b))
+        |            * sqrt(list_reduce(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i]), (a, b) -> a + b)) = 0
+        |         THEN 0.0
+        |         ELSE list_reduce(list_transform(range(1, 65), i -> qq.qv[i] * c.cv[i]), (a, b) -> a + b)
+        |              / (sqrt(list_reduce(list_transform(range(1, 65), i -> qq.qv[i] * qq.qv[i]), (a, b) -> a + b))
+        |                 * sqrt(list_reduce(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i]), (a, b) -> a + b)))
+        |    END AS cos
+        |  FROM cands cd JOIN q qq ON qq.qid = cd.qid JOIN corpus c ON c.neighbor = cd.neighbor)
+        |SELECT qid, rk, neighbor FROM (
+        |  SELECT qid, neighbor, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor ASC) AS rk
+        |  FROM final_cos) WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
     // symbolic: planted identical copies are recovered with certainty (see query)
     "q_ann_ivf_trained" ->
       """SELECT vec_id + 1000000 AS qid, 1::BIGINT AS rk, vec_id AS neighbor
