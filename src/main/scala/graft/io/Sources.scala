@@ -71,7 +71,23 @@ object Sources {
         val dup = inRange.groupBy(_._1).filter(_._2.size > 1).keys
         require(dup.isEmpty, s"Duplicate part numbers: ${dup.toSeq.sorted.mkString(", ")}")
         inRange
-      case None => parts
+      case None =>
+        // no declared count: still refuse the silent-corruption cases —
+        // duplicate numbers ('1.part' beside '000001.part') and gaps (a
+        // stale high-numbered leftover from an aborted larger upload).
+        // Numbering may start at 0 or 1 (a stale 0.part before a 1-based
+        // upload is indistinguishable without a declared count; pass
+        // totalParts for the reference's strict 1..N semantics).
+        val dup = parts.groupBy(_._1).filter(_._2.size > 1).keys
+        require(dup.isEmpty, s"Duplicate part numbers: ${dup.toSeq.sorted.mkString(", ")}")
+        val nums = parts.map(_._1)
+        nums.headOption.foreach { lo =>
+          require(lo == 0 || lo == 1, s"Part numbering must start at 0 or 1, found $lo")
+          val have = nums.toSet
+          val missing = (lo to nums.last).filterNot(have)
+          require(missing.isEmpty, s"Missing parts: ${missing.mkString(", ")}")
+        }
+        parts
     }
     val target = new org.apache.hadoop.fs.Path(targetPath)
     val out = target.getFileSystem(conf).create(target, true)

@@ -161,16 +161,24 @@ object ConnectedComponents {
     * scans the checkpointed blocks (cheap second action). Iterations run
     * over compacted long node ids (see `compactIds`).
     */
+  /** `idSnapshot`: snapshot hook for RUN-LIFETIME frames (the compacted ids
+    * map), defaulting to `snapshot`. The ids map is re-read AFTER the last
+    * iteration (mapAssignmentsBack), so when `snapshot` rotates old
+    * checkpoints away (Checkpoints.reliable with keepLast > 0) the caller
+    * MUST pass a non-rotating hook here — e.g. Checkpoints.reliable(idsDir)
+    * — or the final map-back would read a deleted checkpoint.
+    */
   def run(
       edgesIn: DataFrame,
       maxIterations: Int = 20,
       snapshot: DataFrame => DataFrame = graft.util.Checkpoints.serializedLocal,
-      compact: Boolean = false
+      compact: Boolean = false,
+      idSnapshot: Option[DataFrame => DataFrame] = None
   ): DataFrame = {
     val edges0 = edgesIn
       .select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
-    val ids = if (compact) Some(compactIds(edges0, snapshot)) else None
+    val ids = if (compact) Some(compactIds(edges0, idSnapshot.getOrElse(snapshot))) else None
     var (edges, sig) =
       snapshotWithSignature(ids.fold(edges0)(mapEdges(edges0, _)).distinct(), snapshot)
     var converged = false

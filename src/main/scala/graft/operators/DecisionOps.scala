@@ -156,7 +156,10 @@ object DecisionOps {
       // re-reads the whole CSV to decide).
       def hasAnyValue =
         out.columns.contains(rankCol) &&
-          !out.select(rankCol).where(col(rankCol).isNotNull).isEmpty // limit-1 probe, not a full scan
+          // short-circuits at the first non-null row (limit-1); the all-null
+          // recompute case necessarily scans the whole column — as does the
+          // reference's notna().any() over the re-read CSV
+          !out.select(rankCol).where(col(rankCol).isNotNull).isEmpty
       if (out.columns.contains(answerCol) && !hasAnyValue) {
         val meta = if (out.columns.contains(metaCol)) col(metaCol) else lit(null).cast("string")
         val pred =

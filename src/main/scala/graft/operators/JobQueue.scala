@@ -24,18 +24,24 @@ import org.apache.spark.sql.functions._
   */
 object JobQueue {
 
+  /** The oldest-queued selection shared by claim and peek: 1-row frame of
+    * (__claim_id) — min(struct(created_at, job_id)) so ties on created_at
+    * break by job_id and the choice is total-order deterministic.
+    */
+  private def oldestQueued(jobs: DataFrame): DataFrame =
+    jobs
+      .where(col("status") === "queued")
+      .agg(min(struct(col("created_at"), col("job_id"))).as("o"))
+      .select(col("o.job_id").as("__claim_id"))
+      .where(col("__claim_id").isNotNull)
+
   /** Oldest queued job -> running (+ started_at = `now`); ties on
     * created_at break by job_id so the claim is total-order deterministic.
     * Returns the full post-claim jobs frame; the claimed row is the one
     * whose status flipped (join against claimedId to fetch it alone).
     */
   def claimNext(jobs: DataFrame, now: Column): DataFrame = {
-    val oldest = jobs
-      .where(col("status") === "queued")
-      .agg(min(struct(col("created_at"), col("job_id"))).as("o"))
-      .select(col("o.job_id").as("__claim_id"))
-      .where(col("__claim_id").isNotNull)
-    val claimed = jobs.join(broadcast(oldest), col("job_id") === col("__claim_id"), "left")
+    val claimed = jobs.join(broadcast(oldestQueued(jobs)), col("job_id") === col("__claim_id"), "left")
     claimed
       .withColumn(
         "started_at",
@@ -49,14 +55,8 @@ object JobQueue {
   }
 
   /** The job claimNext would take, without mutating: oldest queued row. */
-  def peekNext(jobs: DataFrame): DataFrame = {
-    val oldest = jobs
-      .where(col("status") === "queued")
-      .agg(min(struct(col("created_at"), col("job_id"))).as("o"))
-      .select(col("o.job_id").as("__claim_id"))
-      .where(col("__claim_id").isNotNull)
-    jobs.join(broadcast(oldest), col("job_id") === col("__claim_id")).drop("__claim_id")
-  }
+  def peekNext(jobs: DataFrame): DataFrame =
+    jobs.join(broadcast(oldestQueued(jobs)), col("job_id") === col("__claim_id")).drop("__claim_id")
 
   /** All running jobs -> failed with `reason` (+ finished_at = `now`);
     * startup crash-recovery sweep (state.py:138-145).

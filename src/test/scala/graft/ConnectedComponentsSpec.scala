@@ -68,6 +68,31 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(plain == compact)
   }
 
+  test("compact + rotating durable checkpoints: idSnapshot keeps the ids map alive") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val edges = (1 to 80)
+      .map(_ => (s"u${rng.nextInt(30)}", s"u${rng.nextInt(30)}"))
+      .filter(e => e._1 != e._2)
+      .distinct
+    val df = edges.toDF("src", "dst")
+    val plain = ConnectedComponents.run(df).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // a rotating iteration snapshot (keepLast = 2, as LinkagePipeline wires
+    // for Config.checkpointDir) deletes old checkpoints; the compacted ids
+    // map is read again AFTER the last iteration, so it must go through the
+    // non-rotating idSnapshot or the final map-back would hit a deleted dir
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-rot").toString
+    val rotated = ConnectedComponents
+      .run(
+        df,
+        snapshot = graft.util.Checkpoints.reliable(s"$dir/cc", keepLast = 2),
+        compact = true,
+        idSnapshot = Some(graft.util.Checkpoints.reliable(s"$dir/ids"))
+      )
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(plain == rotated)
+  }
+
   test("result is invariant under repartitioning") {
     import spark.implicits._
     val edges = (1 to 60).map(i => (s"v${i % 23}", s"v${(i * 7) % 23}")).filter(e => e._1 != e._2)

@@ -105,4 +105,30 @@ class JobQueueSpec extends SparkSpec {
     }
     assert(dupErr.getMessage.contains("Duplicate part numbers: 1"))
   }
+
+  test("mergeParts without a declared count rejects gaps and duplicates") {
+    def freshDir() = java.nio.file.Files.createTempDirectory("graft-parts-nd").toString
+    // contiguous 1..2 -> merged
+    val ok = freshDir()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(ok, "1.part"), "a\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(ok, "2.part"), "b\n")
+    Sources.mergeParts(spark, ok, s"$ok/m.csv")
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(ok, "m.csv")) === "a\nb\n")
+    // a stale high-numbered leftover (gap) -> loud failure, not silent concat
+    val gap = freshDir()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(gap, "1.part"), "a\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(gap, "7.part"), "STALE\n")
+    val gapErr = intercept[IllegalArgumentException] {
+      Sources.mergeParts(spark, gap, s"$gap/m.csv")
+    }
+    assert(gapErr.getMessage.contains("Missing parts"))
+    // duplicate numbering -> loud failure
+    val dup = freshDir()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dup, "1.part"), "a\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dup, "000001.part"), "a\n")
+    val dupErr2 = intercept[IllegalArgumentException] {
+      Sources.mergeParts(spark, dup, s"$dup/m.csv")
+    }
+    assert(dupErr2.getMessage.contains("Duplicate part numbers"))
+  }
 }
