@@ -48,9 +48,21 @@ object Dedup {
       .select(col("urlA").as("id_a"), col("urlB").as("id_b"), col("key"))
   }
 
-  /** SimHash near-dup pairs: fingerprint each doc, block on rotated 16-bit
-    * chunks (a pair within Hamming distance d shares at least one of 4
-    * chunks when d <= 3), verify by full Hamming distance.
+  /** SimHash near-dup pairs: fingerprint each doc, block on chunk
+    * COMBINATIONS (Manku et al., "Detecting Near-Duplicates for Web
+    * Crawling", WWW'07 §3), verify by full Hamming distance.
+    *
+    * The fingerprint's 64 bits split into 6 chunks (11,11,11,11,10,10); a
+    * pair within Hamming distance d <= 3 differs in at most 3 chunks, so
+    * at least 6-d chunks agree and the pair shares at least one
+    * (6-d)-chunk combination key. Blocking on every C(6, 6-d) combination
+    * (d=3: 20 keys/doc, ~32-bit key space) keeps the exactness guarantee
+    * of the classic 4x16-bit rotated-chunk scheme while replacing its
+    * FIXED 2^16 bucket space — where bucket sizes grow linearly with the
+    * corpus and candidate pairs quadratically, the same
+    * quadratic-under-the-salt-cap regime measured for 1-token domain keys
+    * in graft.tools.ScaleProbe — with a ~2^32 space whose occupancy stays
+    * content-bound at web scale.
     */
   def simHashPairs(
       docs: DataFrame,
@@ -58,14 +70,28 @@ object Dedup {
       maxHamming: Int = 3,
       maxBlockSize: Int = 10000
   ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 5, "chunk-combination blocking covers maxHamming in [0,5]")
     val fp = docs.select(
       col(idCol).cast("string").as("url"),
       simhash64(Normalize.tokensOf(col("text"))).as("fp")
     )
-    val chunkKeys = (0 until 4).map { c =>
-      concat(lit(s"s$c:"), (shiftright(col("fp"), c * 16).bitwiseAND(lit(0xffffL))).cast("string"))
+    val sizes = Seq(11, 11, 11, 11, 10, 10)
+    val offsets = sizes.scanLeft(0)(_ + _).init
+    def chunk(i: Int): Column =
+      shiftright(col("fp"), offsets(i)).bitwiseAND(lit((1L << sizes(i)) - 1))
+    val pick = 6 - math.max(maxHamming, 1) // d=0 still needs one key per doc
+    val combos = (0 until 6).combinations(pick).toSeq
+    // one LONG key per combination: combo index in the high bits, the
+    // picked chunks packed below (<= 54 chunk bits + 5 index bits < 63)
+    val comboKeys = combos.zipWithIndex.map { case (c, idx) =>
+      val packed = c.foldLeft(lit(idx.toLong): Column) { (acc, i) =>
+        acc * lit(1L << sizes(i)) + chunk(i)
+      }
+      packed
     }
-    val keys = fp.select(col("url"), explode(array(chunkKeys: _*)).as("key"))
+    val keys = fp
+      .select(col("url"), explode(array(comboKeys: _*)).as("_k"))
+      .select(col("url"), col("_k").cast("string").as("key"))
     val pairs = Blocker.pairs(keys, maxBlockSize)
     val fa = fp.select(col("url").as("urlA"), col("fp").as("fp_a"))
     val fb = fp.select(col("url").as("urlB"), col("fp").as("fp_b"))
@@ -158,5 +184,25 @@ object Dedup {
   ): DataFrame = {
     require(lshBits > 0, "embeddingNearDupApprox needs lshBits > 0; use embeddingNearDup for the exact mode")
     embeddingNearDup(embeddings, idCol, vecCol, threshold, lshBits, lshTables)
+  }
+
+  /** [[embeddingNearDupApprox]] with (bits, tables) derived from the corpus
+    * size via [[SimilaritySearch.lshPlan]] — a FIXED bits value means 2^bits
+    * buckets whose sizes grow linearly with the corpus and whose bucket-join
+    * pairs grow quadratically; the plan instead bounds expected bucket rows
+    * at `targetBucketRows` for any corpus size and re-solves the table count
+    * for the recall target. Costs one count() action; deterministic given
+    * the data.
+    */
+  def embeddingNearDupAuto(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      targetBucketRows: Int = 1000,
+      recall: Double = 0.95
+  ): DataFrame = {
+    val (bits, tables) = SimilaritySearch.lshPlan(embeddings.count(), threshold, targetBucketRows, recall)
+    embeddingNearDup(embeddings, idCol, vecCol, threshold, bits, tables)
   }
 }

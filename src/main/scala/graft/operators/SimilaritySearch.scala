@@ -31,6 +31,41 @@ object SimilaritySearch {
   def hyperplaneBucket(v: Column, bits: Int, seed: Int = 0): Column =
     SimilarityFunctions.sign_lsh(v, bits, seed)
 
+  /** Corpus-size-derived sign-LSH parameters. A FIXED bits value is a scale
+    * bug: 2^bits buckets means bucket sizes grow linearly with the corpus
+    * and bucket-join candidate pairs quadratically (the same
+    * quadratic-under-the-cap regime graft.tools.ScaleProbe measured for
+    * 1-token domain blocking keys). Instead:
+    *
+    *  - `bits` = ceil(log2(n / targetBucketRows)) bounds the EXPECTED
+    *    bucket size at targetBucketRows for any corpus size, so candidate
+    *    pairs per row stay O(targetBucketRows) as n grows;
+    *  - `tables` then restores recall at the cosine threshold: a true pair
+    *    at cos = t agrees on one hyperplane bit with p = 1 - acos(t)/pi,
+    *    on a whole table with p^bits, and is missed by all T independent
+    *    tables with (1 - p^bits)^T — solve for T at the recall target.
+    *
+    * Returned values are clamped to sane ranges (bits in [4, 24], tables
+    * in [1, 64]). Deterministic: depends only on (n, threshold, targets).
+    */
+  def lshPlan(
+      n: Long,
+      threshold: Double = 0.9,
+      targetBucketRows: Int = 1000,
+      recall: Double = 0.95
+  ): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    require(recall > 0 && recall < 1, "recall in (0,1)")
+    val bits = math.max(
+      4,
+      math.min(24, math.ceil(math.log(math.max(n, 1L).toDouble / targetBucketRows) / math.log(2)).toInt)
+    )
+    val pBit = 1.0 - math.acos(threshold) / math.Pi
+    val pTable = math.pow(pBit, bits.toDouble)
+    val tables = math.max(1, math.min(64, math.ceil(math.log1p(-recall) / math.log1p(-pTable)).toInt))
+    (bits, tables)
+  }
+
   /** Exact brute-force cosine top-k: for each query row, the k nearest
     * corpus rows. Broadcast the smaller (query) side; the corpus streams.
     */
@@ -197,6 +232,10 @@ object SimilaritySearch {
     * hash tables trade compute for recall; results are deduped across
     * tables before ranking. Bucket keys are (table, long-bucket) pairs —
     * never string concat in the shuffle key.
+    *
+    * At scale, size (bits, tables) from the corpus count via [[lshPlan]] —
+    * a fixed `bits` means bucket sizes grow linearly with the corpus and
+    * the bucket join quadratically.
     */
   def lshTopK(
       queries: DataFrame,

@@ -42,6 +42,63 @@ class OperatorsSpec extends SparkSpec {
     pairs.foreach(r => assert(r.getAs[Int]("hamming") <= 3))
   }
 
+  test("simhash chunk-combination blocking is exact vs brute force at d<=3") {
+    import spark.implicits._
+    // ~120 docs with overlapping token windows: plenty of fingerprint pairs
+    // land within Hamming 3, exercising every chunk combination
+    val base = (0 until 400).map(i => s"w${i % 37}")
+    val corpus = (0 until 120)
+      .map(i => (i.toLong, base.slice(i % 40, i % 40 + 60 + (i % 7)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val fp = corpus
+      .select(col("doc_id"), graft.functions.SimilarityFunctions.simhash64(
+        graft.functions.Normalize.tokensOf(col("text"))).as("fp"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // the operator orients pairs by STRING id order ("100" < "2")
+    val brute = (for {
+      (a, fa) <- fp; (b, fb) <- fp if a.toString < b.toString
+      if java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (a.toString, b.toString)).toSet
+    val blocked = Dedup
+      .simHashPairs(corpus)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+    assert(blocked == brute, s"missing=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
+  }
+
+  test("lshPlan bounds bucket size and restores recall as the corpus grows") {
+    val (b1, t1) = SimilaritySearch.lshPlan(1000L)
+    val (b2, t2) = SimilaritySearch.lshPlan(1000000L)
+    val (b3, t3) = SimilaritySearch.lshPlan(1000000000L)
+    // bits track log2(n/target): expected bucket rows stay ~targetBucketRows
+    assert(b1 <= b2 && b2 <= b3)
+    assert(b2 == 10 && b3 == 20)
+    // more bits -> lower per-table hit rate -> more tables to hold recall
+    assert(t1 <= t2 && t2 <= t3)
+    // the recall identity the table count solves for (t3 hits the 64-table
+    // cost clamp, shaving the last ~0.3% off the 0.95 target)
+    val pBit = 1.0 - math.acos(0.9) / math.Pi
+    assert(1.0 - math.pow(1.0 - math.pow(pBit, b2), t2) >= 0.95)
+    assert(1.0 - math.pow(1.0 - math.pow(pBit, b3), t3) >= 0.94)
+  }
+
+  test("embeddingNearDupAuto finds planted duplicates with derived parameters") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val basevecs = (0 until 40).map(i => (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1)))
+    // plant exact copies of the first 5 vectors
+    val planted = (0 until 5).map(i => (100L + i, basevecs(i)._2.clone()))
+    val all = (basevecs ++ planted).toDF("vec_id", "embedding")
+    val found = Dedup
+      .embeddingNearDupAuto(all, threshold = 0.99, targetBucketRows = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    (0 until 5).foreach(i => assert(found.contains((i.toLong, 100L + i)), s"missing planted copy $i"))
+  }
+
   test("ngram jaccard verifies candidates") {
     import spark.implicits._
     val pairs = Seq(("1", "2"), ("1", "3"), ("1", "5")).toDF("id_a", "id_b")
