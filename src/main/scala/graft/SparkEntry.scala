@@ -1053,8 +1053,8 @@ object SparkEntry {
     // matter for pair generation). Engine-independent end-to-end.
     // Known, accepted divergences that CANNOT occur at this sf: (1) Spark
     // salt-splits bands over 1000 urls (oracle doesn't — max block here is
-    // tiny); (2) a 32-bit murmur collision between two band values would
-    // merge Spark blocks the oracle keeps apart (~n^2/2^33 per band).
+    // tiny); (2) an xxhash64 collision between two band values would merge
+    // Spark blocks the oracle keeps apart (~n^2/2^65 per band).
     "q_dd_minhash_pairs" ->
       """WITH tok AS (
         |  SELECT 'doc:' || lpad(doc_id::VARCHAR, 6, '0') AS url,

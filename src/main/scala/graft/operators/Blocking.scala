@@ -79,8 +79,12 @@ final case class MinHashBlocking(shingleSize: Int = 3, numHashes: Int = 16, band
 
   def keys(pages: DataFrame): DataFrame = {
     val sig = minhash_shingles(Normalize.tokensOf(col("text")), shingleSize, numHashes)
+    // xxhash64, not the 32-bit murmur `hash`: a 2^32 band-key space means
+    // ~n^2/2^33 accidental block merges per band — at 10^12 docs that is
+    // ~233 unrelated docs per bucket and quadratic junk pairs; 64-bit keys
+    // push the same term to ~n^2/2^65 (negligible at any real corpus)
     val bandKeys = (0 until bands).map { b =>
-      concat(lit(s"m:$b:"), hash(slice(col("sig"), b * rows + 1, rows)).cast("string"))
+      concat(lit(s"m:$b:"), xxhash64(slice(col("sig"), b * rows + 1, rows)).cast("string"))
     }
     pages
       .select(col("url"), sig.as("sig"))
