@@ -30,32 +30,51 @@ object StreamingDedup {
 
   /** Stateful exact dedup by key (e.g. canonical url or content sha):
     * the first page seen for a key becomes canonical; later arrivals link
-    * to it. State per key = the canonical url (tiny, bounded by distinct
-    * keys; GroupStateTimeout evicts idle keys if a watermark is set).
+    * to it. State per key = the canonical url.
+    *
+    * `idleTimeout` (e.g. "30 days"): without it, state grows with DISTINCT
+    * KEYS FOREVER — at web scale the state store itself becomes the
+    * bottleneck. With it, a key idle longer than the TTL is evicted and a
+    * later duplicate of an evicted key starts a new canonical: the dedup
+    * horizon becomes the TTL, which is the standard trade for an unbounded
+    * stream (exact forever-dedup belongs to the batch pipeline over the
+    * accumulated corpus).
     */
   def dedupByKey(
-      keyed: Dataset[PageKeyed]
+      keyed: Dataset[PageKeyed],
+      idleTimeout: Option[String] = None
   ): Dataset[Assignment] = {
     import keyed.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     keyed
       .groupByKey(_.key)
       .flatMapGroupsWithState[String, Assignment](
         OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()
+        timeoutConf
       ) { case (key, rows, state: GroupState[String]) =>
-        val sorted = rows.toSeq.sortBy(p => (p.ts.getTime, p.url))
-        val out = scala.collection.mutable.ListBuffer.empty[Assignment]
-        var canonical = state.getOption.orNull
-        sorted.foreach { p =>
-          if (canonical == null) {
-            canonical = p.url
-            state.update(canonical)
-            out += Assignment(p.url, key, canonical, is_first = true)
-          } else {
-            out += Assignment(p.url, key, canonical, is_first = false)
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val sorted = rows.toSeq.sortBy(p => (p.ts.getTime, p.url))
+          val out = scala.collection.mutable.ListBuffer.empty[Assignment]
+          var canonical = state.getOption.orNull
+          sorted.foreach { p =>
+            if (canonical == null) {
+              canonical = p.url
+              state.update(canonical)
+              out += Assignment(p.url, key, canonical, is_first = true)
+            } else {
+              out += Assignment(p.url, key, canonical, is_first = false)
+            }
           }
+          // refresh the TTL on every batch that touches the key (state is
+          // always defined here: canonical was set above if absent)
+          idleTimeout.foreach(state.setTimeoutDuration)
+          out.iterator
         }
-        out.iterator
       }
   }
 
