@@ -99,14 +99,9 @@ object ConnectedComponents {
     )
     val out = snapshot(observed)
     // the observation listener fires async after the snapshot's action;
-    // poll getOrEmpty (each call waits <=100ms, never hangs) with a 5s
-    // budget, then fall back to the explicit scan if the snapshot impl
-    // didn't drive the observation — no Future/thread involved, so a
-    // never-firing observation can't leak a blocked pool thread
-    val getOrEmpty = () => org.apache.spark.sql.GraftShim.observationGetOrEmpty(obs)
-    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-    var m = getOrEmpty()
-    while (m.isEmpty && System.nanoTime() < deadline) m = getOrEmpty()
+    // bounded shared poll (graft.util.Observations), then fall back to the
+    // explicit scan if the snapshot impl didn't drive the observation
+    val m = graft.util.Observations.getWithin(obs)
     val sig =
       if (m.nonEmpty) (m("n").asInstanceOf[Long], BigDecimal(m("h").asInstanceOf[java.math.BigDecimal]))
       else signature(out)
@@ -162,11 +157,14 @@ object ConnectedComponents {
     * over compacted long node ids (see `compactIds`).
     */
   /** `idSnapshot`: snapshot hook for RUN-LIFETIME frames (the compacted ids
-    * map), defaulting to `snapshot`. The ids map is re-read AFTER the last
-    * iteration (mapAssignmentsBack), so when `snapshot` rotates old
-    * checkpoints away (Checkpoints.reliable with keepLast > 0) the caller
-    * MUST pass a non-rotating hook here — e.g. Checkpoints.reliable(idsDir)
-    * — or the final map-back would read a deleted checkpoint.
+    * map). The ids map is re-read AFTER the last iteration
+    * (mapAssignmentsBack), so it must NEVER go through a rotating hook
+    * (Checkpoints.reliable with keepLast > 0 — what iteration snapshots
+    * use) or the final map-back reads a deleted checkpoint. The default is
+    * therefore a non-rotating serialized localCheckpoint, safe with ANY
+    * iteration snapshot; durable runs that need the ids map to survive
+    * executor loss pass their own non-rotating durable hook (e.g.
+    * Checkpoints.reliable(idsDir)).
     */
   def run(
       edgesIn: DataFrame,
@@ -178,7 +176,10 @@ object ConnectedComponents {
     val edges0 = edgesIn
       .select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
-    val ids = if (compact) Some(compactIds(edges0, idSnapshot.getOrElse(snapshot))) else None
+    val ids =
+      if (compact)
+        Some(compactIds(edges0, idSnapshot.getOrElse(graft.util.Checkpoints.serializedLocal)))
+      else None
     var (edges, sig) =
       snapshotWithSignature(ids.fold(edges0)(mapEdges(edges0, _)).distinct(), snapshot)
     var converged = false

@@ -202,7 +202,14 @@ object Dedup {
       targetBucketRows: Int = 1000,
       recall: Double = 0.95
   ): DataFrame = {
-    val (bits, tables) = SimilaritySearch.lshPlan(embeddings.count(), threshold, targetBucketRows, recall)
-    embeddingNearDup(embeddings, idCol, vecCol, threshold, bits, tables)
+    // persist the projected frame: the count() action and the LSH
+    // key-explode + two fetch-joins would otherwise re-run an expensive
+    // upstream plan several times (cache released by LRU eviction, same
+    // convenience contract as PairScorer.features)
+    val e = embeddings
+      .select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val plan = SimilaritySearch.lshPlan(e.count(), threshold, targetBucketRows, recall)
+    embeddingNearDup(e, idCol, vecCol, threshold, plan.bits, plan.tables)
   }
 }

@@ -45,15 +45,22 @@ object SimilaritySearch {
     *    on a whole table with p^bits, and is missed by all T independent
     *    tables with (1 - p^bits)^T — solve for T at the recall target.
     *
-    * Returned values are clamped to sane ranges (bits in [4, 24], tables
-    * in [1, 64]). Deterministic: depends only on (n, threshold, targets).
+    * Values are clamped to cost-sane ranges (bits in [4, 24], tables in
+    * [1, 64]); past the clamps (n >~ 2^24 * targetBucketRows, or a table
+    * count the recall target can't afford) the guarantees DEGRADE, so the
+    * plan carries `expectedRecall` — the recall the returned (bits,
+    * tables) actually deliver — and a clamp that moves it below the
+    * request is additionally noted on stderr. Deterministic: depends only
+    * on (n, threshold, targets).
     */
+  final case class LshParams(bits: Int, tables: Int, expectedRecall: Double)
+
   def lshPlan(
       n: Long,
       threshold: Double = 0.9,
       targetBucketRows: Int = 1000,
       recall: Double = 0.95
-  ): (Int, Int) = {
+  ): LshParams = {
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
     require(recall > 0 && recall < 1, "recall in (0,1)")
     val bits = math.max(
@@ -63,7 +70,13 @@ object SimilaritySearch {
     val pBit = 1.0 - math.acos(threshold) / math.Pi
     val pTable = math.pow(pBit, bits.toDouble)
     val tables = math.max(1, math.min(64, math.ceil(math.log1p(-recall) / math.log1p(-pTable)).toInt))
-    (bits, tables)
+    val expected = 1.0 - math.pow(1.0 - pTable, tables.toDouble)
+    if (expected < recall)
+      System.err.println(
+        f"[graft] lshPlan clamp: (bits=$bits, tables=$tables) delivers expected recall $expected%.3f" +
+          f" below the requested $recall%.2f at n=$n — raise targetBucketRows or accept the lower recall"
+      )
+    LshParams(bits, tables, expected)
   }
 
   /** Exact brute-force cosine top-k: for each query row, the k nearest

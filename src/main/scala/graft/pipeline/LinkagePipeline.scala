@@ -222,17 +222,11 @@ object LinkagePipeline {
     // write job (zero extra passes) and the values land in the stage
     // manifest — the reference streams these over SSE
     // (app/api/routes.py:552-575); here the manifest is the progress feed
-    // bounded wait (same defense as ConnectedComponents.snapshotWithSignature):
+    // bounded wait (shared with ConnectedComponents.snapshotWithSignature):
     // obs.get blocks forever if the stage's write job didn't drive the
-    // observation; poll getOrEmpty with a 5s budget and commit an empty
-    // metrics map rather than hanging the whole run
-    def metricsOf(obs: org.apache.spark.sql.Observation): Map[String, Double] = {
-      val getOrEmpty = () => org.apache.spark.sql.GraftShim.observationGetOrEmpty(obs)
-      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
-      var m = getOrEmpty()
-      while (m.isEmpty && System.nanoTime() < deadline) m = getOrEmpty()
-      m.collect { case (k, v: Number) => k -> v.doubleValue() }.toMap
-    }
+    // observation; commit empty metrics (with a stderr note) over hanging
+    def metricsOf(obs: org.apache.spark.sql.Observation): Map[String, Double] =
+      graft.util.Observations.getWithin(obs).collect { case (k, v: Number) => k -> v.doubleValue() }.toMap
 
     val keys = io
       .readStage(spark, "keys")

@@ -69,19 +69,20 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("lshPlan bounds bucket size and restores recall as the corpus grows") {
-    val (b1, t1) = SimilaritySearch.lshPlan(1000L)
-    val (b2, t2) = SimilaritySearch.lshPlan(1000000L)
-    val (b3, t3) = SimilaritySearch.lshPlan(1000000000L)
+    val p1 = SimilaritySearch.lshPlan(1000L)
+    val p2 = SimilaritySearch.lshPlan(1000000L)
+    val p3 = SimilaritySearch.lshPlan(1000000000L)
     // bits track log2(n/target): expected bucket rows stay ~targetBucketRows
-    assert(b1 <= b2 && b2 <= b3)
-    assert(b2 == 10 && b3 == 20)
+    assert(p1.bits <= p2.bits && p2.bits <= p3.bits)
+    assert(p2.bits == 10 && p3.bits == 20)
     // more bits -> lower per-table hit rate -> more tables to hold recall
-    assert(t1 <= t2 && t2 <= t3)
-    // the recall identity the table count solves for (t3 hits the 64-table
-    // cost clamp, shaving the last ~0.3% off the 0.95 target)
+    assert(p1.tables <= p2.tables && p2.tables <= p3.tables)
+    // the plan reports the recall its (bits, tables) actually deliver
+    // (p3 hits the 64-table cost clamp, shaving ~0.3% off the 0.95 target)
+    assert(p2.expectedRecall >= 0.95)
+    assert(p3.expectedRecall >= 0.94 && p3.expectedRecall < 0.95)
     val pBit = 1.0 - math.acos(0.9) / math.Pi
-    assert(1.0 - math.pow(1.0 - math.pow(pBit, b2), t2) >= 0.95)
-    assert(1.0 - math.pow(1.0 - math.pow(pBit, b3), t3) >= 0.94)
+    assert(math.abs(p3.expectedRecall - (1.0 - math.pow(1.0 - math.pow(pBit, p3.bits), p3.tables))) < 1e-12)
   }
 
   test("embeddingNearDupAuto finds planted duplicates with derived parameters") {
