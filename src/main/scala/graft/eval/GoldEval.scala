@@ -99,7 +99,9 @@ object GoldEval {
     def keys(pages: DataFrame): DataFrame =
       pages.select(
         col("url"),
-        concat(lit("ft:"), element_at(graft.functions.Normalize.tokensOf(col("text")), 1)).as("key")
+        // try_element_at: empty-token mentions must yield a null key (no
+        // block), not an ANSI INVALID_ARRAY_INDEX error
+        concat(lit("ft:"), try_element_at(graft.functions.Normalize.tokensOf(col("text")), lit(1))).as("key")
       )
   }
 

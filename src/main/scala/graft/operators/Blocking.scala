@@ -58,9 +58,12 @@ object DomainBlocking extends BlockingStrategy {
         lit("d:"),
         Normalize.domainOf(col("url")),
         lit("|"),
-        coalesce(element_at(toks, 1), lit("")),
+        // try_element_at, not element_at: ANSI mode (Spark 4 default) makes
+        // element_at THROW on an empty token array, so one whitespace-only
+        // page would kill a whole-corpus run
+        coalesce(try_element_at(toks, lit(1)), lit("")),
         lit("|"),
-        coalesce(element_at(toks, 2), lit(""))
+        coalesce(try_element_at(toks, lit(2)), lit(""))
       ).as("key")
     )
   }
