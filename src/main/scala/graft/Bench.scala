@@ -113,11 +113,12 @@ object Bench {
     // flagship round (both sizes, so min() can only tighten either side)
     // recovers it; every rep's wall is printed above, so the retry is
     // transparent and bounded.
+    val retryFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_FACTOR", "0.9").toDouble
     if (!skipScaling && reps == 1) {
       val eff0 = (nDocs / t4N) / (4.0 * (nDocs / tN))
       val ctl0 = (ctlRows / c4N) / (4.0 * (ctlRows / cN))
-      if (eff0 < 0.9 * ctl0) {
-        err(f"efficiency $eff0%.3f < 0.9x control ceiling $ctl0%.3f: one noise-recovery round")
+      if (eff0 < retryFactor * ctl0) {
+        err(f"efficiency $eff0%.3f < ${retryFactor}%.1fx control ceiling $ctl0%.3f: one noise-recovery round")
         tN = math.min(tN, timeFlagshipOnce(mN, corpusDir, "retry"))
         t4N = math.min(t4N, timeFlagshipOnce(m4N, corpusDir, "retry"))
       }
