@@ -59,6 +59,39 @@ class ResumeSpec extends SparkSpec {
     rmrf(java.nio.file.Paths.get(base))
   }
 
+  test("crash BETWEEN CC iterations resumes from the last committed iteration") {
+    val base = Files.createTempDirectory("graft-resume-midcc").toString
+    val cfgHash = TableIO.configHash(Map("threshold" -> "0.70", "strategies" -> "all"))
+    // chain-heavy corpus so CC needs several iterations (mid-kill is real)
+    val pages = WebCorpus.pages(spark, WebCorpus.Config(numClusters = 60)).toDF.cache()
+
+    val io1 = new ParquetTableIO(base, runId = "run1", configHash = cfgHash)
+    val full = collectPreds(LinkagePipeline.runResumable(pages, LinkagePipeline.Config(), io1))
+
+    // simulate an executor/driver loss mid-CC: keep cc_iter_0..1, wipe
+    // every later iteration and the tail stages
+    val snapDir = java.nio.file.Paths.get(s"$base/snapshots/$cfgHash")
+    val committedIters = Files
+      .list(snapDir)
+      .map[String](_.getFileName.toString)
+      .filter(_.startsWith("cc_iter_"))
+      .toArray
+      .map(_.toString)
+      .map(_.stripPrefix("cc_iter_").toInt)
+      .sorted
+    assert(committedIters.length >= 3, s"need >=3 CC iterations for a mid-kill, got $committedIters")
+    Files.list(snapDir).forEach { d =>
+      val name = d.getFileName.toString
+      val laterIter = name.startsWith("cc_iter_") && name.stripPrefix("cc_iter_").toInt >= 2
+      if (laterIter || name == "predictions" || name == "clusters") rmrf(d)
+    }
+
+    val io2 = new ParquetTableIO(base, runId = "run2", configHash = cfgHash)
+    val resumed = collectPreds(LinkagePipeline.runResumable(pages, LinkagePipeline.Config(), io2))
+    assert(resumed == full, "mid-CC resume must reproduce the uninterrupted run exactly")
+    rmrf(java.nio.file.Paths.get(base))
+  }
+
   test("config-hash change invalidates all committed stages") {
     val base = Files.createTempDirectory("graft-resume2").toString
     val pages = WebCorpus.pages(spark, WebCorpus.Config(numClusters = 30)).toDF.cache()
