@@ -106,19 +106,24 @@ object Bench {
       c4N = math.min(c4N, timeControlOnce(m4N, ctlRows, s"round$r"))
     }
     // adaptive retry: best-per-size estimates CAPABILITY (the documented
-    // methodology), and a single-round measurement whose flagship
-    // efficiency lands well BELOW the engine-free control ceiling is, on
-    // this +/-2-3x co-tenant host, a noise burst, not the plan (same-day
-    // multi-round runs sit at or above the ceiling). One extra interleaved
-    // flagship round (both sizes, so min() can only tighten either side)
-    // recovers it; every rep's wall is printed above, so the retry is
-    // transparent and bounded.
+    // methodology), and a single-round measurement is exposed to one
+    // co-tenant burst on EITHER side on this +/-2-3x noisy host. The retry
+    // is symmetric so it does not bias the estimator: re-measure when the
+    // flagship efficiency lands well BELOW the engine-free control ceiling
+    // (a burst hit the 4N side — the number understates scaling) AND when
+    // it lands above 1.0 (super-linear same-job scaling is implausible; a
+    // burst hit the N side — the number overstates scaling). One extra
+    // interleaved flagship round, min() applied to BOTH sizes, every rep's
+    // wall printed above — transparent and bounded.
     val retryFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_FACTOR", "0.9").toDouble
     if (!skipScaling && reps == 1) {
       val eff0 = (nDocs / t4N) / (4.0 * (nDocs / tN))
       val ctl0 = (ctlRows / c4N) / (4.0 * (ctlRows / cN))
-      if (eff0 < retryFactor * ctl0) {
-        err(f"efficiency $eff0%.3f < ${retryFactor}%.1fx control ceiling $ctl0%.3f: one noise-recovery round")
+      val tooLow = eff0 < retryFactor * ctl0
+      val tooHigh = eff0 > 1.0
+      if (tooLow || tooHigh) {
+        val why = if (tooLow) f"< ${retryFactor}%.1fx control ceiling $ctl0%.3f" else "> 1.0 (super-linear)"
+        err(f"efficiency $eff0%.3f $why: one noise-recovery round")
         tN = math.min(tN, timeFlagshipOnce(mN, corpusDir, "retry"))
         t4N = math.min(t4N, timeFlagshipOnce(m4N, corpusDir, "retry"))
       }

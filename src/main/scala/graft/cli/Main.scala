@@ -33,10 +33,14 @@ object Main {
   /** Mention-column resolution, mirroring the reference's precedence
     * (app/services/linker.py:428-471): explicit selection first, then link
     * columns, then the configured mention columns, then the first header
-    * column. Selection/link items may be column NAMES or positional INDEXES
-    * (a digits-only item); unknown names / out-of-range indexes in
-    * selection/link are hard errors, configured mention columns are
-    * silently filtered to those present.
+    * column. Selection/link items may be column NAMES or positional
+    * INDEXES. The reference distinguishes the two by JSON type
+    * (isinstance(item, int)); a CLI only has strings, so a digits-only
+    * item resolves as a NAME first when a column of that exact name exists
+    * (numeric headers — year columns — are common in the reference's
+    * table-linking domain) and as an index otherwise. Unknown names /
+    * out-of-range indexes in selection/link are hard errors, configured
+    * mention columns are silently filtered to those present.
     */
   def resolveMentionColumns(
       header: Seq[String],
@@ -46,13 +50,13 @@ object Main {
   ): Seq[String] = {
     def resolveStrict(items: Seq[String], what: String): Seq[String] =
       items.map { item =>
-        if (item.nonEmpty && item.forall(_.isDigit)) {
+        if (header.contains(item)) item
+        else if (item.nonEmpty && item.forall(_.isDigit)) {
           val idx = item.toInt
           require(idx >= 0 && idx < header.length, s"$what column index out of range: $item")
           header(idx)
         } else {
-          require(header.contains(item), s"$what column not found: $item")
-          item
+          throw new IllegalArgumentException(s"$what column not found: $item")
         }
       }
     if (selection.nonEmpty) resolveStrict(selection, "Selection")
@@ -76,6 +80,12 @@ object Main {
     * column flags passes through untouched (minus gt columns).
     */
   def preparePages(df: DataFrame, opts: Map[String, String]): DataFrame = {
+    // selection/link indexes resolve against the RAW header: the reference
+    // reads the CSV header before any gt handling (app/services/
+    // linker.py:355,428-441) and drops gt columns later, inside the linker
+    // (lion_linker.py:196) — resolving after the drop would silently shift
+    // every positional index past a gt column by one
+    val rawHeader = df.columns.toSeq
     val gtCols = csvList(opts, "gt-columns").filter(df.columns.contains)
     val dropped = if (gtCols.nonEmpty) df.drop(gtCols: _*) else df
     val header = dropped.columns.toSeq
@@ -92,11 +102,20 @@ object Main {
         case cfg => cfg
       }
       val mentionCols = resolveMentionColumns(
-        header,
+        rawHeader,
         csvList(opts, "select-columns"),
         csvList(opts, "link-columns"),
         mentionCfg
-      )
+      ).map { c =>
+        // a mention column that is ALSO a gt column no longer exists after
+        // the drop — the reference would KeyError at prompt time; fail
+        // loudly at resolution time instead
+        require(
+          header.contains(c),
+          s"Mention column '$c' is dropped by --gt-columns; gt columns cannot be linked over"
+        )
+        c
+      }
       require(mentionCols.nonEmpty, "no mention column resolvable: empty header")
       val idCol = opts
         .get("id-column")

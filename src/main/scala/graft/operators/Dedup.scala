@@ -81,13 +81,18 @@ object Dedup {
       shiftright(col("fp"), offsets(i)).bitwiseAND(lit((1L << sizes(i)) - 1))
     val pick = 6 - math.max(maxHamming, 1) // d=0 still needs one key per doc
     val combos = (0 until 6).combinations(pick).toSeq
-    // one LONG key per combination: combo index in the high bits, the
-    // picked chunks packed below (<= 54 chunk bits + 5 index bits < 63)
+    // one LONG key per combination: combo index in DISJOINT high bits.
+    // Combos have different total chunk widths (e.g. pick=3: 30-33 bits),
+    // so seeding the fold with idx would make different combos' numeric
+    // ranges OVERLAP (idx=1 over 33 chunk bits collides with idx=2 over 32)
+    // and unrelated blocks merge on colliding keys. Packed chunk widths are
+    // bounded by 54 bits (pick <= 5 of 11-bit chunks), so idx * 2^54 +
+    // packed is collision-free across combos: 54 + 5 index bits < 63.
     val comboKeys = combos.zipWithIndex.map { case (c, idx) =>
-      val packed = c.foldLeft(lit(idx.toLong): Column) { (acc, i) =>
+      val packed = c.foldLeft(lit(0L): Column) { (acc, i) =>
         acc * lit(1L << sizes(i)) + chunk(i)
       }
-      packed
+      lit(idx.toLong) * lit(1L << 54) + packed
     }
     val keys = fp
       .select(col("url"), explode(array(comboKeys: _*)).as("_k"))
@@ -202,14 +207,34 @@ object Dedup {
       targetBucketRows: Int = 1000,
       recall: Double = 0.95
   ): DataFrame = {
+    // convenience wrapper: the input cache is released only by LRU
+    // eviction. One-shot jobs are fine; long-lived sessions (server,
+    // notebook, streaming driver) that call this repeatedly should use
+    // [[embeddingNearDupAutoWithRelease]] and release after their action,
+    // or stale caches accumulate and evict still-hot ones.
+    embeddingNearDupAutoWithRelease(embeddings, idCol, vecCol, threshold, targetBucketRows, recall)._1
+  }
+
+  /** [[embeddingNearDupAuto]] with an explicit cache-release hook (the
+    * PairScorer.featuresWithRelease pattern): call the hook after the
+    * terminal action on the returned frame to drop the pinned input cache.
+    */
+  def embeddingNearDupAutoWithRelease(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.9,
+      targetBucketRows: Int = 1000,
+      recall: Double = 0.95
+  ): (DataFrame, () => Unit) = {
     // persist the projected frame: the count() action and the LSH
     // key-explode + two fetch-joins would otherwise re-run an expensive
-    // upstream plan several times (cache released by LRU eviction, same
-    // convenience contract as PairScorer.features)
+    // upstream plan several times
     val e = embeddings
       .select(col(idCol), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val plan = SimilaritySearch.lshPlan(e.count(), threshold, targetBucketRows, recall)
-    embeddingNearDup(e, idCol, vecCol, threshold, plan.bits, plan.tables)
+    val out = embeddingNearDup(e, idCol, vecCol, threshold, plan.bits, plan.tables)
+    (out, () => { e.unpersist(blocking = false); () })
   }
 }

@@ -32,6 +32,35 @@ class CliSpec extends SparkSpec {
     intercept[IllegalArgumentException](Main.resolveMentionColumns(header, linkColumns = Seq("nope")))
   }
 
+  test("digits-only items resolve as NAMES first (numeric year headers), indexes second") {
+    // the reference types items (isinstance int vs str); a CLI string that
+    // exactly names a column must be that column, not an index
+    val numeric = Seq("country", "2019", "2020")
+    assert(Main.resolveMentionColumns(numeric, selection = Seq("2020")) === Seq("2020"))
+    assert(Main.resolveMentionColumns(numeric, selection = Seq("1")) === Seq("2019")) // no col named "1"
+    val tricky = Seq("name", "3", "0")
+    assert(Main.resolveMentionColumns(tricky, selection = Seq("0")) === Seq("0")) // name wins over index 0
+    assert(Main.resolveMentionColumns(tricky, selection = Seq("2")) === Seq("0")) // plain index still works
+  }
+
+  test("positional indexes resolve against the RAW header, before the gt drop") {
+    import spark.implicits._
+    val df = Seq(("Avatar", "Q24871", "James Cameron", "2009"))
+      .toDF("film", "film_QID", "director", "year")
+    // reference semantics (linker.py:355 reads the raw header; gt drop is
+    // later): index 2 = director, even with film_QID gt-dropped
+    val pages = Main.preparePages(
+      df,
+      Map("gt-columns" -> "film_QID", "select-columns" -> "2", "id-column" -> "film")
+    )
+    assert(pages.select("text").collect().map(_.getString(0)).toSeq === Seq("James Cameron"))
+    // linking over the gt column itself fails loudly, not silently
+    val e = intercept[IllegalArgumentException] {
+      Main.preparePages(df, Map("gt-columns" -> "film_QID", "select-columns" -> "film_QID"))
+    }
+    assert(e.getMessage.contains("gt columns cannot be linked over"))
+  }
+
   test("preparePages: gt drop + index-resolved mention on a table without url/text") {
     import spark.implicits._
     val df = Seq(

@@ -92,11 +92,12 @@ class OperatorsSpec extends SparkSpec {
     // plant exact copies of the first 5 vectors
     val planted = (0 until 5).map(i => (100L + i, basevecs(i)._2.clone()))
     val all = (basevecs ++ planted).toDF("vec_id", "embedding")
-    val found = Dedup
-      .embeddingNearDupAuto(all, threshold = 0.99, targetBucketRows = 8)
+    val (pairsDf, release) = Dedup.embeddingNearDupAutoWithRelease(all, threshold = 0.99, targetBucketRows = 8)
+    val found = pairsDf
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSet
+    release()
     (0 until 5).foreach(i => assert(found.contains((i.toLong, 100L + i)), s"missing planted copy $i"))
   }
 
