@@ -105,8 +105,10 @@ object SimKernels {
     while (i < n) {
       if (!tokens.isNullAt(i)) {
         val b = (fnv64(tokens.getUTF8String(i)) >>> 1) % numBuckets
-        val prev = counts.get(b)
-        counts.put(b, if (prev == null) 1.0 else prev + 1.0)
+        // getOrDefault, not get-then-null-check: counts.get returns an
+        // UNBOXED scala.Double here, so a null check would always be false
+        // and only worked by unboxToDouble(null) == 0.0 accident
+        counts.put(b, counts.getOrDefault(b, 0.0) + 1.0)
       }
       i += 1
     }

@@ -213,12 +213,20 @@ object ConnectedComponents {
       maxIterations: Int = 20
   ): DataFrame = {
     val spark = edgesIn.sparkSession
-    val committed = (0 to maxIterations)
-      .map(i => i -> io.readStage(spark, s"cc_iter_$i"))
-      .takeWhile(_._2.isDefined)
-    var (iter, edges) = committed.lastOption match {
-      case Some((i, Some(df))) => (i, df)
-      case _ =>
+    // resume probe from the TOP down: manifest reads are one small JSON
+    // file each, and the full commit-validity check (readStage counts the
+    // stage's parquet) runs only on the newest committed iteration —
+    // probing upward would full-scan EVERY committed multi-TB edge set
+    // just to find the last one. Only that last iteration is needed;
+    // if its data fails validation, fall back to the next lower commit.
+    val resumed: Option[(Int, DataFrame)] =
+      (maxIterations to 0 by -1).iterator
+        .filter(i => io.manifest(s"cc_iter_$i").isDefined)
+        .map(i => i -> io.readStage(spark, s"cc_iter_$i"))
+        .collectFirst { case (i, Some(df)) => (i, df) }
+    var (iter, edges) = resumed match {
+      case Some((i, df)) => (i, df)
+      case None =>
         val initial = edgesIn
           .select(col("src"), col("dst"))
           .where(col("src") =!= col("dst"))

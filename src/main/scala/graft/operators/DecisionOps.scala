@@ -259,7 +259,12 @@ object DecisionOps {
       array().cast("array<string>"),
       (acc, id) =>
         when(
-          array_contains(seen, upper(id)) || array_contains(transform(acc, x => upper(x)), upper(id)),
+          // stop accumulating once rankingSize pad ids exist: the slice
+          // below never takes more, and without the gate the accumulator
+          // (and the per-element rescan of it) grows with |candidates| —
+          // O(|candidates|^2) per row instead of the promised O(k * n)
+          size(acc) >= rankingSize ||
+            array_contains(seen, upper(id)) || array_contains(transform(acc, x => upper(x)), upper(id)),
           acc
         ).otherwise(array_append(acc, id))
     )

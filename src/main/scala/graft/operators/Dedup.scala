@@ -21,10 +21,19 @@ object Dedup {
     */
   def exact(docs: DataFrame, idCol: String, keyExpr: Column): DataFrame = {
     val keyed = docs.select(col(idCol), keyExpr.as("dup_key"))
-    val groups = keyed
+    val withKey = keyed.where(col("dup_key").isNotNull)
+    val groups = withKey
       .groupBy("dup_key")
       .agg(min(col(idCol)).as("canonical"), count(lit(1)).as("n"))
-    keyed.join(groups, "dup_key")
+    val grouped = withKey.join(groups, "dup_key")
+    // null dup_key (e.g. null text -> sha2 null): the equi-join never
+    // matches null, which would silently DELETE those docs from the
+    // output. No content means nothing to compare — each is its own
+    // singleton, kept explicitly.
+    val nullKeyed = keyed
+      .where(col("dup_key").isNull)
+      .select(col("dup_key"), col(idCol), col(idCol).as("canonical"), lit(1L).as("n"))
+    grouped.unionByName(nullKeyed.select(grouped.columns.map(col).toIndexedSeq: _*))
   }
 
   /** Exact text dedup (whole normalized text sha256). */

@@ -41,7 +41,10 @@ object Multimodal {
       .where(col("meta.kind") === "video" && col("meta.duration_ms") > 0)
       .select(
         col(idCol),
-        explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))).as("ts_ms")
+        // half-open [0, duration): a stream of duration_ms has no frame AT
+        // t = duration_ms, so the plan must not ask the extractor for one
+        // (the where-guard above ensures duration_ms - 1 >= 0)
+        explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(everyMs))).as("ts_ms")
       )
       .withColumn("frame_idx", (col("ts_ms") / everyMs).cast("long"))
 

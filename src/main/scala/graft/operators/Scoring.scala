@@ -26,9 +26,10 @@ object PairScorer {
     * scan + one shuffle for the IDF join), so the quadratic pair stage only
     * does cheap kernel math — never re-tokenizes per pair.
     *
-    * Output: url, title_norm (first 10 tokens), text_cap (first 240 chars of
-    * ws-normalized text), tfidf (array<struct<t:long,w:double>> sorted by t,
-    * L2-normalized).
+    * Output: url, title_norm (first 10 tokens), text_cap (first 120 chars
+    * of ws-normalized text — see the band-cost note at the cap), tfidf
+    * (struct<ts:array<long>, ws:array<double>> parallel primitive arrays
+    * sorted by ts, L2-normalized — SparseVec's layout).
     */
   /** Hashed-bucket dimensionality: bounds the IDF table to a broadcastable
     * size at ANY corpus scale (feature-hashing trick; 2^18 buckets = at
@@ -65,7 +66,11 @@ object PairScorer {
     // output is bounded by TfBuckets -> collected + broadcast. df counts
     // DOCUMENTS per bucket (tf entries are already distinct per doc).
     val spark = pages.sparkSession
-    val nDocs = pages.count().toDouble
+    // count the just-persisted feature frame, not the raw input: same
+    // number, but this materializes the cache the IDF pass needs anyway
+    // instead of paying one extra full corpus scan (text column included)
+    // purely for a row count
+    val nDocs = base.count().toDouble
     val idfRows = base
       .select(explode(col("tf.ts")).as("t"))
       .groupBy(col("t"))

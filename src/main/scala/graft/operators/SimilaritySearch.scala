@@ -127,9 +127,13 @@ object SimilaritySearch {
     // codebook precedence: a trained one (trainIvf) plugs in; otherwise a
     // deterministic hash-stride sample (bounded collect) stands in
     val centroids: Array[Array[Double]] = codebook.getOrElse {
-      val n = math.max(c.count(), 1L)
+      // null/empty embeddings must not reach the sample: Row.getSeq would
+      // return null and NPE on the driver (trainIvf applies the same guard)
+      val valid = c.where(col("cv").isNotNull && size(col("cv")) > 0)
+      val n = math.max(valid.count(), 1L)
       val stride = math.max(n / math.max(nList, 1), 1L)
-      c.where(pmod(xxhash64(col("neighbor")), lit(stride)) === 0)
+      valid
+        .where(pmod(xxhash64(col("neighbor")), lit(stride)) === 0)
         .orderBy("neighbor")
         .limit(nList)
         .collect()

@@ -35,6 +35,19 @@ class OperatorsEdgeSpec extends SparkSpec {
     assert(out("d4").getAs[Long]("n_tokens") === 1L)
   }
 
+  test("exact dedup keeps null-text docs as singletons instead of dropping them") {
+    val out = Dedup
+      .exactText(docs("a" -> null, "b" -> "same text", "c" -> "same text", "d" -> null))
+      .collect()
+      .map(r => r.getAs[String]("doc_id") -> (r.getAs[String]("canonical"), r.getAs[Long]("n")))
+      .toMap
+    assert(out.size === 4, s"no doc may vanish: $out")
+    // null-text docs: own singleton each, never merged with each other
+    assert(out("a") === ("a", 1L))
+    assert(out("d") === ("d", 1L))
+    assert(out("b") === ("b", 2L) && out("c") === ("b", 2L))
+  }
+
   test("minhash pairs: blank docs emit no keys, so no pairs (P4 semantics)") {
     val pairs = Dedup.minHashPairs(docs("a" -> "", "b" -> "  ", "c" -> null, "d" -> "some real content here"))
     assert(pairs.count() === 0)
