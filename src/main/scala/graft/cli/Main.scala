@@ -21,8 +21,26 @@ import graft.synth.WebCorpus
   */
 object Main {
 
-  private def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect { case Array(k, v) if k.startsWith("--") => k.drop(2) -> v }.toMap
+  /** Strict pairwise flag parsing. sliding(2,2) would silently re-pair
+    * everything after a value-less flag (--monitor --input X: monitor
+    * becomes "--input" and the input is DROPPED — the job then runs on the
+    * synth default and exits 0 with wrong output); malformed argument
+    * lists must die loudly instead.
+    */
+  private[cli] def parseArgs(args: Array[String]): Map[String, String] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      val k = args(i)
+      require(k.startsWith("--"), s"expected a --flag, got '$k' (flags take exactly one value)")
+      require(i + 1 < args.length, s"flag $k is missing its value")
+      val v = args(i + 1)
+      require(!v.startsWith("--"), s"flag $k is missing its value (got flag '$v' instead)")
+      out(k.drop(2)) = v
+      i += 2
+    }
+    out.toMap
+  }
 
   val strategyByName: Map[String, BlockingStrategy] = Map(
     "canonical_url" -> CanonicalUrlBlocking,
@@ -132,6 +150,34 @@ object Main {
     }
   }
 
+  /** Content signature of an input spec for the resume config hash
+    * (reference cache keys hash the full payload, retrievers.py:58-75; at
+    * engine scale the stand-in is every underlying file's (path, length,
+    * mtime) from one recursive listing — no data read). `synth:N` is fully
+    * determined by its spec string; a missing path signs as "absent" and
+    * the downstream read produces the real error.
+    */
+  private[cli] def inputSignature(spark: org.apache.spark.sql.SparkSession, input: String): String = {
+    val path = if (input.startsWith("csv:")) input.drop(4) else input
+    if (input.startsWith("synth:")) input
+    else
+      scala.util
+        .Try {
+          val p = new org.apache.hadoop.fs.Path(path)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val it = fs.listFiles(p, true)
+          val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) {
+            val s = it.next()
+            entries += s"${s.getPath}:${s.getLen}:${s.getModificationTime}"
+          }
+          val digest = java.security.MessageDigest.getInstance("SHA-256")
+          entries.sorted.foreach(e => digest.update(e.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          digest.digest().take(8).map("%02x".format(_)).mkString
+        }
+        .getOrElse("absent")
+  }
+
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
     val input = opts.getOrElse("input", "synth:2000")
@@ -234,6 +280,12 @@ object Main {
           val hash = graft.io.TableIO.configHash(
             Map(
               "input" -> input,
+              // the path string alone is NOT enough: overwriting the input
+              // files and rerunning the same command would silently resume
+              // stages computed from the OLD data (readStage only checks
+              // its own prior row count). The signature folds in every
+              // file's (path, length, mtime) — a cheap listing, no read.
+              "inputSig" -> inputSignature(spark, input),
               "strategies" -> strategies.map(_.name).mkString(","),
               "threshold" -> weights.threshold.toString,
               "maxBlockSize" -> cfg.maxBlockSize.toString

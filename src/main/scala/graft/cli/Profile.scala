@@ -48,13 +48,9 @@ object Profile {
       ConnectedComponents.run(accepted.select(col("urlA").as("src"), col("urlB").as("dst"))).transform(graft.util.Checkpoints.serializedLocal)
     }
     timed("predictions") {
-      val best = accepted.select(col("urlA").as("url"), col("score"))
-        .unionAll(accepted.select(col("urlB").as("url"), col("score")))
-        .groupBy("url").agg(max("score").as("score"))
-      val joined = corpus.join(clusters, Seq("url"), "left").join(best, Seq("url"), "left")
-        .select(col("url"), coalesce(col("cluster_id"), col("url")).as("cluster_id"), col("score"),
-          when(col("cluster_id").isNotNull, "linked").otherwise("nil").as("status"), col("text"))
-      LinkagePipeline.withDeterministicSeq(joined, "url").count()
+      // the REAL pipeline tail — timing a hand-copied variant would let the
+      // profiler silently diverge from what production runs
+      LinkagePipeline.assemblePredictions(corpus, clusters, accepted).count()
     }
     spark.stop()
   }

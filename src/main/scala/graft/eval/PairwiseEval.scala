@@ -95,6 +95,10 @@ object PairwiseEval {
     val goldPos = gold
       .where(col("label"))
       .select("url_a", "url_b", "block_key")
+      // dedup before the full-outer join, same guard as metrics/metricsDf:
+      // a gold pair repeated (per-strategy union) would fan out the join
+      // and double-count tp/fn for its key
+      .distinct()
       .withColumn("g", lit(1))
     // member -> gold key map (bounded by |gold|, broadcastable): lets a
     // false-positive pair land on the block that actually produced it

@@ -155,7 +155,29 @@ object Sources {
       forcedCol: String,
       cachedIdsCol: String
   ): (DataFrame, DataFrame) = {
-    val marked = cache.withColumn("_cache_hit", lit(true))
+    // the cache contract is ONE row per key (the reference upserts a
+    // single Mongo document, retrievers.py:77-89). An undeduped append-only
+    // dir passed directly would fan out the left join and classify one
+    // request as BOTH hit and miss (old row fails `valid`, new row passes).
+    // Collapse defensively: latest by `seq` when present (the readCache
+    // convention), else the row with the largest id set, deterministic
+    // tiebreak on the sorted ids.
+    val orderCols =
+      (if (cache.columns.contains("seq")) Seq(col("seq").desc) else Nil) ++
+        Seq(
+          size(coalesce(col(cachedIdsCol), array().cast("array<string>"))).desc,
+          to_json(array_sort(coalesce(col(cachedIdsCol), array().cast("array<string>")))).desc
+        )
+    val oneRowPerKey = cache
+      .withColumn(
+        "_cache_rn",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(keyCol).orderBy(orderCols: _*)
+        )
+      )
+      .where(col("_cache_rn") === 1)
+      .drop("_cache_rn")
+    val marked = oneRowPerKey.withColumn("_cache_hit", lit(true))
     val joined = requests.join(marked, Seq(keyCol), "left")
     val forced = filter(
       transform(coalesce(col(forcedCol), array().cast("array<string>")), f => trim(f)),

@@ -121,7 +121,10 @@ final class ParquetTableIO(baseDir: String, runId: String, configHash: String) e
   }
 
   override def manifest(stage: String): Option[StageManifest] =
-    manifestIn(SparkSession.active, stage)
+    // SparkSession.active THROWS with no active session (post-run
+    // bookkeeping, tests before a session exists) — that must be None,
+    // not a broken Option contract, so resolve it inside the Try too
+    Try(SparkSession.active).toOption.flatMap(manifestIn(_, stage))
 
   private def manifestIn(spark: SparkSession, stage: String): Option[StageManifest] =
     Try {

@@ -141,15 +141,30 @@ object LinkagePipeline {
       ccSnapshot
     )
 
-    val bestScore = acceptedCk
+    val out = assemblePredictions(corpus, clusters, acceptedCk)
+    if (!plainScan) corpus.unpersist(blocking = false)
+    out
+  }
+
+  /** Prediction-assembly tail, shared by `run`, `runResumable` and the
+    * phase profiler (graft.cli.Profile) so they can never time or ship
+    * diverging semantics: best accepted score per url, cluster join-back
+    * from the projected (url, text) corpus — never the raw input frame, so
+    * extra input columns (e.g. a cluster_id when re-linking a previous
+    * output) cannot collide with the prediction schema — status
+    * derivation, and the deterministic seq. ONE materialization:
+    * withDeterministicSeq checkpoints its range-partitioned input (needed
+    * anyway for stable boundaries across its two passes), which also keeps
+    * the caller's sink action from re-executing the join chain — no
+    * separate checkpoint of the joined frame (that would serialize the
+    * full text column twice).
+    */
+  def assemblePredictions(corpus: DataFrame, clusters: DataFrame, accepted: DataFrame): DataFrame = {
+    val bestScore = accepted
       .select(col("urlA").as("url"), col("score"))
-      .unionAll(acceptedCk.select(col("urlB").as("url"), col("score")))
+      .unionAll(accepted.select(col("urlB").as("url"), col("score")))
       .groupBy("url")
       .agg(max("score").as("score"))
-
-    // join from the projected corpus, not the raw input frame — extra input
-    // columns (e.g. a cluster_id when re-linking a previous output) must not
-    // collide with the prediction schema
     val joined = corpus
       .join(clusters, Seq("url"), "left")
       .join(bestScore, Seq("url"), "left")
@@ -160,14 +175,7 @@ object LinkagePipeline {
         when(col("cluster_id").isNotNull, "linked").otherwise("nil").as("status"),
         col("text")
       )
-    // ONE materialization for the merged tail: withDeterministicSeq
-    // checkpoints its range-partitioned input (needed anyway for stable
-    // boundaries across its two passes), which also keeps the caller's sink
-    // action from re-executing the join chain — no separate checkpoint of
-    // `joined` (that would serialize the full text column twice)
-    val out = withDeterministicSeq(joined, "url")
-    if (!plainScan) corpus.unpersist(blocking = false)
-    out
+    withDeterministicSeq(joined, "url")
   }
 
   /** Dry-run (reference `LION_DRY_RUN`, app/services/linker.py:100-123,
@@ -276,22 +284,7 @@ object LinkagePipeline {
     )
 
     io.readStage(spark, "predictions").getOrElse {
-      val bestScore = accepted
-        .select(col("urlA").as("url"), col("score"))
-        .unionAll(accepted.select(col("urlB").as("url"), col("score")))
-        .groupBy("url")
-        .agg(max("score").as("score"))
-      val joined = corpus
-        .join(clusters, Seq("url"), "left")
-        .join(bestScore, Seq("url"), "left")
-        .select(
-          col("url"),
-          coalesce(col("cluster_id"), col("url")).as("cluster_id"),
-          col("score"),
-          when(col("cluster_id").isNotNull, "linked").otherwise("nil").as("status"),
-          col("text")
-        )
-      io.commitStage(withDeterministicSeq(joined, "url"), "predictions", Seq("accepted"))
+      io.commitStage(assemblePredictions(corpus, clusters, accepted), "predictions", Seq("accepted"))
     }
   }
 

@@ -112,16 +112,18 @@ object StreamingDedup {
       .agg(min("cluster_id").as("cluster_id"))
 
   /** Windowed near-dup candidate counting with a watermark: pages grouped
-    * by simhash-chunk key over event-time windows — the streaming analog of
-    * block-size monitoring (emits per-block arrival counts for skew
-    * watching).
+    * by simhash-chunk key (top 16 fingerprint bits — a content block, the
+    * batch near-dup blocking analog) over event-time windows. Emits
+    * per-block arrival counts for skew watching; canonical urls are
+    * near-unique, so grouping by THEM would make every count ~1 and the
+    * skew monitor vacuous.
     */
   def blockSizeCounts(pages: DataFrame, window: String = "1 minute", watermark: String = "2 minutes"): DataFrame =
     annotate(pages)
       .withWatermark("warc_ts", watermark)
       .groupBy(
         org.apache.spark.sql.functions.window(col("warc_ts"), window),
-        col("canonical_url")
+        shiftright(col("fingerprint"), 48).as("block_key")
       )
       .agg(count(lit(1)).as("n"))
 }

@@ -91,11 +91,22 @@ object WebCorpus {
 
   private val langs = Array("en", "en", "en", "de", "it", "fr", "es")
 
+  /** A cluster's seeded RNG stream; its FIRST draw is the cluster domain.
+    * clusterPages and goldPairs must derive the domain through these two
+    * helpers — goldPairs used to re-seed and replay the first draw by
+    * hand, which silently desynchronizes if clusterPages ever reorders
+    * its draws.
+    */
+  private def clusterRng(cfg: Config, c: Int): scala.util.Random =
+    new scala.util.Random(cfg.seed * 1000003L + c)
+
+  private def clusterDomain(rng: scala.util.Random, cfg: Config): String =
+    s"site${zipf(rng, cfg.numDomains)}.example.com"
+
   /** One cluster's members + any singletons attached to the same spec row. */
   private def clusterPages(cfg: Config, c: Int): Seq[WebPage] = {
-    val rng = new scala.util.Random(cfg.seed * 1000003L + c)
-    val domIdx = zipf(rng, cfg.numDomains)
-    val domain = s"site$domIdx.example.com"
+    val rng = clusterRng(cfg, c)
+    val domain = clusterDomain(rng, cfg)
     val size = 2 + zipf(rng, cfg.maxClusterSize - 1)
     val lang = langs(rng.nextInt(langs.length))
     val base = baseText(rng, cfg.baseTokens - 10 + rng.nextInt(21))
@@ -139,8 +150,7 @@ object WebCorpus {
       .parallelize(0 until cfg.numClusters, math.min(parallelism, cfg.numClusters))
       .flatMap { c =>
         val ps = clusterPages(cfg, c).takeWhile(!_.url.contains("/solo/"))
-        val rng = new scala.util.Random(cfg.seed * 1000003L + c)
-        val domain = s"site${zipf(rng, cfg.numDomains)}.example.com"
+        val domain = clusterDomain(clusterRng(cfg, c), cfg)
         for {
           i <- ps.indices
           j <- (i + 1) until ps.size

@@ -138,8 +138,10 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     val rows = spark.table("block_counts").collect()
     q.stop()
-    val byKey = rows.map(r => r.getAs[String]("canonical_url") -> r.getAs[Long]("n")).toMap
-    assert(byKey("a.com/x") == 2L)
-    assert(byKey("b.com/y") == 1L)
+    // block key = top 16 simhash bits: the two identical-text pages share
+    // a content block (count 2), the unrelated text lands elsewhere
+    val counts = rows.map(r => r.getAs[Long]("block_key") -> r.getAs[Long]("n")).toMap
+    assert(counts.values.sum === 3L)
+    assert(counts.values.toSeq.sorted === Seq(1L, 2L), s"expected blocks {2,1}, got $counts")
   }
 }
