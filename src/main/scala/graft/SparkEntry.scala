@@ -360,6 +360,50 @@ object SparkEntry {
       )
       LinkagePipeline.run(pages).select("url", "cluster_id", "status", "seq").orderBy("url")
     }),
+    "q_er_pipeline_sym" -> ((s, dir) => {
+      // FULLY SYMBOLIC end-to-end linkage: the production operator chain —
+      // Blocker.pairs (oriented, deduped, salted) -> pairwise scoring ->
+      // threshold -> ConnectedComponents.run -> assemblePredictions tail
+      // with the deterministic seq — under a Levenshtein-ratio scorer, so
+      // the DuckDB oracle recomputes EVERY stage engine-free (q_er_pipeline
+      // keeps the production JW/Lev/TF-IDF kernels and its golden-fixture
+      // determinism pin; THIS query is the end-to-end independence check).
+      // maxBlockSize is set above every sf0.01 block (max block = 8) so
+      // salting is the identity by construction — the salt path itself is
+      // exercised by q_er_pipeline/OperatorsSpec.
+      val pages = t(s, dir, "documents").select(
+        lpad(col("doc_id").cast("string"), 6, "0").as("url"),
+        substring(col("text"), 1, 60).as("text"),
+        col("lang"),
+        col("n_chars")
+      )
+      val k1 = pages.select(
+        col("url"),
+        // /5 band, not /50: a fixed-range attribute band grows linearly
+        // with the corpus, so the wide band made the battery query pay
+        // ~700k pairs at sf0.1; the tight band keeps pairs ~45k there while
+        // still producing real multi-node clusters at sf0.01
+        concat_ws("|", lit("b"), col("lang"), floor(col("n_chars") / 5).cast("long")).as("key")
+      )
+      val k2 = pages.select(
+        col("url"),
+        concat_ws("|", lit("t"), array_join(slice(split(col("text"), " "), 1, 2), " ")).as("key")
+      )
+      val texts = pages.select(col("url"), col("text"))
+      val pairs = graft.operators.Blocker.pairs(k1.unionAll(k2), maxBlockSize = 100000)
+      val accepted = pairs
+        .join(texts.select(col("url").as("urlA"), col("text").as("t_a")), "urlA")
+        .join(texts.select(col("url").as("urlB"), col("text").as("t_b")), "urlB")
+        .select(col("urlA"), col("urlB"), Normalize.levRatio(col("t_a"), col("t_b")).as("score"))
+        .where(col("score") >= 0.4)
+      val clusters = graft.operators.ConnectedComponents.run(
+        accepted.select(col("urlA").as("src"), col("urlB").as("dst"))
+      )
+      LinkagePipeline
+        .assemblePredictions(texts, clusters, accepted)
+        .select("url", "cluster_id", "status", "seq")
+        .orderBy("url")
+    }),
 
     // ---- dedup family (training-data ops) ----
     "q_dd_ngram_jaccard" -> ((s, dir) => {
@@ -845,6 +889,39 @@ object SparkEntry {
         |  UNION
         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
         |SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src ORDER BY src""".stripMargin,
+    // the whole pipeline recomputed engine-free: blocking-key union ->
+    // oriented+deduped candidate pairs -> lev-ratio scoring -> threshold ->
+    // transitive closure (recursive CTE) -> singleton backfill -> dense seq
+    "q_er_pipeline_sym" ->
+      """WITH RECURSIVE pages AS (
+        |  SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url, substr(text, 1, 60) AS text,
+        |         lang, n_chars FROM documents),
+        |keys AS (
+        |  SELECT url, 'b|' || lang || '|' || CAST(floor(n_chars / 5) AS BIGINT) AS key FROM pages
+        |  UNION ALL
+        |  SELECT url, 't|' || array_to_string((string_split(text, ' '))[1:2], ' ') AS key FROM pages),
+        |pairs AS (
+        |  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+        |  FROM keys a JOIN keys b ON a.key = b.key AND a.url < b.url),
+        |accepted AS (
+        |  SELECT url_a, url_b FROM pairs
+        |  JOIN pages pa ON pa.url = url_a JOIN pages pb ON pb.url = url_b
+        |  WHERE (CASE WHEN greatest(length(pa.text), length(pb.text)) = 0 THEN 1.0
+        |         ELSE 1.0 - levenshtein(pa.text, pb.text)::DOUBLE /
+        |              greatest(length(pa.text), length(pb.text)) END) >= 0.4),
+        |e AS (
+        |  SELECT url_a AS src, url_b AS dst FROM accepted
+        |  UNION ALL SELECT url_b, url_a FROM accepted),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |assign AS (SELECT src AS url, min(dst) AS cluster_id FROM reach GROUP BY src)
+        |SELECT p.url, coalesce(a.cluster_id, p.url) AS cluster_id,
+        |       CASE WHEN a.cluster_id IS NOT NULL THEN 'linked' ELSE 'nil' END AS status,
+        |       row_number() OVER (ORDER BY p.url) AS seq
+        |FROM pages p LEFT JOIN assign a ON a.url = p.url
+        |ORDER BY p.url""".stripMargin,
     // exact all-pairs recompute of the LSH-bucketed Spark plan: the planted
     // perturbed copies are the only pairs above 0.95 (max natural pair
     // ~0.51), and identical-up-to-epsilon vectors always share LSH buckets,
