@@ -36,15 +36,27 @@ object GoldEval {
 
   /** Candidate entity table from the fixture: (entity_id, label) — the true
     * entity per gold row plus one deterministic near-miss distractor
-    * (id X<qid>, label "<title> II") so top-1 has something to beat.
+    * (id X<qid>, label "<title><distractorSuffix>") so top-1 has something
+    * to beat. The default " II" suffix is right for fixtures without
+    * sequel families; on a corpus WITH them (imdb) a "<title> II"
+    * distractor of a prefix title sits between a typo'd sequel mention and
+    * its true entity ("Blade Runner 2094" vs distractor "Blade Runner II"
+    * vs true "Blade Runner 2049" — ambiguous even for a human), so such
+    * harnesses pass a longer suffix that stays in-block but never beats a
+    * 2-edit typo.
     */
-  def entityTable(table: DataFrame, idCol: String = "title_QID", labelCol: String = "title"): DataFrame =
+  def entityTable(
+      table: DataFrame,
+      idCol: String = "title_QID",
+      labelCol: String = "title",
+      distractorSuffix: String = " II"
+  ): DataFrame =
     table
       .select(col(idCol).as("entity_id"), col(labelCol).as("label"))
       .unionAll(
         table.select(
           concat(lit("X"), col(idCol)).as("entity_id"),
-          concat(col(labelCol), lit(" II")).as("label")
+          concat(col(labelCol), lit(distractorSuffix)).as("label")
         )
       )
 
