@@ -21,11 +21,18 @@ import graft.operators.{Blocker, BlockingStrategy, PairScorer}
   */
 object GoldEval {
 
-  /** Fixture path, overridable per checkout (-Dgraft.gold.csv / GRAFT_GOLD_CSV). */
-  val defaultGoldCsv: String = sys.props
+  /** Fixture path, overridable (-Dgraft.gold.csv / GRAFT_GOLD_CSV). The
+    * default is the VENDORED copy of the reference's 30-row labeled fixture
+    * (/root/reference/tests/data/film_with_QIDs.csv, byte-identical),
+    * materialized from the classpath to a stable absolute path — the suite
+    * runs hermetically with no reference checkout mounted, and the
+    * out-of-process DuckDB oracle (q_eval_gold embeds this path in its SQL)
+    * reads the same file.
+    */
+  lazy val defaultGoldCsv: String = sys.props
     .get("graft.gold.csv")
     .orElse(sys.env.get("GRAFT_GOLD_CSV"))
-    .getOrElse("/root/reference/tests/data/film_with_QIDs.csv")
+    .getOrElse(graft.util.Fixtures.materialize("graft/fixtures/film_with_QIDs.csv"))
 
   def loadTable(spark: SparkSession, path: String = defaultGoldCsv): DataFrame =
     spark.read.option("header", true).csv(path)

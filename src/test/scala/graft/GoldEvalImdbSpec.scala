@@ -18,10 +18,13 @@ import graft.eval.{GoldEval, PairwiseEval}
   */
 class GoldEvalImdbSpec extends SparkSpec {
 
+  /** Vendored copy of the reference's imdb_top_1000.csv (test resource) —
+    * the suite no longer depends on a mounted reference checkout.
+    */
   private val imdbCsv: String = sys.props
     .get("graft.gold.imdb.csv")
     .orElse(sys.env.get("GRAFT_GOLD_IMDB_CSV"))
-    .getOrElse("/root/reference/tests/data/imdb_top_1000.csv")
+    .getOrElse(graft.util.Fixtures.materialize("graft/fixtures/imdb_top_1000.csv"))
 
   private lazy val table = {
     val raw = GoldEval.loadTable(spark, imdbCsv)
