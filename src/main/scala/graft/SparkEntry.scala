@@ -362,17 +362,23 @@ object SparkEntry {
     }),
     "q_er_pipeline_sym" -> ((s, dir) => {
       // FULLY SYMBOLIC end-to-end linkage: the production operator chain —
-      // Blocker.pairs (oriented, deduped, salted) -> pairwise scoring ->
+      // Blocker.pairs (oriented, deduped, SALTED) -> pairwise scoring ->
       // threshold -> ConnectedComponents.run -> assemblePredictions tail
       // with the deterministic seq — under a Levenshtein-ratio scorer, so
       // the DuckDB oracle recomputes EVERY stage engine-free (q_er_pipeline
       // keeps the production JW/Lev/TF-IDF kernels and its golden-fixture
       // determinism pin; THIS query is the end-to-end independence check).
-      // maxBlockSize is set above every sf0.01 block (max block = 8) so
-      // salting is the identity by construction — the salt path itself is
-      // exercised by q_er_pipeline/OperatorsSpec.
+      // maxBlockSize = 4 so Blocker.saltOversized ACTUALLY ENGAGES on the
+      // sf0.01 oracle corpus (6 blocks of 5-8 rows split into #s# salt
+      // sub-buckets; at the production cap of 1000 no 500-doc block is
+      // oversized and the salt formula would go unchecked) — the oracle
+      // recomputes pmod(xxhash64(url), ceil(n/4)) per oversized block, so
+      // both the pair-capping recall LOSS and the sub-bucket pair survival
+      // are verified engine-free. urls are the raw BIGINT doc_ids: Spark's
+      // xxhash64 over a long has a closed form the oracle re-derives in
+      // HUGEINT arithmetic (same chain as q_ann_ivf's codebook sample).
       val pages = t(s, dir, "documents").select(
-        lpad(col("doc_id").cast("string"), 6, "0").as("url"),
+        col("doc_id").as("url"),
         substring(col("text"), 1, 60).as("text"),
         col("lang"),
         col("n_chars")
@@ -390,7 +396,7 @@ object SparkEntry {
         concat_ws("|", lit("t"), array_join(slice(split(col("text"), " "), 1, 2), " ")).as("key")
       )
       val texts = pages.select(col("url"), col("text"))
-      val pairs = graft.operators.Blocker.pairs(k1.unionAll(k2), maxBlockSize = 100000)
+      val pairs = graft.operators.Blocker.pairs(k1.unionAll(k2), maxBlockSize = 4)
       val accepted = pairs
         .join(texts.select(col("url").as("urlA"), col("text").as("t_a")), "urlA")
         .join(texts.select(col("url").as("urlB"), col("text").as("t_b")), "urlB")
@@ -890,19 +896,76 @@ object SparkEntry {
         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
         |SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src ORDER BY src""".stripMargin,
     // the whole pipeline recomputed engine-free: blocking-key union ->
+    // per-block salting (pmod(xxhash64(url), ceil(n/cap)) sub-buckets, the
+    // production Blocker.saltOversized formula — Spark's xxhash64(bigint) is
+    // re-derived in HUGEINT arithmetic, same chain as q_ann_ivf) ->
     // oriented+deduped candidate pairs -> lev-ratio scoring -> threshold ->
-    // transitive closure (recursive CTE) -> singleton backfill -> dense seq
+    // transitive closure (recursive CTE) -> singleton backfill -> dense seq.
+    // concat_ws (NULL-skipping) on BOTH sides so a null lang/n_chars/text
+    // puts a doc in the same degenerate block in engine and oracle alike.
     "q_er_pipeline_sym" ->
       """WITH RECURSIVE pages AS (
-        |  SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url, substr(text, 1, 60) AS text,
+        |  SELECT doc_id AS url, substr(text, 1, 60) AS text,
         |         lang, n_chars FROM documents),
         |keys AS (
-        |  SELECT url, 'b|' || lang || '|' || CAST(floor(n_chars / 5) AS BIGINT) AS key FROM pages
+        |  SELECT url, concat_ws('|', 'b', lang, CAST(floor(n_chars / 5) AS BIGINT)) AS key FROM pages
         |  UNION ALL
-        |  SELECT url, 't|' || array_to_string((string_split(text, ' '))[1:2], ' ') AS key FROM pages),
+        |  SELECT url, concat_ws('|', 't', array_to_string((string_split(text, ' '))[1:2], ' ')) AS key FROM pages),
+        |hx0 AS (
+        |  SELECT url,
+        |    ((((url::HUGEINT // 4294967296) * 14029467366897019727::HUGEINT % 4294967296) * 4294967296
+        |      + (url::HUGEINT % 4294967296) * 14029467366897019727::HUGEINT)
+        |     % 18446744073709551616::HUGEINT) AS lp2
+        |  FROM pages),
+        |hx1 AS (
+        |  SELECT url,
+        |    ((((((lp2 * 2147483648::HUGEINT + lp2 // 8589934592) % 18446744073709551616::HUGEINT) // 4294967296)
+        |        * 11400714785074694791::HUGEINT % 4294967296) * 4294967296
+        |      + (((lp2 * 2147483648::HUGEINT + lp2 // 8589934592) % 18446744073709551616::HUGEINT) % 4294967296)
+        |        * 11400714785074694791::HUGEINT)
+        |     % 18446744073709551616::HUGEINT) AS k1
+        |  FROM hx0),
+        |hx2 AS (
+        |  SELECT url,
+        |    (((((xor(2870177450012600311::HUGEINT, k1) * 134217728::HUGEINT
+        |         + xor(2870177450012600311::HUGEINT, k1) // 137438953472) % 18446744073709551616::HUGEINT // 4294967296)
+        |        * 11400714785074694791::HUGEINT % 4294967296) * 4294967296
+        |      + ((xor(2870177450012600311::HUGEINT, k1) * 134217728::HUGEINT
+        |          + xor(2870177450012600311::HUGEINT, k1) // 137438953472) % 18446744073709551616::HUGEINT % 4294967296)
+        |        * 11400714785074694791::HUGEINT
+        |      + 9650029242287828579::HUGEINT)
+        |     % 18446744073709551616::HUGEINT) AS h0
+        |  FROM hx1),
+        |hx3 AS (
+        |  SELECT url,
+        |    (((xor(h0, h0 // 8589934592) // 4294967296) * 14029467366897019727::HUGEINT % 4294967296) * 4294967296
+        |     + (xor(h0, h0 // 8589934592) % 4294967296) * 14029467366897019727::HUGEINT)
+        |    % 18446744073709551616::HUGEINT AS h1
+        |  FROM hx2),
+        |hx4 AS (
+        |  SELECT url,
+        |    (((xor(h1, h1 // 536870912) // 4294967296) * 1609587929392839161::HUGEINT % 4294967296) * 4294967296
+        |     + (xor(h1, h1 // 536870912) % 4294967296) * 1609587929392839161::HUGEINT)
+        |    % 18446744073709551616::HUGEINT AS h2
+        |  FROM hx3),
+        |hashes AS (
+        |  SELECT url,
+        |    CASE WHEN xor(h2, h2 // 4294967296) >= 9223372036854775808::HUGEINT
+        |         THEN (xor(h2, h2 // 4294967296) - 18446744073709551616::HUGEINT)::BIGINT
+        |         ELSE xor(h2, h2 // 4294967296)::BIGINT END AS h
+        |  FROM hx4),
+        |blocks AS (SELECT key, count(*) AS bn FROM keys GROUP BY key),
+        |skeys AS (
+        |  SELECT k.url,
+        |    CASE WHEN b.bn > 4 THEN
+        |      k.key || '#s#' ||
+        |      CAST(((h.h % CAST(ceil(b.bn / 4.0) AS BIGINT)) + CAST(ceil(b.bn / 4.0) AS BIGINT))
+        |           % CAST(ceil(b.bn / 4.0) AS BIGINT) AS VARCHAR)
+        |    ELSE k.key END AS key
+        |  FROM keys k JOIN blocks b ON b.key = k.key JOIN hashes h ON h.url = k.url),
         |pairs AS (
         |  SELECT DISTINCT a.url AS url_a, b.url AS url_b
-        |  FROM keys a JOIN keys b ON a.key = b.key AND a.url < b.url),
+        |  FROM skeys a JOIN skeys b ON a.key = b.key AND a.url < b.url),
         |accepted AS (
         |  SELECT url_a, url_b FROM pairs
         |  JOIN pages pa ON pa.url = url_a JOIN pages pb ON pb.url = url_b

@@ -170,9 +170,14 @@ object SimilaritySearch {
     * sampled subset (`corpus.sample(...)`) and assigning the full corpus is
     * the usual 100 TB shape — the trainer takes whatever frame it is given.
     *
-    * Result is deterministic up to floating-point summation order across
-    * partitions (the cell MEMBERSHIP each iteration is exact; only the
-    * mean's last bits can differ run to run).
+    * Result is BIT-STABLE across parallelism/partitioning: the per-cell
+    * sums accumulate as decimal(38,18) — exact, associative, commutative —
+    * so partition order cannot perturb the mean's last bits and a
+    * resumed/replayed trained-IVF job assigns boundary vectors identically.
+    * (Casting a coordinate to 18 fractional digits loses < 1e-18 per
+    * element — noise relative to k-means' own tolerance — and the 20
+    * integer digits of headroom hold |coord| sums past 10^12 rows; an
+    * overflow would fail loudly under ANSI, never silently.)
     */
   def trainIvf(
       corpus: DataFrame,
@@ -216,7 +221,8 @@ object SimilaritySearch {
       var shift = Double.MaxValue
       while (iter < maxIters && shift > tol) {
         val bc = spark.sparkContext.broadcast(centroids)
-        val sums = (0 until dim).map(i => sum(element_at(col("cv"), i + 1)).as(s"s$i"))
+        val sums =
+          (0 until dim).map(i => sum(element_at(col("cv"), i + 1).cast("decimal(38,18)")).as(s"s$i"))
         val cellStats = vecs
           .withColumn("cell", element_at(SimilarityFunctions.nearest_centroids(col("cv"), bc, 1), 1))
           .groupBy("cell")
@@ -226,7 +232,7 @@ object SimilaritySearch {
         cellStats.foreach { r =>
           val cell = r.getInt(0)
           val cnt = r.getLong(1).toDouble
-          next(cell) = Array.tabulate(dim)(i => r.getDouble(i + 2) / cnt)
+          next(cell) = Array.tabulate(dim)(i => r.getDecimal(i + 2).doubleValue() / cnt)
         }
         shift = centroids
           .zip(next)

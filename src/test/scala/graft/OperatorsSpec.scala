@@ -211,6 +211,38 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("trainIvf codebook is BIT-identical across partitioning / summation order") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val dirs = Array.fill(6)(Array.fill(10)(rng.nextGaussian()))
+    val all = (0 until 300).map { i =>
+      val d = dirs(i % 6)
+      (i.toLong, d.map(x => (x + 0.05 * rng.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    // the decimal(38,18) cell sums make the per-cell mean exact and
+    // order-independent: 1 partition, 7 partitions, 32 hash-scattered
+    // partitions and a reversed row order must all produce the same BITS
+    // (a resumed/replayed trained-IVF job then assigns boundary vectors
+    // identically — the round-3 review's bit-stability requirement)
+    val variants = Seq(
+      all.coalesce(1),
+      all.repartition(7),
+      all.repartition(32, col("vec_id")),
+      all.orderBy(col("vec_id").desc)
+    )
+    val books = variants.map(v => SimilaritySearch.trainIvf(v, "vec_id", "embedding", nList = 6, maxIters = 5))
+    val ref = books.head
+    books.tail.zipWithIndex.foreach { case (b, vi) =>
+      assert(b.length == ref.length, s"variant $vi codebook size differs")
+      ref.zip(b).zipWithIndex.foreach { case ((a, c), ci) =>
+        assert(
+          java.util.Arrays.equals(a, c),
+          s"variant $vi centroid $ci differs bit-wise: ${a.mkString(",")} vs ${c.mkString(",")}"
+        )
+      }
+    }
+  }
+
   test("LSH near-dup default path recalls planted near-duplicates") {
     import spark.implicits._
     // 60 random-direction vectors + 20 planted near-dup pairs (cos > ~0.99)
