@@ -17,6 +17,83 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Answer-format literal shared by the template-rendering queries and
+    * their oracles (the reference takes answer_format from the caller —
+    * generator.py:119,155 — so any fixed literal is faithful).
+    */
+  private val promptAnswerFormat = """Return JSON: {"task_id": str, "ranking": [ids]}"""
+
+  /** Embed arbitrary text (templates, examples, preambles — newlines and
+    * all) as a DuckDB string literal.
+    */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Oracle-side mirror of [[promptTasks]] (shared CTE prefix). */
+  private val promptTaskSql: String =
+    "WITH d AS (" +
+      "SELECT doc_id, source, lang," +
+      " (string_split(text, ' '))[1] AS tok1," +
+      " (string_split(text, ' '))[2] AS tok2," +
+      " array_to_string((string_split(text, ' '))[1:3], ' ') AS t3" +
+      " FROM documents), " +
+      "r AS (" +
+      "SELECT doc_id," +
+      " 'task-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS task_id," +
+      " '|title|source|' || chr(10) || '|' || t3 || '|' || source || '|' AS tbl," +
+      " tok2 AS mention," +
+      " '<id: Q' || doc_id || '; name: ' || coalesce(tok1, 'None') || '; description: ' ||" +
+      " CASE WHEN doc_id % 3 = 0 THEN 'N.A.' ELSE 'desc ' || lang END ||" +
+      " '; types: ' || lang || '>,' ||" +
+      " '<id: Q' || (doc_id + 1) || '; name: ' || coalesce(tok2, 'None') ||" +
+      " '; description: N.A.; types: film>' AS cands" +
+      " FROM d) "
+
+  /** Shared task frame for the template-rendering queries: per document a
+    * task id, a 2-row pipe table, the mention (2nd token) and an
+    * angle-format candidate pair planting the reference's null edge cases
+    * (null type name dropped, null description -> N.A., doc_id%3 flips
+    * which candidate has a real description).
+    */
+  private def promptTasks(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val d = t(s, dir, "documents").select(
+      col("doc_id"),
+      col("source"),
+      col("lang"),
+      try_element_at(toks, lit(1)).as("tok1"),
+      try_element_at(toks, lit(2)).as("tok2"),
+      array_join(slice(toks, 1, 3), " ").as("t3")
+    )
+    val cands = array(
+      struct(
+        concat(lit("Q"), col("doc_id")).as("id"),
+        col("tok1").as("name"),
+        when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("desc "), col("lang")))
+          .as("description"),
+        array(
+          struct(lit("T1").as("id"), col("lang").as("name")),
+          struct(lit("T2").as("id"), lit(null).cast("string").as("name"))
+        ).as("types")
+      ),
+      struct(
+        concat(lit("Q"), col("doc_id") + 1).as("id"),
+        col("tok2").as("name"),
+        lit(null).cast("string").as("description"),
+        array(struct(lit("T3").as("id"), lit("film").as("name"))).as("types")
+      )
+    )
+    d.select(
+      col("doc_id"),
+      concat(lit("task-"), lpad(col("doc_id").cast("string"), 6, "0")).as("task_id"),
+      PromptRender
+        .tablePipe(array(array(lit("title"), lit("source")), array(col("t3"), col("source"))))
+        .as("tbl"),
+      col("tok2").as("mention"),
+      PromptRender.candidatesAngle(cands).as("cands")
+    )
+  }
+
   /** Flagship: full record-linkage pipeline (block -> score -> cluster) over
     * a web-page-shaped corpus derived deterministically from the sf0.001
     * documents table. Driver smoke-checks rows>0.
@@ -237,6 +314,41 @@ object SparkEntry {
           .tablePipe(array(array(lit("lang"), lit("source")), array(col("lang2"), col("source"))))
           .as("table_txt")
       ).orderBy("doc_id")
+    }),
+    "q_f16_few_shot" -> ((s, dir) =>
+      // F16+: the SHIPPED few_shot template + examples payload (vendored
+      // byte-identical from the reference package — PromptTemplates)
+      // rendered per row via renderTemplate; the oracle replays the same
+      // literal replaces over the same embedded template text
+      promptTasks(s, dir)
+        .select(
+          col("task_id"),
+          PromptRender
+            .renderTemplate(
+              lit(graft.functions.PromptTemplates.template("few_shot")),
+              Seq(
+                "[EXAMPLES]" -> lit(graft.functions.PromptTemplates.examples),
+                "[TABLE]" -> col("tbl"),
+                "[ENTITY MENTION]" -> col("mention"),
+                "[CANDIDATES]" -> col("cands"),
+                "[ANSWER_FORMAT]" -> lit(promptAnswerFormat)
+              )
+            )
+            .as("prompt")
+        )
+        .orderBy("task_id")),
+    "q_f16_multi" -> ((s, dir) => {
+      // F16+: batched multi-task prompt assembly (generate_multi_prompt) —
+      // 25 batches of ~20 tasks each, one hash-agg shuffle, blocks ordered
+      // by the task seq inside each batch
+      val tasks = promptTasks(s, dir).select(
+        (col("doc_id") % 25).as("batch_id"),
+        col("doc_id").as("seq"),
+        PromptRender.taskBlock(col("task_id"), col("tbl"), col("mention"), col("cands")).as("block")
+      )
+      PromptRender
+        .assembleMultiPrompt(tasks, "batch_id", "seq", "block", "angle", promptAnswerFormat)
+        .orderBy("batch_id")
     }),
 
     // ---- aggregations (A2, A4, A5, A7) ----
@@ -816,6 +928,31 @@ object SparkEntry {
         |    ' [DESCRIPTION] None [TYPE] ,' || source || '>' AS tablellama,
         |  '|lang|source|' || chr(10) || '|' || coalesce(lang2, 'None') || '|' || source || '|' AS table_txt
         |FROM d ORDER BY doc_id""".stripMargin,
+    // template rendering / multi-prompt assembly: the vendored template,
+    // examples payload and preamble are embedded as SQL literals (no
+    // stripMargin — the texts contain '|') and the oracle replays the same
+    // literal replaces / ordered string_agg engine-free
+    "q_f16_few_shot" ->
+      (promptTaskSql +
+        s"SELECT task_id, replace(replace(replace(replace(replace(" +
+        s"${sqlLit(graft.functions.PromptTemplates.template("few_shot"))}," +
+        s"'[EXAMPLES]', ${sqlLit(graft.functions.PromptTemplates.examples)})," +
+        "'[TABLE]', tbl), '[ENTITY MENTION]', coalesce(mention, 'None'))," +
+        "'[CANDIDATES]', cands)," +
+        s"'[ANSWER_FORMAT]', ${sqlLit(promptAnswerFormat)}) AS prompt " +
+        "FROM r ORDER BY task_id"),
+    "q_f16_multi" ->
+      (promptTaskSql +
+        ", b AS (SELECT doc_id % 25 AS batch_id, doc_id AS seq," +
+        " '### Task' || chr(10) || 'TASK_ID: \"' || task_id || '\"' || chr(10) ||" +
+        " 'TABLE_ROW:' || chr(10) || tbl || chr(10) ||" +
+        " 'ENTITY_MENTION:' || chr(10) ||" +
+        " CASE WHEN mention IS NULL OR mention = '' THEN 'N.A.' ELSE mention END || chr(10) ||" +
+        " 'CANDIDATES:' || chr(10) || cands || chr(10) AS block FROM r) " +
+        s"SELECT batch_id, ${sqlLit(PromptRender.multiPromptPreamble("angle"))} ||" +
+        " string_agg(block, chr(10) ORDER BY seq) || chr(10) ||" +
+        s" ${sqlLit(promptAnswerFormat)} AS prompt " +
+        "FROM b GROUP BY batch_id ORDER BY batch_id"),
     "q_f3_wsnorm" ->
       """SELECT doc_id, coalesce(nullif(regexp_replace(trim(substr(text, 1, 40)), '\s+', ' ', 'g'), ''), 'N.A.') AS norm
         |FROM documents ORDER BY doc_id""".stripMargin,
