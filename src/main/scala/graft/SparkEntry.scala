@@ -463,6 +463,44 @@ object SparkEntry {
         .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
         .orderBy("id")
     }),
+    "q_stream_dedup" -> ((s, dir) => {
+      // Streaming incremental dedup driven END-TO-END inside the battery:
+      // the documents table replayed as a file-source STREAM, keyed by the
+      // exact-dedup 5-token prefix, flatMapGroupsWithState first-seen-wins
+      // (StreamingDedup.dedupByKey), AvailableNow trigger -> parquet sink,
+      // snapshot read back. With maxFilesPerTrigger unset the file source
+      // takes all available files in ONE micro-batch, so the canonical per
+      // key is the global argmin(ts, url) — which is what the oracle
+      // recomputes (ts derives deterministically from doc_id; multi-batch
+      // replays would make the canonical arrival-order-dependent, which is
+      // exactly the semantics StreamingSpec covers separately).
+      import s.implicits._
+      val src = s.readStream
+        .schema(t(s, dir, "documents").schema)
+        // glob, not the bare file path: the file-stream source requires its
+        // basePath to be a DIRECTORY (the testdata tables are single files)
+        .parquet(s"$dir/documents*")
+      val keyed = src
+        .select(
+          concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("key"),
+          lpad(col("doc_id").cast("string"), 6, "0").as("url"),
+          timestamp_seconds(lit(1700000000L) + col("doc_id") % 7).as("ts")
+        )
+        .as[graft.streaming.StreamingDedup.PageKeyed]
+      val outDir = java.nio.file.Files.createTempDirectory("graft-qstream").toString
+      val q = graft.streaming.StreamingDedup
+        .dedupByKey(keyed)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$outDir/out")
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination(300000)
+      finally q.stop()
+      s.read.parquet(s"$outDir/out").select("url", "key", "canonical", "is_first").orderBy("url")
+    }),
     "q_er_pipeline" -> ((s, dir) => {
       // full linkage pipeline over documents-derived pages (rows-only check)
       val pages = t(s, dir, "documents").select(
@@ -1011,6 +1049,17 @@ object SparkEntry {
         |  FROM documents a JOIN documents b
         |    ON a.lang = b.lang AND floor(a.n_chars / 50) = floor(b.n_chars / 50) AND a.doc_id < b.doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the streamed first-seen-wins snapshot recomputed engine-free: one
+    // micro-batch => canonical per key is the global argmin(ts, url)
+    "q_stream_dedup" ->
+      """WITH k AS (
+        |  SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url,
+        |         array_to_string((string_split(text, ' '))[1:5], ' ') AS key,
+        |         1700000000 + doc_id % 7 AS ts
+        |  FROM documents),
+        |c AS (SELECT key, list(url ORDER BY ts, url)[1] AS canonical FROM k GROUP BY key)
+        |SELECT k.url, k.key, c.canonical, (k.url = c.canonical) AS is_first
+        |FROM k JOIN c ON c.key = k.key ORDER BY k.url""".stripMargin,
     "q_er_exact_dedup" ->
       """SELECT dup_key, count(*) AS n, min(doc_id) AS canonical FROM (
         |  SELECT doc_id, array_to_string((string_split(text, ' '))[1:5], ' ') AS dup_key FROM documents)

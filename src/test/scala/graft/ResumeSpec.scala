@@ -92,6 +92,75 @@ class ResumeSpec extends SparkSpec {
     rmrf(java.nio.file.Paths.get(base))
   }
 
+  test("W7 composition: claim -> crash -> markRunningFailed -> reclaim -> resume, identical predictions") {
+    // the reference's whole restart rule in ONE scenario
+    // (app/services/task_queue.py:37: on startup mark running jobs failed,
+    // then claim the oldest queued job; only committed work survives):
+    // a worker claims the linkage job, commits through 'accepted', dies;
+    // the restart sweep fails the running row; the job is requeued,
+    // reclaimed and the resumed run reproduces the uninterrupted output
+    // from the committed stages without recomputing them.
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions._
+    import graft.operators.JobQueue
+
+    val base = Files.createTempDirectory("graft-restart").toString
+    val cfgHash = TableIO.configHash(Map("threshold" -> "0.70", "strategies" -> "all", "job" -> "link-1"))
+    val pages = WebCorpus.pages(spark, WebCorpus.Config(numClusters = 60)).toDF.cache()
+
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "job_id string, status string, created_at bigint, started_at bigint, finished_at bigint, error string"
+    )
+    def row(id: String, st: String, at: Long) = Row(id, st, at, null, null, null)
+    val jobs0 = spark.createDataFrame(Seq(row("link-1", "queued", 10L), row("other-2", "queued", 20L)).asJava, schema)
+
+    // worker 1 claims the oldest queued job
+    val claimed1 = JobQueue.claimNext(jobs0, lit(100L)).cache()
+    val link1 = claimed1.where(col("job_id") === "link-1").head()
+    assert(link1.getAs[String]("status") == "running" && link1.getAs[Long]("started_at") == 100L)
+
+    // worker 1 runs the claimed job and commits through 'accepted', then
+    // dies (simulated: full run to learn the expected output, then wipe
+    // every post-accepted stage — the crash boundary)
+    val io1 = new ParquetTableIO(base, runId = "worker1", configHash = cfgHash)
+    val full = collectPreds(LinkagePipeline.runResumable(pages, LinkagePipeline.Config(), io1))
+    val snapDir = java.nio.file.Paths.get(s"$base/snapshots/$cfgHash")
+    Files.list(snapDir).forEach { d =>
+      val name = d.getFileName.toString
+      if (name.startsWith("cc_iter") || name == "predictions" || name == "clusters") rmrf(d)
+    }
+
+    // restart: the crash-recovery sweep fails every running job
+    val swept = JobQueue.markRunningFailed(claimed1, "worker lost", lit(200L)).cache()
+    val failed = swept.where(col("job_id") === "link-1").head()
+    assert(failed.getAs[String]("status") == "failed")
+    assert(failed.getAs[String]("error") == "worker lost")
+    assert(failed.getAs[Long]("finished_at") == 200L)
+    assert(swept.where(col("job_id") === "other-2").head().getAs[String]("status") == "queued")
+
+    // the failed job is resubmitted (same created_at — still the oldest)
+    // and worker 2 claims it ahead of other-2
+    val requeued = swept.withColumn(
+      "status",
+      when(col("job_id") === "link-1", lit("queued")).otherwise(col("status"))
+    )
+    val claimed2 = JobQueue.claimNext(requeued, lit(300L)).cache()
+    val reclaimed = claimed2.where(col("status") === "running").head()
+    assert(reclaimed.getAs[String]("job_id") == "link-1" && reclaimed.getAs[Long]("started_at") == 300L)
+
+    // worker 2 resumes the SAME job config: identical predictions, and the
+    // pre-crash stages were REUSED (their manifests still carry worker1),
+    // only the post-crash stages were recomputed by worker2
+    val io2 = new ParquetTableIO(base, runId = "worker2", configHash = cfgHash)
+    val resumed = collectPreds(LinkagePipeline.runResumable(pages, LinkagePipeline.Config(), io2))
+    assert(resumed == full, "reclaimed run must reproduce the uninterrupted output exactly")
+    assert(io2.manifest("accepted").get.runId == "worker1", "committed stage recomputed instead of reused")
+    assert(io2.manifest("predictions").get.runId == "worker2")
+    claimed1.unpersist(); swept.unpersist(); claimed2.unpersist()
+    rmrf(java.nio.file.Paths.get(base))
+  }
+
   test("config-hash change invalidates all committed stages") {
     val base = Files.createTempDirectory("graft-resume2").toString
     val pages = WebCorpus.pages(spark, WebCorpus.Config(numClusters = 30)).toDF.cache()
