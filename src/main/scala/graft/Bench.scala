@@ -116,16 +116,42 @@ object Bench {
     // interleaved flagship round, min() applied to BOTH sizes, every rep's
     // wall printed above — transparent and bounded.
     val retryFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY_FACTOR", "0.9").toDouble
+    // round-3 lesson: the NORMALIZED ratio needs its own plausibility bound.
+    // A co-tenant burst on the N-side flagship inflates raw efficiency AND
+    // the flagship/ceiling ratio together (r3 shipped normalized 1.295 —
+    // the engine "out-scaling" an engine-free shuffle by 30% is not
+    // physics); conversely a burst on the N-side CONTROL deflates the
+    // ceiling. So (a) the retry also fires when efficiency > maxNorm x the
+    // ceiling, (b) a retry re-measures the CONTROL pair too — min() on all
+    // four, so the estimator stays the documented best-per-size capability
+    // methodology, and (c) the PRE-retry efficiencies ship in the JSON so
+    // the published number is auditable against the unconditional protocol
+    // (review finding: conditioning re-measurement on a bad outcome with
+    // best-of selection biases the estimate; the audit trail bounds it).
+    val maxNorm = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_NORM", "1.05").toDouble
+    def effNow() = (nDocs / t4N) / (4.0 * (nDocs / tN))
+    def ctlNow() = (ctlRows / c4N) / (4.0 * (ctlRows / cN))
+    val preRetryEff = effNow()
+    val preRetryCtl = ctlNow()
+    var retries = 0
     if (!skipScaling && reps == 1) {
-      val eff0 = (nDocs / t4N) / (4.0 * (nDocs / tN))
-      val ctl0 = (ctlRows / c4N) / (4.0 * (ctlRows / cN))
-      val tooLow = eff0 < retryFactor * ctl0
-      val tooHigh = eff0 > 1.0
-      if (tooLow || tooHigh) {
-        val why = if (tooLow) f"< ${retryFactor}%.1fx control ceiling $ctl0%.3f" else "> 1.0 (super-linear)"
-        err(f"efficiency $eff0%.3f $why: one noise-recovery round")
-        tN = math.min(tN, timeFlagshipOnce(mN, corpusDir, "retry"))
-        t4N = math.min(t4N, timeFlagshipOnce(m4N, corpusDir, "retry"))
+      var done = false
+      while (!done && retries < 2) {
+        val eff0 = effNow()
+        val ctl0 = ctlNow()
+        val tooLow = eff0 < retryFactor * ctl0
+        val tooHigh = eff0 > 1.0 || eff0 > maxNorm * ctl0
+        if (tooLow || tooHigh) {
+          val why =
+            if (tooLow) f"< ${retryFactor}%.1fx control ceiling $ctl0%.3f"
+            else f"implausibly high vs ceiling $ctl0%.3f (norm ${eff0 / ctl0}%.2f)"
+          err(f"efficiency $eff0%.3f $why: noise-recovery round ${retries + 1}")
+          tN = math.min(tN, timeFlagshipOnce(mN, corpusDir, s"retry${retries + 1}"))
+          t4N = math.min(t4N, timeFlagshipOnce(m4N, corpusDir, s"retry${retries + 1}"))
+          cN = math.min(cN, timeControlOnce(mN, ctlRows, s"retry${retries + 1}"))
+          c4N = math.min(c4N, timeControlOnce(m4N, ctlRows, s"retry${retries + 1}"))
+          retries += 1
+        } else done = true
       }
     }
     val tputN = nDocs / tN
@@ -205,6 +231,9 @@ object Bench {
           s""""control_wall_n_sec":${"%.2f".format(cN)},"control_wall_4n_sec":${"%.2f".format(c4N)},""" +
           s""""control_ceiling_efficiency":${"%.3f".format(ctlEff)},""" +
           s""""normalized_efficiency":${"%.3f".format(efficiency / ctlEff)},""" +
+          s""""pre_retry_efficiency":${"%.3f".format(preRetryEff)},""" +
+          s""""pre_retry_ceiling":${"%.3f".format(preRetryCtl)},""" +
+          s""""noise_retries":$retries,""" +
           s""""durable_cc_plain_sec":${if (durPlain > 0) "%.2f".format(durPlain) else "null"},""" +
           s""""durable_cc_wall_sec":${if (durCk > 0) "%.2f".format(durCk) else "null"},""" +
           s""""durable_cc_overhead":${if (durPlain > 0 && durCk > 0) "%.3f".format(durCk / durPlain) else "null"}}"""

@@ -33,11 +33,19 @@ object Main {
     while (i < args.length) {
       val k = args(i)
       require(k.startsWith("--"), s"expected a --flag, got '$k' (flags take exactly one value)")
-      require(i + 1 < args.length, s"flag $k is missing its value")
-      val v = args(i + 1)
-      require(!v.startsWith("--"), s"flag $k is missing its value (got flag '$v' instead)")
-      out(k.drop(2)) = v
-      i += 2
+      // --flag=value: the escape hatch for values that themselves start
+      // with "--" (otherwise rejected below as a missing value)
+      val eq = k.indexOf('=')
+      if (eq > 2) {
+        out(k.substring(2, eq)) = k.substring(eq + 1)
+        i += 1
+      } else {
+        require(i + 1 < args.length, s"flag $k is missing its value")
+        val v = args(i + 1)
+        require(!v.startsWith("--"), s"flag $k is missing its value (got flag '$v' instead; use $k=$v to pass it)")
+        out(k.drop(2)) = v
+        i += 2
+      }
     }
     out.toMap
   }
@@ -160,22 +168,28 @@ object Main {
   private[cli] def inputSignature(spark: org.apache.spark.sql.SparkSession, input: String): String = {
     val path = if (input.startsWith("csv:")) input.drop(4) else input
     if (input.startsWith("synth:")) input
-    else
-      scala.util
-        .Try {
-          val p = new org.apache.hadoop.fs.Path(path)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val it = fs.listFiles(p, true)
-          val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-          while (it.hasNext) {
-            val s = it.next()
-            entries += s"${s.getPath}:${s.getLen}:${s.getModificationTime}"
-          }
-          val digest = java.security.MessageDigest.getInstance("SHA-256")
-          entries.sorted.foreach(e => digest.update(e.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-          digest.digest().take(8).map("%02x".format(_)).mkString
+    else {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // ONLY a genuinely missing path signs as the "absent" constant (the
+      // downstream read then produces the real error). Any OTHER listing
+      // failure (transient FS fault, permission flap) must NOT sign like a
+      // stable state — two runs both failing the listing would otherwise
+      // share a config hash and the second would resume stages even if the
+      // files changed in between. Let it propagate and fail the run.
+      if (!fs.exists(p)) "absent"
+      else {
+        val it = fs.listFiles(p, true)
+        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          val s = it.next()
+          entries += s"${s.getPath}:${s.getLen}:${s.getModificationTime}"
         }
-        .getOrElse("absent")
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+        entries.sorted.foreach(e => digest.update(e.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        digest.digest().take(8).map("%02x".format(_)).mkString
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -28,6 +28,11 @@ class CliArgsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("--monitor"))
   }
 
+  test("--flag=value is the escape hatch for values that start with --") {
+    val m = Main.parseArgs(Array("--output=--weird-dir", "--input", "/data/p", "--threshold=0.8"))
+    assert(m === Map("output" -> "--weird-dir", "input" -> "/data/p", "threshold" -> "0.8"))
+  }
+
   test("a bare value with no flag errors") {
     val e = intercept[IllegalArgumentException] {
       Main.parseArgs(Array("/data/p", "--input", "/x"))
