@@ -210,7 +210,10 @@ object Main {
       maxBlockSize = opts.get("max-block-size").map(_.toInt).getOrElse(1000),
       // --checkpoint-dir: executor-loss-safe CC checkpoints (the large-run
       // setting); lighter than full --snapshots resumability
-      checkpointDir = opts.get("checkpoint-dir")
+      checkpointDir = opts.get("checkpoint-dir"),
+      // --cc-compact true: dense long node ids through the CC iterations
+      // (the long-chain / TB-edge-set setting; see Config.ccCompactIds)
+      ccCompactIds = opts.get("cc-compact").contains("true")
     )
 
     val spark = LinkagePipeline.session(master, "graft-linkage-cli")

@@ -73,17 +73,29 @@ object Dedup {
     * in graft.tools.ScaleProbe — with a ~2^32 space whose occupancy stays
     * content-bound at web scale.
     */
-  def simHashPairs(
+  /** The Manku chunk-COMBINATION blocking keys behind [[simHashPairs]],
+    * exposed so scale probes (graft.tools.ScaleProbe) can measure block
+    * statistics on the same key family the operator joins on. Output:
+    * (url, key).
+    */
+  private[graft] def simHashKeys(
       docs: DataFrame,
       idCol: String = "doc_id",
-      maxHamming: Int = 3,
-      maxBlockSize: Int = 10000
-  ): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 5, "chunk-combination blocking covers maxHamming in [0,5]")
-    val fp = docs.select(
-      col(idCol).cast("string").as("url"),
-      simhash64(Normalize.tokensOf(col("text"))).as("fp")
+      maxHamming: Int = 3
+  ): DataFrame =
+    simHashKeysFromFp(
+      docs.select(
+        col(idCol).cast("string").as("url"),
+        simhash64(Normalize.tokensOf(col("text"))).as("fp")
+      ),
+      maxHamming
     )
+
+  /** Key explosion over a precomputed (url, fp) frame — [[simHashPairs]]
+    * reuses its fingerprint pass for both keys and the hamming verify.
+    */
+  private def simHashKeysFromFp(fp: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 5, "chunk-combination blocking covers maxHamming in [0,5]")
     val sizes = Seq(11, 11, 11, 11, 10, 10)
     val offsets = sizes.scanLeft(0)(_ + _).init
     def chunk(i: Int): Column =
@@ -103,9 +115,21 @@ object Dedup {
       }
       lit(idx.toLong) * lit(1L << 54) + packed
     }
-    val keys = fp
-      .select(col("url"), explode(array(comboKeys: _*)).as("_k"))
+    fp.select(col("url"), explode(array(comboKeys: _*)).as("_k"))
       .select(col("url"), col("_k").cast("string").as("key"))
+  }
+
+  def simHashPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      maxHamming: Int = 3,
+      maxBlockSize: Int = 10000
+  ): DataFrame = {
+    val fp = docs.select(
+      col(idCol).cast("string").as("url"),
+      simhash64(Normalize.tokensOf(col("text"))).as("fp")
+    )
+    val keys = simHashKeysFromFp(fp, maxHamming).select("url", "key")
     val pairs = Blocker.pairs(keys, maxBlockSize)
     val fa = fp.select(col("url").as("urlA"), col("fp").as("fp_a"))
     val fb = fp.select(col("url").as("urlB"), col("fp").as("fp_b"))
@@ -140,13 +164,61 @@ object Dedup {
     * [[embeddingNearDupApprox]] — a separate name so the exact->approximate
     * recall change is explicit at every call site.
     */
+  /** Dense-cell refinement for LSH bucket keys — the embedding-family
+    * analog of [[Blocker.saltOversized]], keeping the shuffle key a STRUCT
+    * of longs (never string concat). Needed because lshPlan bounds only the
+    * EXPECTED bucket size: realized sign-LSH cell occupancy is skewed, and
+    * the skew GROWS with bits (measured in graft.tools.ScaleProbe: max
+    * bucket 3.9-20x the mean from 85k to 848k docs; candidate pairs/doc
+    * climbed 4254 -> 8358 -> 14117 while the planned size stayed
+    * bounded) — and real embedding corpora are CLUSTERED, which is worse.
+    *
+    * Buckets over `cap` rows are split by ceil(log2(bn/cap)) EXTRA
+    * hyperplane bits from `key.extra` — CONTENT-derived, not id-derived:
+    * an id-salt would separate a true near-dup pair with prob 1 - 1/nb in
+    * EVERY table whose cell is dense (dense clusters are dense in all
+    * tables), whereas extra sign bits agree for a pair at cos >= t with
+    * prob (1 - acos(t)/pi) per bit (~0.9 at t = 0.95), so the per-table
+    * retention after k refinement bits is ~0.9^k instead of ~1/2^k. The
+    * worst-case join volume is bounded at ~cap rows per block regardless
+    * of skew; the cosine verify keeps the output exact either way.
+    *
+    * Input: (id, key struct<t, b, extra>) — `extra` carries up to 24
+    * pre-computed refinement bits (cells denser than cap * 2^24 stay
+    * partially unsplit, far past any real corpus).
+    */
+  private[graft] def saltBuckets(bucketed: DataFrame, cap: Int): DataFrame = {
+    val base = bucketed.select(col("id"), struct(col("key.t"), col("key.b")).as("tb"), col("key.extra"))
+    val sizes = base.groupBy("tb").agg(count(lit(1)).as("bn"))
+    base
+      .join(sizes.where(col("bn") > cap), Seq("tb"), "left")
+      .select(
+        col("id"),
+        struct(
+          col("tb.t").as("t"),
+          col("tb.b").as("b"),
+          when(col("bn").isNull, lit(0L))
+            .otherwise(
+              // mask = 2^k - 1, k = ceil(log2(bn/cap)) clamped to the 24
+              // precomputed refinement bits (shiftleft needs a literal
+              // shift, pow is exact for k <= 24)
+              col("extra").bitwiseAND(
+                (pow(lit(2.0), least(ceil(log(2.0, col("bn") / cap)), lit(24.0))).cast("long") - 1)
+              )
+            )
+            .as("sub")
+        ).as("key")
+      )
+  }
+
   def embeddingNearDup(
       embeddings: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       threshold: Double = 0.9,
       lshBits: Int = 0,
-      lshTables: Int = 6
+      lshTables: Int = 6,
+      maxBucketRows: Int = 10000
   ): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val paired =
@@ -156,9 +228,15 @@ object Dedup {
         // times); vectors re-attach to the deduped candidate pairs via two
         // id-equi-joins, the same fetch-join shape as simHashPairs
         val keys = (0 until lshTables).map(t =>
-          struct(lit(t).as("t"), SimilaritySearch.hyperplaneBucket(col("v"), lshBits, seed = t).as("b"))
+          struct(
+            lit(t).as("t"),
+            SimilaritySearch.hyperplaneBucket(col("v"), lshBits, seed = t).as("b"),
+            // refinement bits for dense-cell splitting, from an independent
+            // hyperplane family (seed offset past every table's base seed)
+            SimilaritySearch.hyperplaneBucket(col("v"), 24, seed = lshTables + t).as("extra")
+          )
         )
-        val buckets = e.select(col("id"), explode(array(keys: _*)).as("key"))
+        val buckets = saltBuckets(e.select(col("id"), explode(array(keys: _*)).as("key")), maxBucketRows)
         val cand = buckets
           .select(col("id").as("id_a"), col("key"))
           .join(buckets.select(col("id").as("id_b"), col("key")), Seq("key"))
@@ -194,10 +272,11 @@ object Dedup {
       vecCol: String = "embedding",
       threshold: Double = 0.9,
       lshBits: Int = 6,
-      lshTables: Int = 6
+      lshTables: Int = 6,
+      maxBucketRows: Int = 10000
   ): DataFrame = {
     require(lshBits > 0, "embeddingNearDupApprox needs lshBits > 0; use embeddingNearDup for the exact mode")
-    embeddingNearDup(embeddings, idCol, vecCol, threshold, lshBits, lshTables)
+    embeddingNearDup(embeddings, idCol, vecCol, threshold, lshBits, lshTables, maxBucketRows)
   }
 
   /** [[embeddingNearDupApprox]] with (bits, tables) derived from the corpus
@@ -243,7 +322,13 @@ object Dedup {
       .select(col(idCol), col(vecCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val plan = SimilaritySearch.lshPlan(e.count(), threshold, targetBucketRows, recall)
-    val out = embeddingNearDup(e, idCol, vecCol, threshold, plan.bits, plan.tables)
+    // dense-cell cap at 4x the PLANNED bucket size: realized sign-LSH
+    // bucket skew (ScaleProbe: max cell 4-20x the mean, growing with bits)
+    // can't push the join volume past ~4 * target * tables / 2 per row —
+    // oversized cells split by content-derived refinement bits
+    // (saltBuckets), so the recall cost stays ~pBit^k per affected table
+    val out =
+      embeddingNearDup(e, idCol, vecCol, threshold, plan.bits, plan.tables, maxBucketRows = 4 * targetBucketRows)
     (out, () => { e.unpersist(blocking = false); () })
   }
 }

@@ -41,7 +41,18 @@ object LinkagePipeline {
         * survives executor loss — the lighter sibling of the fully
         * resumable `runResumable` snapshots.
         */
-      checkpointDir: Option[String] = None
+      checkpointDir: Option[String] = None,
+      /** Compact url node ids to dense longs before the CC iterations
+        * (ConnectedComponents.run `compact`): ~5 extra shuffles up front to
+        * thin every iteration's 2 full-edge-set shuffles from ~60-byte urls
+        * to 8-byte longs. Wins when iterations x edge bytes dominate
+        * (long-chain graphs at TB edge volumes); LOSES at sandbox scale
+        * where fixed per-stage overheads dominate (measured sf0.1 chain
+        * graph: 6.6s -> 11.3s), hence an explicit opt-in (`--cc-compact`)
+        * rather than a default or an auto rule that could only be
+        * validated at cluster scale.
+        */
+      ccCompactIds: Boolean = false
   )
 
   /** Spark session tuned for the engine: AQE + skew join on, shuffle
@@ -138,7 +149,11 @@ object LinkagePipeline {
     val clusters = ConnectedComponents.run(
       acceptedCk.select(col("urlA").as("src"), col("urlB").as("dst")),
       cfg.maxCcIterations,
-      ccSnapshot
+      ccSnapshot,
+      compact = cfg.ccCompactIds,
+      // the ids map outlives the iterations (read again by the final
+      // map-back), so durable runs give it its own NON-rotating root
+      idSnapshot = cfg.checkpointDir.map(d => graft.util.Checkpoints.reliable(s"$d/cc-ids"))
     )
 
     val out = assemblePredictions(corpus, clusters, acceptedCk)

@@ -7,8 +7,16 @@ import graft.pipeline.LinkagePipeline
 import graft.synth.WebCorpus
 
 /** Dev loop: how do candidate-pair counts scale with corpus size, per
-  * blocking strategy? Quadratic growth hiding under the per-block salt cap
-  * shows up here as a pair/doc ratio that climbs with N. Usage:
+  * blocking/LSH family? Quadratic growth hiding under the per-block salt
+  * cap shows up here as a pair/doc ratio that climbs with N. Probes ALL
+  * candidate-generating key families:
+  *   - the three ER blocking strategies (canonical url, 2-token domain,
+  *     MinHash bands) + their salted total,
+  *   - the SimHash chunk-combination keys (Dedup.simHashKeys),
+  *   - embedding sign-LSH with corpus-sized (bits, tables) from lshPlan
+  *     (the embeddingNearDupAuto scale path), candidate pairs counted
+  *     before the cosine verify.
+  * Usage:
   *   sbt 'runMain graft.tools.ScaleProbe 100000 300000 1000000'
   */
 object ScaleProbe {
@@ -18,29 +26,80 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val strategies: Seq[BlockingStrategy] =
       Seq(CanonicalUrlBlocking, DomainBlocking, MinHashBlocking())
+
+    def blockStats(name: String, docs: Long, keys: org.apache.spark.sql.DataFrame): Unit = {
+      val blocks = keys.groupBy("key").agg(count(lit(1)).as("n"))
+      val st = blocks
+        .agg(
+          count(lit(1)).as("blocks"),
+          max("n").as("maxBlock"),
+          sum((col("n") * (col("n") - 1) / 2).cast("long")).as("rawPairs"),
+          sum(when(col("n") > 1000, col("n")).otherwise(0)).as("oversizedRows")
+        )
+        .collect()(0)
+      println(
+        f"[scale] n=$docs%8d $name%-12s blocks=${st.getLong(0)}%9d maxBlock=${st.getLong(1)}%7d " +
+          f"rawPairs=${st.getLong(2)}%12d pairs/doc=${st.getLong(2).toDouble / docs}%8.2f " +
+          f"oversizedRows=${Option(st.get(3)).map(_.toString).getOrElse("0")}"
+      )
+    }
+
     sizes.foreach { n =>
       val cfg = WebCorpus.Config(numClusters = n / 4)
       val pages = WebCorpus.pages(spark, cfg).toDF().select("url", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val docs = pages.count()
+
+      // family 1-3: the ER blocking strategies
       strategies.foreach { s =>
-        val keys = s.keys(pages).select("url", "key").distinct()
-        val blocks = keys.groupBy("key").agg(count(lit(1)).as("n"))
-        val st = blocks
-          .agg(
-            count(lit(1)).as("blocks"),
-            max("n").as("maxBlock"),
-            sum((col("n") * (col("n") - 1) / 2).cast("long")).as("rawPairs"),
-            sum(when(col("n") > 1000, col("n")).otherwise(0)).as("oversizedRows")
-          )
-          .collect()(0)
-        println(
-          f"[scale] n=$docs%8d ${s.name}%-12s blocks=${st.getLong(0)}%9d maxBlock=${st.getLong(1)}%7d " +
-            f"rawPairs=${st.getLong(2)}%12d oversizedRows=${Option(st.get(3)).map(_.toString).getOrElse("0")}"
-        )
+        blockStats(s.name, docs, s.keys(pages).select("url", "key").distinct())
       }
       val allPairs = Blocker.pairs(Blocker.allKeys(pages, strategies), 1000).count()
       println(f"[scale] n=$docs%8d TOTAL salted+deduped pairs=$allPairs%12d ratio=${allPairs.toDouble / docs}%.1f")
+
+      // family 4: SimHash chunk-combination keys (near-dup d<=3)
+      blockStats("simhash_c3", docs, Dedup.simHashKeys(pages, "url", maxHamming = 3))
+      val shPairs = Dedup.simHashPairs(pages, "url", maxHamming = 3).count()
+      println(f"[scale] n=$docs%8d simhash verified pairs=$shPairs%12d ratio=${shPairs.toDouble / docs}%.2f")
+
+      // family 5: embedding sign-LSH at the lshPlan-derived (bits, tables)
+      // — synthetic 16-dim vectors, deterministic per id. Raw bucket-join
+      // volume (sum n*(n-1)/2 over (table, bucket) blocks) is computed from
+      // block SIZES — one (id, key) shuffle, no pair materialization — and
+      // is exactly the candidate volume embeddingNearDupAuto's verify join
+      // would ship. The auto plan's claim: bounded by ~targetBucketRows x
+      // tables / 2 per doc at ANY corpus size (a fixed `bits` would grow
+      // linearly with n instead).
+      val e = spark
+        .range(docs)
+        .select(
+          col("id").as("vec_id"),
+          transform(
+            sequence(lit(1), lit(16)),
+            j => pmod(xxhash64(col("id") * 16 + j), lit(1000)).cast("double") / 500.0 - 1.0
+          ).as("embedding")
+        )
+      val plan = SimilaritySearch.lshPlan(docs, threshold = 0.9, targetBucketRows = 1000, recall = 0.95)
+      val eKeys = e.select(
+        col("vec_id").as("id"),
+        explode(
+          array((0 until plan.tables).map(t =>
+            struct(
+              lit(t).as("t"),
+              SimilaritySearch.hyperplaneBucket(col("embedding"), plan.bits, seed = t).as("b"),
+              SimilaritySearch.hyperplaneBucket(col("embedding"), 24, seed = plan.tables + t).as("extra")
+            )
+          ): _*)
+        ).as("key")
+      )
+      val raw = eKeys.select(col("id").as("url"), concat(col("key.t"), lit(":"), col("key.b")).as("key"))
+      blockStats(s"emb_b${plan.bits}x${plan.tables}", docs, raw)
+      // and the shipped plan: the same keys through the dense-cell
+      // refinement (what embeddingNearDupAuto actually joins on)
+      val salted = Dedup
+        .saltBuckets(eKeys, cap = 4 * 1000)
+        .select(col("id").as("url"), col("key").cast("string").as("key"))
+      blockStats(s"emb_refined", docs, salted)
       pages.unpersist()
     }
     spark.stop()

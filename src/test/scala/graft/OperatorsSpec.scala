@@ -267,6 +267,38 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, s"approx LSH recall $recall below 0.9")
   }
 
+  test("dense-cell refinement keeps near-dup recall inside an oversized bucket") {
+    import spark.implicits._
+    // a DENSE cone: 300 vectors around one direction (all share every
+    // sign-LSH bucket at 4 bits), of which 50 planted near-dup pairs at
+    // cos >= 0.99. cap=50 forces k=3 refinement bits on the whole cell in
+    // every table — the content-derived sub-keys must keep most true pairs
+    // together (an id-salt here would destroy ~49/50 of them per table).
+    val rng = new scala.util.Random(23)
+    val dir = Array.fill(16)(rng.nextGaussian())
+    val norm = math.sqrt(dir.map(x => x * x).sum)
+    val unit = dir.map(_ / norm)
+    def inCone(eps: Double): Array[Float] =
+      unit.map(x => (x + eps * rng.nextGaussian()).toFloat)
+    val base = (0 until 300).map(i => (i.toLong, inCone(0.12)))
+    val dups = (0 until 50).map { i =>
+      val (_, v) = base(i)
+      (1000L + i, v.map(x => x + 0.015f * rng.nextGaussian().toFloat))
+    }
+    val all = (base ++ dups).toDF("vec_id", "embedding")
+    val brute = Dedup
+      .embeddingNearDup(all, threshold = 0.99, lshBits = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size >= 50, s"planted pairs missing from exact answer: ${brute.size}")
+    val refined = Dedup
+      .embeddingNearDup(all, threshold = 0.99, lshBits = 4, lshTables = 6, maxBucketRows = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refined.subsetOf(brute), "refinement must never invent pairs")
+    val recall = refined.size.toDouble / brute.size
+    info(s"refined recall in dense cell: $recall (${refined.size}/${brute.size})")
+    assert(recall >= 0.85, s"dense-cell refinement recall $recall below 0.85")
+  }
+
   test("decodeMeta plan has zero exchanges (row-local expression)") {
     import spark.implicits._
     val media = Seq((1L, "abc".getBytes), (2L, "def".getBytes)).toDF("id", "payload")

@@ -109,6 +109,24 @@ class PipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ccCompactIds run matches the default run exactly (incl. durable combo)") {
+    val plain = LinkagePipeline.run(pages)
+      .select("url", "cluster_id", "seq").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val compacted = LinkagePipeline
+      .run(pages, LinkagePipeline.Config(ccCompactIds = true))
+      .select("url", "cluster_id", "seq").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(compacted == plain)
+    // compact + durable: the ids map rides its own NON-rotating root, so
+    // the final map-back cannot read a rotated-away checkpoint
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-ck-compact").toString
+    val durableCompacted = LinkagePipeline
+      .run(pages, LinkagePipeline.Config(checkpointDir = Some(ckDir), ccCompactIds = true))
+      .select("url", "cluster_id", "seq").collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(durableCompacted == plain)
+    val idCks = new java.io.File(s"$ckDir/cc-ids").list()
+    assert(idCks != null && idCks.contains("ck_0"), String.valueOf(idCks))
+  }
+
   test("durable checkpointDir run matches the localCheckpoint run exactly") {
     val ckDir = java.nio.file.Files.createTempDirectory("graft-ck").toString
     val plain = LinkagePipeline.run(pages)
