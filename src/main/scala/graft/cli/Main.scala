@@ -226,6 +226,8 @@ object Main {
     val shufWriteMillis = new java.util.concurrent.atomic.AtomicLong(0)
     val cpuNanos = new java.util.concurrent.atomic.AtomicLong(0)
     val stageTimes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    val phaseTimes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    val stagePhase = new java.util.concurrent.ConcurrentHashMap[Integer, String]()
     if (opts.get("monitor").contains("true")) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
@@ -241,8 +243,14 @@ object Main {
         }
         private val t0 = System.nanoTime()
         private def rel = (System.nanoTime() - t0) / 1e9
-        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          System.err.println(f"[job] +$rel%7.2f START ${j.jobId}%3d stages=${j.stageInfos.size}")
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          // attribute every stage of the job to its LinkagePipeline phase
+          // (sc.setJobGroup -> "graft:<phase>") for the per-phase table
+          val group = Option(j.properties).map(_.getProperty("spark.jobGroup.id")).orNull
+          val phase = if (group != null && group.startsWith("graft:")) group.drop(6) else "other"
+          j.stageInfos.foreach(si => stagePhase.put(si.stageId, phase))
+          System.err.println(f"[job] +$rel%7.2f START ${j.jobId}%3d stages=${j.stageInfos.size} phase=$phase")
+        }
         override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
           System.err.println(f"[job] +$rel%7.2f END   ${j.jobId}%3d")
         override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -250,6 +258,9 @@ object Main {
           val key = info.name.split(" at ").lastOption.getOrElse(info.name)
           stageTimes
             .computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicLong(0))
+            .addAndGet(info.taskMetrics.executorRunTime)
+          phaseTimes
+            .computeIfAbsent(stagePhase.getOrDefault(info.stageId, "other"), _ => new java.util.concurrent.atomic.AtomicLong(0))
             .addAndGet(info.taskMetrics.executorRunTime)
         }
       })
@@ -278,8 +289,14 @@ object Main {
       // --mention-columns), url synthesized when absent
       val pages = preparePages(raw, opts)
 
-      if (opts.get("warmup").contains("true"))
+      if (opts.get("warmup").contains("true")) {
         LinkagePipeline.run(pages.limit(20000), cfg).foreach(_ => ())
+        // the listener has been counting warmup tasks; zero everything so
+        // the reported task/stage numbers cover ONLY the timed run
+        Seq(taskNanos, gcMillis, serMillis, fetchMillis, shufWriteMillis, cpuNanos).foreach(_.set(0))
+        stageTimes.clear()
+        phaseTimes.clear()
+      }
 
       val t0 = System.nanoTime()
       val preds = if (opts.get("dry-run").contains("true")) {
@@ -337,6 +354,9 @@ object Main {
       )
       if (opts.get("monitor").contains("true")) {
         import scala.jdk.CollectionConverters._
+        phaseTimes.asScala.toSeq.sortBy(-_._2.get).foreach { case (k, v) =>
+          println(f"[phase] ${v.get / 1000.0}%8.1f s  $k")
+        }
         stageTimes.asScala.toSeq.sortBy(-_._2.get).take(12).foreach { case (k, v) =>
           println(f"[stage] ${v.get / 1000.0}%8.1f s  $k")
         }

@@ -117,6 +117,14 @@ object LinkagePipeline {
     // 100 TB writes the corpus to executor disks once more for no benefit.
     // Derived inputs (joins/aggregates/generators upstream) are persisted so
     // the lineage doesn't recompute per consumer.
+    // phase job-groups: every action below runs under a named group so the
+    // --monitor listener (and the Spark UI) can attribute task time to
+    // pipeline phases instead of checkpoint callsites — the N-vs-4N
+    // per-phase breakdown is how scaling regressions get localized
+    val sc = pages.sparkSession.sparkContext
+    def phase(name: String): Unit = sc.setJobGroup(s"graft:$name", s"linkage phase: $name")
+
+    phase("ingest")
     val plainScan = isPlainScan(pages)
     val corpus =
       if (plainScan) pages.select("url", "text")
@@ -128,6 +136,7 @@ object LinkagePipeline {
         c
       }
 
+    phase("block+score")
     val keys = Blocker.allKeys(corpus, cfg.strategies)
     val pairs = Blocker.pairs(keys, cfg.maxBlockSize)
     val (feats, releaseFeats) = PairScorer.featuresWithRelease(corpus)
@@ -146,6 +155,7 @@ object LinkagePipeline {
     val acceptedCk = edgeSnapshot(accepted)
     releaseFeats() // pair join materialized; drop the tokenize+hash cache
 
+    phase("cc")
     val clusters = ConnectedComponents.run(
       acceptedCk.select(col("urlA").as("src"), col("urlB").as("dst")),
       cfg.maxCcIterations,
@@ -156,8 +166,12 @@ object LinkagePipeline {
       idSnapshot = cfg.checkpointDir.map(d => graft.util.Checkpoints.reliable(s"$d/cc-ids"))
     )
 
+    phase("assemble")
     val out = assemblePredictions(corpus, clusters, acceptedCk)
     if (!plainScan) corpus.unpersist(blocking = false)
+    // the caller's terminal action (sink write / foreach) runs whatever
+    // remains of the lazy tail under this label
+    phase("sink")
     out
   }
 
