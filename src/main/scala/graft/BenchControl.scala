@@ -5,16 +5,25 @@ import org.apache.spark.sql.functions._
 
 import graft.pipeline.LinkagePipeline
 
-/** The engine-free control: a pure-Spark shuffle microbenchmark (range ->
-  * groupBy -> groupBy, no engine code in the loop) whose N->4N efficiency
-  * is this host's shuffle-scaling CEILING. ONE definition, used by both
-  * the in-bench control and the standalone probe:
+/** Engine-free controls bracketing this host's N->4N scaling physics (no
+  * engine code in either loop):
+  *
+  *  - [[controlJob]] — a pure SHUFFLE microbenchmark (range -> groupBy ->
+  *    groupBy): memory-bus-bound, the scaling floor-to-ceiling reference
+  *    for shuffle-dominated work.
+  *  - [[computeControlJob]] — a pure COMPUTE microbenchmark (per-row hash
+  *    chain, one tiny aggregate): CPU-bound, the reference for
+  *    compute-dominated work. On a shared-bus VM this scales BETTER than
+  *    the shuffle control; a compute-heavy flagship (per-phase profile:
+  *    ~88% kernel scoring) legitimately lands between the two, which is
+  *    why "flagship above the shuffle control" is NOT by itself
+  *    implausible (measured round 4: shuffle 0.42, flagship 0.62).
   *
   *   sbt 'runMain graft.BenchControl local[2] local[8]'
   */
 object BenchControl {
 
-  /** Run the control job once (an action; nothing returned). */
+  /** Run the shuffle control job once (an action; nothing returned). */
   def controlJob(spark: SparkSession, rows: Long): Unit = spark
     .range(rows)
     .select(
@@ -26,6 +35,19 @@ object BenchControl {
     .groupBy(col("n") % 32)
     .agg(count(lit(1)))
     .foreach(_ => ())
+
+  /** Run the compute control job once: an 8-round xxhash64 chain per row,
+    * no wide shuffle (single scalar aggregate). Codegen'd built-ins only.
+    */
+  def computeControlJob(spark: SparkSession, rows: Long): Unit = {
+    val chained = (1 to 8).foldLeft(col("id")) { (c, _) => xxhash64(c, col("id")) }
+    spark
+      .range(rows)
+      .select(chained.as("h"))
+      // pmod keeps the ANSI sum far from Long overflow at any row count
+      .agg(sum(pmod(col("h"), lit(1000))))
+      .foreach(_ => ())
+  }
 
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTROL_ROWS", "60000000").toLong
