@@ -707,6 +707,23 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("ws_tokens"))
         .orderBy("doc_id")),
+    "q_txt_repetition" -> ((s, dir) => {
+      // Gopher repetition filters (top-bigram / duplicate-trigram
+      // fractions), row-local kernel. Every 3rd doc gets its text doubled
+      // so the duplicate fractions are exercised away from zero; the
+      // oracle recomputes exact gram counts via unnest + group by.
+      val txt = when(col("doc_id") % 3 === 0, concat(col("text"), lit(" "), col("text")))
+        .otherwise(col("text"))
+      val r = graft.operators.TextAnalysis.repetitionSignals(txt)
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          r.getField("n_bigrams").as("n_bigrams"),
+          r.getField("top_bigram_frac").as("top_bigram_frac"),
+          r.getField("dup_trigram_frac").as("dup_trigram_frac")
+        )
+        .orderBy("doc_id")
+    }),
     "q_txt_fingerprint" -> ((s, dir) =>
       // rolling-hash document fingerprint via the FUSED shingle+minhash
       // kernel (no shingle strings materialized; golden-fixture oracle)
@@ -1218,6 +1235,34 @@ object SparkEntry {
     "q_txt_token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // exact gram counting (unnest + group by) recomputes the row-local
+    // hash-counting kernel engine-free
+    "q_txt_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(CASE WHEN doc_id % 3 = 0 THEN text || ' ' || text ELSE text END, ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    greatest(len(toks) - 1, 0) AS n_bi, greatest(len(toks) - 2, 0) AS n_tri,
+        |    list_transform(range(1, greatest(len(toks), 1)),
+        |      i -> toks[i] || chr(31) || toks[i+1]) AS bis,
+        |    list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]) AS tris
+        |  FROM t),
+        |bc AS (
+        |  SELECT doc_id, gram, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(bis) AS gram FROM g) GROUP BY 1, 2),
+        |btop AS (SELECT doc_id, max(c) AS top FROM bc GROUP BY 1),
+        |tc AS (
+        |  SELECT doc_id, gram, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(tris) AS gram FROM g) GROUP BY 1, 2),
+        |tdup AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM tc GROUP BY 1)
+        |SELECT g.doc_id, CAST(g.n_bi AS BIGINT) AS n_bigrams,
+        |  round(coalesce(btop.top, 0)::DOUBLE / greatest(g.n_bi, 1), 6) AS top_bigram_frac,
+        |  round(coalesce(tdup.dup, 0)::DOUBLE / greatest(g.n_tri, 1), 6) AS dup_trigram_frac
+        |FROM g LEFT JOIN btop ON btop.doc_id = g.doc_id LEFT JOIN tdup ON tdup.doc_id = g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
     "q_mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | upper(substr(hex(encode(text)), 1, 8)) AS magic

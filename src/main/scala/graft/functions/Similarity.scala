@@ -125,6 +125,48 @@ object SimKernels {
     org.apache.spark.sql.catalyst.InternalRow(new GenericArrayData(ts), new GenericArrayData(ws))
   }
 
+  /** Gopher-style n-gram repetition stats over a token array in ONE
+    * row-local pass: (total n-gram count, count of the most frequent
+    * n-gram, total occurrences of n-grams appearing more than once).
+    * These back the repetition quality filters of Rae et al., "Scaling
+    * Language Models: ... Gopher" (2021), Table A1 (top n-gram fraction,
+    * duplicate n-gram fraction). N-grams are identified by a rolling
+    * FNV-1a fold of the per-token hashes — order-sensitive, no gram
+    * strings materialized; a collision (~L^2/2^64 per row) is negligible
+    * and deterministic.
+    */
+  def ngramRepetition(tokens: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val L = tokens.numElements()
+    val total = L - n + 1
+    if (total <= 0)
+      return org.apache.spark.sql.catalyst.InternalRow(0L, 0L, 0L)
+    val th = new Array[Long](L)
+    var i = 0
+    while (i < L) {
+      th(i) = if (tokens.isNullAt(i)) 0L else fnv64(tokens.getUTF8String(i))
+      i += 1
+    }
+    val counts = new java.util.HashMap[java.lang.Long, Array[Int]](total * 2)
+    i = 0
+    while (i < total) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) { h ^= th(i + j); h *= 0x100000001b3L; j += 1 }
+      val cell = counts.get(h)
+      if (cell == null) counts.put(h, Array(1)) else cell(0) += 1
+      i += 1
+    }
+    var top = 0L
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      if (c > top) top = c.toLong
+      if (c > 1) dup += c
+    }
+    org.apache.spark.sql.catalyst.InternalRow(total.toLong, top, dup)
+  }
+
   /** Weight a sorted tf vector by broadcast IDF, keep the top `maxTerms`
     * weights (vector sparsification: shrinks the pair-join shuffle), and
     * L2-normalize — all in-row.
@@ -535,6 +577,28 @@ case class MinHashShingles(child: Expression, n: Int, k: Int) extends UnaryExpre
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Row-local n-gram repetition stats (Gopher repetition-filter signals). */
+case class NgramRepetition(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = NgramRepetition.dataType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ngram_repetition"
+  override protected def nullSafeEval(v: Any): Any =
+    SimKernels.ngramRepetition(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SimKernels.ngramRepetition($a, $n)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object NgramRepetition {
+  val dataType: DataType = StructType(
+    Seq(
+      StructField("total", LongType, nullable = false),
+      StructField("top", LongType, nullable = false),
+      StructField("dup", LongType, nullable = false)
+    )
+  )
+}
+
 /** In-row hashed-bucket term frequencies (sorted sparse vector). */
 case class TermFreqs(child: Expression, numBuckets: Int) extends UnaryExpression {
   override def dataType: DataType = SparseVec.dataType
@@ -641,6 +705,9 @@ object SimilarityFunctions {
       centroidsBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
       nProbe: Int
   ): Column = GraftShim.column(NearestCentroids(e(v), centroidsBc, nProbe))
+  def ngram_repetition(tokens: Column, n: Int): Column =
+    GraftShim.column(NgramRepetition(e(tokens), n))
+
   def minhash_shingles(tokens: Column, n: Int, k: Int): Column =
     GraftShim.column(MinHashShingles(e(tokens), n, k))
   def tfidf_weight(

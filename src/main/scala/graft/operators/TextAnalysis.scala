@@ -66,6 +66,31 @@ object TextAnalysis {
     Normalize.clamp01(lenScore * 0.4 + distinctScore * 0.3 + alphaScore * 0.3)
   }
 
+  /** Gopher-style repetition signals (Rae et al. 2021, Table A1): the
+    * top-bigram occurrence fraction and the duplicate-trigram occurrence
+    * fraction over whitespace tokens — the standard web-text repetition
+    * filters ("for all your X needs for all your X needs ..."). Row-local
+    * single-pass kernels (SimKernels.ngramRepetition), shuffle-free: at
+    * 100 TB this is a projection on the scan, never an explode + groupBy
+    * over per-gram rows.
+    */
+  def repetitionSignals(text: Column): Column = {
+    val toks = Normalize.tokensOf(text)
+    val bi = graft.functions.SimilarityFunctions.ngram_repetition(toks, 2)
+    val tri = graft.functions.SimilarityFunctions.ngram_repetition(toks, 3)
+    struct(
+      bi.getField("total").as("n_bigrams"),
+      round(
+        bi.getField("top").cast("double") / greatest(bi.getField("total"), lit(1L)).cast("double"),
+        6
+      ).as("top_bigram_frac"),
+      round(
+        tri.getField("dup").cast("double") / greatest(tri.getField("total"), lit(1L)).cast("double"),
+        6
+      ).as("dup_trigram_frac")
+    )
+  }
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(Normalize.tokensOf(text)).cast("long")
 

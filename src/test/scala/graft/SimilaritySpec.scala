@@ -142,4 +142,24 @@ class SimilaritySpec extends SparkSpec {
       .select(Normalize.shingles(Normalize.tokensOf(col("t")), 3).as("sh"))
     assert(short.collect()(0).getSeq[String](0).isEmpty)
   }
+
+  test("ngram repetition: exact counts on hand-checked cases") {
+    import spark.implicits._
+    def rep(text: String, n: Int): (Long, Long, Long) = {
+      val r = Seq(text).toDF("t")
+        .select(SimilarityFunctions.ngram_repetition(split(col("t"), " "), n).as("r"))
+        .head().getStruct(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // "a b a b a": bigrams [ab, ba, ab, ba] -> total 4, top 2, dup 4
+    assert(rep("a b a b a", 2) == ((4L, 2L, 4L)))
+    // trigrams [aba, bab, aba] -> total 3, top 2, dup 2
+    assert(rep("a b a b a", 3) == ((3L, 2L, 2L)))
+    // all distinct: dup 0, top 1
+    assert(rep("a b c d", 2) == ((3L, 1L, 0L)))
+    // fewer tokens than n: all zero
+    assert(rep("a", 2) == ((0L, 0L, 0L)))
+    // all-identical tokens: one gram repeated
+    assert(rep("x x x x", 2) == ((3L, 3L, 3L)))
+  }
 }
