@@ -26,36 +26,32 @@ object Bench {
     * the loop — published alongside the flagship number so the
     * "shared-host bus, not the plan" claim is falsifiable.
     */
-  private def timeControlOnce(master: String, rows: Long, tag: String): Double = {
-    val spark = LinkagePipeline.session(master, s"graft-control-$master")
+  /** Shared control-timing harness: fresh session, one warmup pass, one
+    * timed pass (any protocol change lands in ONE place for both
+    * controls). The shuffle and compute controls BRACKET the host: a
+    * flagship whose per-phase profile is ~88% kernel compute legitimately
+    * scales between the two.
+    */
+  private def timeJobOnce(master: String, label: String, rows: Long, tag: String)(
+      job: (org.apache.spark.sql.SparkSession, Long) => Unit
+  ): Double = {
+    val spark = LinkagePipeline.session(master, s"graft-$label-$master")
     spark.sparkContext.setLogLevel("ERROR")
     try {
-      BenchControl.controlJob(spark, rows) // warmup
+      job(spark, rows) // warmup
       val t0 = System.nanoTime()
-      BenchControl.controlJob(spark, rows)
+      job(spark, rows)
       val secs = (System.nanoTime() - t0) / 1e9
-      err(f"control $master $tag: $secs%.2f s")
+      err(f"$label $master $tag: $secs%.2f s")
       secs
     } finally spark.stop()
   }
 
-  /** The COMPUTE-bound control (BenchControl.computeControlJob): CPU-heavy,
-    * shuffle-free — the scaling reference for compute-dominated work. With
-    * the shuffle control it BRACKETS the host: a flagship whose per-phase
-    * profile is ~88% kernel compute legitimately scales between the two.
-    */
-  private def timeComputeControlOnce(master: String, rows: Long, tag: String): Double = {
-    val spark = LinkagePipeline.session(master, s"graft-cctl-$master")
-    spark.sparkContext.setLogLevel("ERROR")
-    try {
-      BenchControl.computeControlJob(spark, rows) // warmup
-      val t0 = System.nanoTime()
-      BenchControl.computeControlJob(spark, rows)
-      val secs = (System.nanoTime() - t0) / 1e9
-      err(f"compute-control $master $tag: $secs%.2f s")
-      secs
-    } finally spark.stop()
-  }
+  private def timeControlOnce(master: String, rows: Long, tag: String): Double =
+    timeJobOnce(master, "control", rows, tag)(BenchControl.controlJob)
+
+  private def timeComputeControlOnce(master: String, rows: Long, tag: String): Double =
+    timeJobOnce(master, "compute-control", rows, tag)(BenchControl.computeControlJob)
 
   /** One warmed, timed flagship run in a fresh session. The co-tenant noise
     * on this shared host is +/-2-3x run-to-run, so the caller INTERLEAVES
@@ -155,6 +151,7 @@ object Bench {
     def cctlNow() = (cctlRows / cc4N) / (4.0 * (cctlRows / ccN))
     val preRetryEff = effNow()
     val preRetryCtl = ctlNow()
+    val preRetryCctl = cctlNow()
     var retries = 0
     if (!skipScaling && reps == 1) {
       var done = false
@@ -267,6 +264,7 @@ object Bench {
           s""""normalized_efficiency":${"%.3f".format(efficiency / ctlEff)},""" +
           s""""pre_retry_efficiency":${"%.3f".format(preRetryEff)},""" +
           s""""pre_retry_ceiling":${"%.3f".format(preRetryCtl)},""" +
+          s""""pre_retry_compute_ceiling":${"%.3f".format(preRetryCctl)},""" +
           s""""noise_retries":$retries,""" +
           s""""durable_cc_plain_sec":${if (durPlain > 0) "%.2f".format(durPlain) else "null"},""" +
           s""""durable_cc_wall_sec":${if (durCk > 0) "%.2f".format(durCk) else "null"},""" +

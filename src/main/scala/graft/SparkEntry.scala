@@ -497,7 +497,7 @@ object SparkEntry {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      try q.awaitTermination(300000)
+      try require(q.awaitTermination(300000), "q_stream_dedup: stream did not finish within 300s")
       finally q.stop()
       s.read.parquet(s"$outDir/out").select("url", "key", "canonical", "is_first").orderBy("url")
     }),
@@ -714,7 +714,9 @@ object SparkEntry {
       // oracle recomputes exact gram counts via unnest + group by.
       val txt = when(col("doc_id") % 3 === 0, concat(col("text"), lit(" "), col("text")))
         .otherwise(col("text"))
-      val r = graft.operators.TextAnalysis.repetitionSignals(txt)
+      // raw split, not tokensOf: the oracle's string_split must see the
+      // SAME tokens (tokensOf lowercases + collapses whitespace)
+      val r = graft.operators.TextAnalysis.repetitionSignalsTokens(split(txt, " "))
       t(s, dir, "documents")
         .select(
           col("doc_id"),

@@ -291,8 +291,11 @@ object Main {
 
       if (opts.get("warmup").contains("true")) {
         LinkagePipeline.run(pages.limit(20000), cfg).foreach(_ => ())
-        // the listener has been counting warmup tasks; zero everything so
-        // the reported task/stage numbers cover ONLY the timed run
+        // the listener has been counting warmup tasks; drain the ASYNC
+        // listener bus (late task/stage events would otherwise race the
+        // reset) and zero everything so the reported task/stage numbers
+        // cover ONLY the timed run
+        org.apache.spark.sql.GraftShim.drainListenerBus(spark.sparkContext)
         Seq(taskNanos, gcMillis, serMillis, fetchMillis, shufWriteMillis, cpuNanos).foreach(_.set(0))
         stageTimes.clear()
         phaseTimes.clear()
@@ -331,6 +334,9 @@ object Main {
       }
       preds.write.mode("overwrite").parquet(output)
       val secs = (System.nanoTime() - t0) / 1e9
+      // flush in-flight listener events before reading the counters
+      if (opts.get("monitor").contains("true"))
+        org.apache.spark.sql.GraftShim.drainListenerBus(spark.sparkContext)
 
       val out = spark.read.parquet(output)
       val nDocs = out.count()

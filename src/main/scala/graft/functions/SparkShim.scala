@@ -1,8 +1,9 @@
-// Lives in the org.apache.spark.sql package solely to reach three
-// private[sql] helpers: ExpressionUtils (Column <-> catalyst Expression
-// bridging in Spark 4.x's connect-compatible Column) and
+// Lives in the org.apache.spark.sql package solely to reach four
+// private[sql]/private[spark] helpers: ExpressionUtils (Column <-> catalyst
+// Expression bridging in Spark 4.x's connect-compatible Column),
 // Observation.getOrEmpty (bounded <=100ms wait, the only non-hanging
-// getter) — nothing else.
+// getter), and the listener-bus drain (event delivery is async; metric
+// resets must not race queued events) — nothing else.
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
@@ -12,4 +13,8 @@ object GraftShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
   def observationGetOrEmpty(obs: Observation): Map[String, Any] = obs.getOrEmpty
+
+  /** Block until every queued SparkListener event has been delivered. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

@@ -74,8 +74,15 @@ object TextAnalysis {
     * 100 TB this is a projection on the scan, never an explode + groupBy
     * over per-gram rows.
     */
-  def repetitionSignals(text: Column): Column = {
-    val toks = Normalize.tokensOf(text)
+  def repetitionSignals(text: Column): Column =
+    repetitionSignalsTokens(Normalize.tokensOf(text))
+
+  /** [[repetitionSignals]] over a caller-supplied token array — battery
+    * queries pass raw `split(text, " ")` so engine and oracle share ONE
+    * tokenization (tokensOf lowercases and collapses whitespace, which a
+    * plain SQL string_split does not).
+    */
+  def repetitionSignalsTokens(toks: Column): Column = {
     val bi = graft.functions.SimilarityFunctions.ngram_repetition(toks, 2)
     val tri = graft.functions.SimilarityFunctions.ngram_repetition(toks, 3)
     struct(

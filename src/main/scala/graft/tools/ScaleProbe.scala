@@ -27,14 +27,18 @@ object ScaleProbe {
     val strategies: Seq[BlockingStrategy] =
       Seq(CanonicalUrlBlocking, DomainBlocking, MinHashBlocking())
 
-    def blockStats(name: String, docs: Long, keys: org.apache.spark.sql.DataFrame): Unit = {
+    // `cap` = the salt/refinement threshold the FAMILY'S OPERATOR uses
+    // (Blocker.pairs default 1000, simHashPairs 10000, embedding auto
+    // 4x1000) so oversizedRows reports rows the operator would actually
+    // split, not a one-size count
+    def blockStats(name: String, docs: Long, keys: org.apache.spark.sql.DataFrame, cap: Int = 1000): Unit = {
       val blocks = keys.groupBy("key").agg(count(lit(1)).as("n"))
       val st = blocks
         .agg(
           count(lit(1)).as("blocks"),
           max("n").as("maxBlock"),
           sum((col("n") * (col("n") - 1) / 2).cast("long")).as("rawPairs"),
-          sum(when(col("n") > 1000, col("n")).otherwise(0)).as("oversizedRows")
+          sum(when(col("n") > cap, col("n")).otherwise(0)).as("oversizedRows")
         )
         .collect()(0)
       println(
@@ -58,7 +62,7 @@ object ScaleProbe {
       println(f"[scale] n=$docs%8d TOTAL salted+deduped pairs=$allPairs%12d ratio=${allPairs.toDouble / docs}%.1f")
 
       // family 4: SimHash chunk-combination keys (near-dup d<=3)
-      blockStats("simhash_c3", docs, Dedup.simHashKeys(pages, "url", maxHamming = 3))
+      blockStats("simhash_c3", docs, Dedup.simHashKeys(pages, "url", maxHamming = 3), cap = 10000)
       val shPairs = Dedup.simHashPairs(pages, "url", maxHamming = 3).count()
       println(f"[scale] n=$docs%8d simhash verified pairs=$shPairs%12d ratio=${shPairs.toDouble / docs}%.2f")
 
@@ -93,13 +97,13 @@ object ScaleProbe {
         ).as("key")
       )
       val raw = eKeys.select(col("id").as("url"), concat(col("key.t"), lit(":"), col("key.b")).as("key"))
-      blockStats(s"emb_b${plan.bits}x${plan.tables}", docs, raw)
+      blockStats(s"emb_b${plan.bits}x${plan.tables}", docs, raw, cap = 4000)
       // and the shipped plan: the same keys through the dense-cell
       // refinement (what embeddingNearDupAuto actually joins on)
       val salted = Dedup
         .saltBuckets(eKeys, cap = 4 * 1000)
         .select(col("id").as("url"), col("key").cast("string").as("key"))
-      blockStats(s"emb_refined", docs, salted)
+      blockStats(s"emb_refined", docs, salted, cap = 4000)
       pages.unpersist()
     }
     spark.stop()

@@ -40,14 +40,23 @@ object Fixtures {
     */
   def materialize(resource: String): String = {
     val bytes = resourceBytes(resource)
+    // per-user namespace: on a multi-user host another user's extraction
+    // would be unwritable and a shared path would fail on the first
+    // fixture update with an unrelated-looking AccessDeniedException
+    val ns = "graft-fixtures-" + sys.props.getOrElse("user.name", "anon")
     val out: Path = Paths.get(
       System.getProperty("java.io.tmpdir"),
-      "graft-fixtures",
+      ns,
       resource.replace('/', java.io.File.separatorChar)
     )
-    val stale =
-      !Files.exists(out) || Files.size(out) != bytes.length ||
-        !java.util.Arrays.equals(Files.readAllBytes(out), bytes)
+    // a concurrent cleanup between the exists probe and the read must read
+    // as "stale" (re-extract), not crash the suite
+    val stale = scala.util
+      .Try {
+        !Files.exists(out) || Files.size(out) != bytes.length ||
+          !java.util.Arrays.equals(Files.readAllBytes(out), bytes)
+      }
+      .getOrElse(true)
     if (stale) {
       Files.createDirectories(out.getParent)
       val tmp = Files.createTempFile(out.getParent, ".extract-", ".tmp")
