@@ -868,7 +868,24 @@ object SparkEntry {
           octet_length(col("payload")).cast("long").as("n_bytes"),
           substring(hex(col("payload")), 1, 8).as("magic")
         )
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+    "q_mm_resize" -> ((s, dir) => {
+      // jpeg-magic-prefixed payloads through the REAL multimodal chain:
+      // DecodeMeta (codegen'd expression) -> Multimodal.resizePlan
+      // (aspect-preserving fit into 256x256, never upscale, short side
+      // clamped to 1px). The stub decode's FNV-1a-derived dimensions are
+      // recomputed byte-exactly by the DuckDB oracle, so width/height/
+      // out_w/out_h/scale are all verified engine-free.
+      val pages = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(unhex(lit("FFD8FFE0")), col("text").cast("binary")).as("payload")
+      )
+      val meta = graft.operators.Multimodal.decodeMeta(pages, "doc_id", "payload")
+      graft.operators.Multimodal
+        .resizePlan(meta, "doc_id", 256, 256)
+        .withColumn("scale", round(col("scale"), 6))
+        .orderBy("doc_id")
+    })
   )
 
   /** DuckDB-runnable oracles; keys must alias every computed column to the
@@ -1269,6 +1286,41 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | upper(substr(hex(encode(text)), 1, 8)) AS magic
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Byte-exact engine-free recomputation of the stub decoder's FNV-1a
+    // dimension derivation (functions/Media.scala MediaKernels.decode):
+    // h = fnv1a64(first 256 payload bytes), width = 64 + h mod 1024,
+    // height = 64 + (h >>> 16) mod 1024 — mod-2^64 arithmetic in HUGEINT,
+    // bytes pulled from the hex expansion of the jpeg-magic-prefixed
+    // payload. The resize math then mirrors Multimodal.resizePlan with the
+    // same IEEE association (scale computed first, then width*scale).
+    "q_mm_resize" ->
+      """WITH RECURSIVE src AS (
+        |  SELECT doc_id,
+        |    'ffd8ffe0' || substr(lower(hex(encode(text))), 1, 504) AS hx,
+        |    least(4 + octet_length(encode(text)), 256) AS n
+        |  FROM documents),
+        |fnv(doc_id, i, n, hx, h) AS (
+        |  SELECT doc_id, 0, n, hx, 14695981039346656037::HUGEINT FROM src
+        |  UNION ALL
+        |  SELECT doc_id, i + 1, n, hx,
+        |    (xor(h, CAST((strpos('0123456789abcdef', substr(hx, 2*i + 1, 1)) - 1) * 16
+        |                 + strpos('0123456789abcdef', substr(hx, 2*i + 2, 1)) - 1 AS HUGEINT))
+        |     * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+        |  FROM fnv WHERE i < n),
+        |dims AS (
+        |  SELECT doc_id,
+        |    CAST(64 + h % 1024 AS INT) AS width,
+        |    CAST(64 + (h // 65536) % 1024 AS INT) AS height
+        |  FROM fnv WHERE i = n),
+        |scaled AS (
+        |  SELECT doc_id, width, height,
+        |    least(256.0 / width, 256.0 / height, 1.0) AS scale
+        |  FROM dims)
+        |SELECT doc_id, width, height,
+        |  CAST(greatest(floor(width * scale), 1) AS INT) AS out_w,
+        |  CAST(greatest(floor(height * scale), 1) AS INT) AS out_h,
+        |  round(scale, 6) AS scale
+        |FROM scaled ORDER BY doc_id""".stripMargin,
     // Fully SYMBOLIC textbook Jaro-Winkler — an engine-independent
     // reimplementation of the greedy-matching algorithm as a recursive CTE
     // (NOT duckdb's jaro_winkler_similarity, which deviates from the

@@ -48,6 +48,38 @@ object Multimodal {
       )
       .withColumn("frame_idx", (col("ts_ms") / everyMs).cast("long"))
 
+  /** Aspect-preserving resize plan for image payloads: emits
+    * (id, width, height, out_w, out_h, scale) rows fitting each decoded
+    * image into a `maxW` x `maxH` box without upscaling — the real pixel
+    * resampler consumes this plan per partition (same contract as
+    * `frameSamplePlan`: the geometry math is the product path; only the
+    * pixel kernel is external). Non-images and zero-dimension payloads are
+    * excluded — there is nothing to resample.
+    */
+  def resizePlan(meta: DataFrame, idCol: String, maxW: Int = 256, maxH: Int = 256): DataFrame =
+    meta
+      .where(col("meta.kind") === "image" && col("meta.width") > 0 && col("meta.height") > 0)
+      .select(
+        col(idCol),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"),
+        least(
+          lit(maxW.toDouble) / col("meta.width"),
+          lit(maxH.toDouble) / col("meta.height"),
+          lit(1.0)
+        ).as("scale")
+      )
+      .select(
+        col(idCol),
+        col("width"),
+        col("height"),
+        // floor + clamp-to-1: a 10000x1 banner scaled into a 256-box must
+        // not round its short side to zero pixels
+        greatest(floor(col("width") * col("scale")), lit(1L)).cast("int").as("out_w"),
+        greatest(floor(col("height") * col("scale")), lit(1L)).cast("int").as("out_h"),
+        col("scale")
+      )
+
   /** STUB feature extraction: fixed-width deterministic feature vector per
     * payload (a real model runs here, batch-shaped exactly the same).
     */

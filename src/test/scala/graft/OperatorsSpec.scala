@@ -354,4 +354,38 @@ class OperatorsSpec extends SparkSpec {
     val f = Multimodal.featurizeStub(media, "id", "payload", dim = 8).collect()
     assert(f.forall(_.getSeq[Double](1).size == 8))
   }
+
+  test("multimodal: resizePlan fits images into the box, never upscales, clamps to 1px") {
+    import spark.implicits._
+    val jpegA = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) ++ "a".getBytes
+    val jpegB = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) ++ "bb".getBytes
+    val mp4 = Array[Byte](0x66, 0x74, 0x79, 0x70) ++ "moov".getBytes
+    val media = Seq((1L, jpegA), (2L, jpegB), (3L, mp4)).toDF("id", "payload")
+    val meta = Multimodal.decodeMeta(media, "id", "payload")
+    val out = Multimodal.resizePlan(meta, "id", 100, 100)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // non-images are excluded from the resize plan
+    assert(!out.contains(3L) && out.contains(1L) && out.contains(2L))
+    out.values.foreach { r =>
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      val s = r.getAs[Double]("scale")
+      assert(ow <= 100 && oh <= 100, s"($ow,$oh) must fit the 100-box")
+      assert(ow >= 1 && oh >= 1)
+      assert(s <= 1.0, "never upscale")
+      // the long side fills the box (stub dims are always > 100 here)
+      assert(math.max(ow, oh) >= 99, s"long side $ow x $oh should fill the box")
+      assert(s == math.min(1.0, math.min(100.0 / w, 100.0 / h)))
+    }
+    // upscale guard: a tiny image passes through at scale 1 unchanged
+    val tiny = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(9L, org.apache.spark.sql.Row(5L, "ffd8", "image", 3, 7, 0L))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("meta", graft.functions.MediaKernels.metaType)
+      ))
+    )
+    val t9 = Multimodal.resizePlan(tiny, "id", 100, 100).collect()(0)
+    assert(t9.getAs[Int]("out_w") == 3 && t9.getAs[Int]("out_h") == 7 && t9.getAs[Double]("scale") == 1.0)
+  }
 }
