@@ -123,13 +123,35 @@ object ConnectedComponents {
     * volumes. Hence `compact` is an explicit opt-in on `run`, not a
     * default.
     */
-  private def compactIds(edges: DataFrame, snapshot: DataFrame => DataFrame): DataFrame = {
+  private def compactIds(
+      edges: DataFrame,
+      snapshot: DataFrame => DataFrame,
+      edgeCountHint: Long = 0L
+  ): DataFrame = {
     val nodes = edges
       .select(col("src").as("url"))
       .unionAll(edges.select(col("dst").as("url")))
       .distinct()
+    // Mid-run inputs are iteration checkpoints whose LogicalRDD leaves
+    // PROPAGATE the pre-checkpoint plan estimate — after k star rounds
+    // (4 self-references each) that estimate is multiplicatively inflated
+    // garbage (measured: 6.6 TB for a 20 MB frame -> 50k range partitions
+    // -> a 93 s seq pass for a 5 s job). The loop knows |E| exactly from
+    // the convergence signature, so size the seq's range exchange from it:
+    // |V| <= 2|E|, ~96 bytes per url row.
+    val rangeParts =
+      if (edgeCountHint <= 0L) 0
+      else {
+        val bytes = 2L * edgeCountHint * 96L
+        math.max(
+          edges.sparkSession.sparkContext.defaultParallelism,
+          (bytes / (128L << 20) + 1L).min(1000000L).toInt
+        )
+      }
     snapshot(
-      graft.util.DeterministicSeq.assign(nodes, "url").select(col("url"), col("seq").as("nid"))
+      graft.util.DeterministicSeq
+        .assign(nodes, "url", rangeParts)
+        .select(col("url"), col("seq").as("nid"))
     )
   }
 
@@ -166,30 +188,65 @@ object ConnectedComponents {
     * executor loss pass their own non-rotating durable hook (e.g.
     * Checkpoints.reliable(idsDir)).
     */
+  /** `compactAfter`: mid-run auto-compaction threshold. Upfront compaction
+    * (`compact = true`) loses below ~10 iterations (its ~5 fixed shuffles
+    * outweigh the thinner rounds; see `compactIds`), and the iteration
+    * count is unknowable upfront — so instead of guessing, the loop
+    * switches the LIVE edge set to dense long ids the moment it has run
+    * `compactAfter` rounds without converging: shallow graphs (typical ER
+    * blocking output converges in 3-5 rounds) never pay the fixed cost,
+    * while deep chains — the only regime still iterating at that point,
+    * and exactly the regime where remaining-rounds x edge-bytes dominates —
+    * run their many remaining rounds on 8-byte ids. The star rounds
+    * preserve the node set, and nids are assigned ordered by url over that
+    * same set, so numeric min stays lexicographic-min url and the final
+    * map-back contract is identical to upfront compaction.
+    */
   def run(
       edgesIn: DataFrame,
       maxIterations: Int = 20,
       snapshot: DataFrame => DataFrame = graft.util.Checkpoints.serializedLocal,
       compact: Boolean = false,
-      idSnapshot: Option[DataFrame => DataFrame] = None
+      idSnapshot: Option[DataFrame => DataFrame] = None,
+      compactAfter: Int = 8
   ): DataFrame = {
     val edges0 = edgesIn
       .select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
-    val ids =
+    var ids =
       if (compact)
         Some(compactIds(edges0, idSnapshot.getOrElse(graft.util.Checkpoints.serializedLocal)))
       else None
     var (edges, sig) =
       snapshotWithSignature(ids.fold(edges0)(mapEdges(edges0, _)).distinct(), snapshot)
+    val ccLog = sys.env.contains("GRAFT_CC_LOG")
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
+      if (iter == compactAfter && ids.isEmpty) {
+        val tc0 = if (ccLog) System.nanoTime() else 0L
+        ids = Some(
+          compactIds(edges, idSnapshot.getOrElse(graft.util.Checkpoints.serializedLocal), sig._1)
+        )
+        if (ccLog) println(f"[cc] compactIds ${(System.nanoTime() - tc0) / 1e9}%.2f s")
+        val tm0 = if (ccLog) System.nanoTime() else 0L
+        val (remapped, remappedSig) = snapshotWithSignature(mapEdges(edges, ids.get), snapshot)
+        if (ccLog) println(f"[cc] remap ${(System.nanoTime() - tm0) / 1e9}%.2f s")
+        edges = remapped
+        // the signature hashes id VALUES, so the url-space sig is not
+        // comparable to the nid-space one; reseed convergence from the
+        // remapped set (costs nothing: the next round's sig compares to it)
+        sig = remappedSig
+        if (ccLog) println(s"[cc] iter=$iter compacted: |E|=${sig._1}")
+      }
+      val t0 = if (ccLog) System.nanoTime() else 0L
       val (next, nextSig) = snapshotWithSignature(smallStar(largeStar(edges)), snapshot)
       converged = nextSig == sig
       sig = nextSig
       edges = next
       iter += 1
+      if (ccLog)
+        println(f"[cc] iter=$iter |E|=${sig._1} converged=$converged ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     // converged edge set is a star forest: (member -> root)
     val assign = starsToAssignments(edges)

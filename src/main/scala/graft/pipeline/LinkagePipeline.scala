@@ -42,15 +42,17 @@ object LinkagePipeline {
         * resumable `runResumable` snapshots.
         */
       checkpointDir: Option[String] = None,
-      /** Compact url node ids to dense longs before the CC iterations
+      /** Compact url node ids to dense longs BEFORE the CC iterations
         * (ConnectedComponents.run `compact`): ~5 extra shuffles up front to
         * thin every iteration's 2 full-edge-set shuffles from ~60-byte urls
         * to 8-byte longs. Wins when iterations x edge bytes dominate
         * (long-chain graphs at TB edge volumes); LOSES at sandbox scale
         * where fixed per-stage overheads dominate (measured sf0.1 chain
-        * graph: 6.6s -> 11.3s), hence an explicit opt-in (`--cc-compact`)
-        * rather than a default or an auto rule that could only be
-        * validated at cluster scale.
+        * graph: 6.6s -> 11.3s), hence an explicit opt-in (`--cc-compact`).
+        * Independently of this flag, deep graphs that are still iterating
+        * after `compactAfter` (default 8) rounds auto-compact MID-RUN —
+        * shallow graphs (the typical ER case, 3-5 rounds) never pay the
+        * fixed cost, so the auto rule is safe as a default.
         */
       ccCompactIds: Boolean = false
   )

@@ -51,8 +51,17 @@ object DeterministicSeq {
         val planBytes = Some(df.queryExecution.optimizedPlan.stats.sizeInBytes).filter(plausible)
         // the plan estimate keeps filter/aggregate cardinality reduction;
         // the leaf max caps its join multiplication — min of the two
-        // dominates either alone
-        val bytes = (planBytes.toSeq ++ (if (leafBytes.nonEmpty) Seq(leafBytes.max) else Nil)).minOption
+        // dominates either alone. But every plan estimate is PROPAGATED
+        // from the leaves: if no leaf reports an honest size (checkpointed
+        // inputs carry the ~8-EB defaultSizeInBytes sentinel), a
+        // "plausible" plan stat is sentinel arithmetic that happened to
+        // land under the cutoff — measured: a 20 MB distinct-over-
+        // checkpointed-edges frame estimated 6.6 TB -> 50k range
+        // partitions -> a 69 s seq pass for a 5 s frame. No honest leaf =>
+        // no honest estimate => fallback width.
+        val bytes =
+          if (leafBytes.isEmpty) None
+          else (planBytes.toSeq :+ leafBytes.max).minOption
         bytes match {
           case None => fallback
           case Some(b) =>
@@ -60,10 +69,15 @@ object DeterministicSeq {
             math.max(spark.sparkContext.defaultParallelism, byBytes)
         }
       }
+    val dbg = sys.env.contains("GRAFT_CC_LOG")
+    val t0 = if (dbg) System.nanoTime() else 0L
     val ranged = Checkpoints.serializedLocal(
       df.repartitionByRange(nParts, col(orderCol)).withColumn("_pid", spark_partition_id())
     )
+    if (dbg) println(f"[seq] nParts=$nParts ranged ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val t1 = if (dbg) System.nanoTime() else 0L
     val counts = ranged.groupBy("_pid").agg(count(lit(1)).as("_n")).orderBy("_pid").collect()
+    if (dbg) println(f"[seq] counts ${(System.nanoTime() - t1) / 1e9}%.2f s")
     var acc = 0L
     val offsets = counts.map { r =>
       val o = (r.getInt(0), acc)

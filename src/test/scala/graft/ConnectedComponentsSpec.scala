@@ -93,6 +93,25 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(plain == rotated)
   }
 
+  test("mid-run auto-compaction on a deep chain matches the uncompacted run") {
+    import spark.implicits._
+    // a 700-node chain needs ~10 star rounds — past compactAfter = 3, so
+    // the loop provably switches the live edge set to long nids mid-run;
+    // zero-padded urls keep lexicographic order == numeric order for the
+    // brute-force oracle comparison
+    val chain = (1 until 700).map(i => (f"c${i - 1}%04d", f"c$i%04d"))
+    val df = chain.toDF("src", "dst")
+    val auto = ConnectedComponents
+      .run(df, compactAfter = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val never = ConnectedComponents
+      .run(df, compactAfter = Int.MaxValue)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(auto == never)
+    assert(auto.forall(_._2 == "c0000"), "every chain node must link to the min url")
+    assert(auto.size == 700)
+  }
+
   test("result is invariant under repartitioning") {
     import spark.implicits._
     val edges = (1 to 60).map(i => (s"v${i % 23}", s"v${(i * 7) % 23}")).filter(e => e._1 != e._2)
