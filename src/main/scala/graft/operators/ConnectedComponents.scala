@@ -121,7 +121,8 @@ object ConnectedComponents {
     * large |E| (sf0.1 chain graph: 6.6s -> 11.3s), and wins when
     * iterations x edge bytes dominate — long-chain graphs at TB edge
     * volumes. Hence `compact` is an explicit opt-in on `run`, not a
-    * default.
+    * default. Callers pass the exact |E| (both call sites have it from the
+    * convergence signature); sizing policy lives in DeterministicSeq.
     */
   private def compactIds(
       edges: DataFrame,
@@ -132,25 +133,17 @@ object ConnectedComponents {
       .select(col("src").as("url"))
       .unionAll(edges.select(col("dst").as("url")))
       .distinct()
-    // Mid-run inputs are iteration checkpoints whose LogicalRDD leaves
+    // The inputs here are iteration checkpoints whose LogicalRDD leaves
     // PROPAGATE the pre-checkpoint plan estimate — after k star rounds
     // (4 self-references each) that estimate is multiplicatively inflated
     // garbage (measured: 6.6 TB for a 20 MB frame -> 50k range partitions
     // -> a 93 s seq pass for a 5 s job). The loop knows |E| exactly from
-    // the convergence signature, so size the seq's range exchange from it:
-    // |V| <= 2|E|, ~96 bytes per url row.
-    val rangeParts =
-      if (edgeCountHint <= 0L) 0
-      else {
-        val bytes = 2L * edgeCountHint * 96L
-        math.max(
-          edges.sparkSession.sparkContext.defaultParallelism,
-          (bytes / (128L << 20) + 1L).min(1000000L).toInt
-        )
-      }
+    // the convergence signature, so hand the seq pass the true size
+    // (|V| <= 2|E|, ~96 bytes per url row) and let assign() own the
+    // bytes->partitions policy.
     snapshot(
       graft.util.DeterministicSeq
-        .assign(nodes, "url", rangeParts)
+        .assign(nodes, "url", bytesHint = 2L * math.max(edgeCountHint, 0L) * 96L)
         .select(col("url"), col("seq").as("nid"))
     )
   }
@@ -214,9 +207,23 @@ object ConnectedComponents {
       .select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
     var ids =
-      if (compact)
-        Some(compactIds(edges0, idSnapshot.getOrElse(graft.util.Checkpoints.serializedLocal)))
-      else None
+      if (compact) {
+        // One exact count (a single action over the input, no checkpoint)
+        // feeds the seq pass its true size — upfront inputs, like mid-run
+        // ones, can lack honest plan stats (cached/checkpointed leaves
+        // carry the defaultSizeInBytes sentinel). Mapping to nids BEFORE
+        // the first distinct keeps that first full-edge-set shuffle in
+        // 8-byte id space (measured: unifying upfront with the mid-run
+        // block instead costs an extra url-space checkpoint, 36 -> 52 s
+        // on the 500k chain).
+        Some(
+          compactIds(
+            edges0,
+            idSnapshot.getOrElse(graft.util.Checkpoints.serializedLocal),
+            edges0.count()
+          )
+        )
+      } else None
     var (edges, sig) =
       snapshotWithSignature(ids.fold(edges0)(mapEdges(edges0, _)).distinct(), snapshot)
     val ccLog = sys.env.contains("GRAFT_CC_LOG")

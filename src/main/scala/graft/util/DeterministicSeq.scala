@@ -26,9 +26,27 @@ import org.apache.spark.sql.functions._
   */
 object DeterministicSeq {
 
-  def assign(df: DataFrame, orderCol: String, rangePartitions: Int = 0): DataFrame = {
+  /** `bytesHint`: caller-known input size in bytes. Iteration-checkpoint
+    * inputs defeat the stats heuristic below — `LogicalRDD` PROPAGATES the
+    * pre-checkpoint plan estimate, which after k self-joining rounds is
+    * multiplicatively inflated yet can still read as "plausible" (measured:
+    * 6.6 TB for a 20 MB frame -> 50k range partitions -> a 93 s seq pass
+    * for a 5 s job). A caller that knows its cardinality passes the exact
+    * bytes instead; the bytes->partitions policy (128 MB target, 1M cap,
+    * parallelism floor) lives only here.
+    */
+  def assign(
+      df: DataFrame,
+      orderCol: String,
+      rangePartitions: Int = 0,
+      bytesHint: Long = 0L
+  ): DataFrame = {
+    def byBytes(b: BigInt): Int =
+      (b / BigInt(128L * 1024 * 1024)).min(BigInt(1000000)).toInt + 1
     val nParts =
       if (rangePartitions > 0) rangePartitions
+      else if (bytesHint > 0L)
+        math.max(df.sparkSession.sparkContext.defaultParallelism, byBytes(BigInt(bytesHint)))
       else {
         // size from the largest PLAUSIBLE LEAF, not the whole plan: join
         // output estimates multiply (measured: the 3-way prediction-merge
@@ -69,7 +87,7 @@ object DeterministicSeq {
             math.max(spark.sparkContext.defaultParallelism, byBytes)
         }
       }
-    val dbg = sys.env.contains("GRAFT_CC_LOG")
+    val dbg = sys.env.contains("GRAFT_SEQ_LOG")
     val t0 = if (dbg) System.nanoTime() else 0L
     val ranged = Checkpoints.serializedLocal(
       df.repartitionByRange(nParts, col(orderCol)).withColumn("_pid", spark_partition_id())
