@@ -63,6 +63,22 @@ class PipelineSpec extends SparkSpec {
     assert(seqs(16) == seqs(0))
   }
 
+  test("seq is identical across bytesHint values (hint sizes, never reorders)") {
+    val df = pages.select("url", "text")
+    def viaHint(bytes: Long) = graft.util.DeterministicSeq
+      .assign(df, "url", bytesHint = bytes)
+      .select("url", "seq")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSet
+    // 1 byte -> parallelism-floor width; 60 GiB -> the 128 MB policy asks
+    // for ~481 ranges (mostly empty here) — same dense order either way,
+    // and both must match the no-hint stats path
+    val tiny = viaHint(1L)
+    assert(tiny == viaHint(60L * 1024 * 1024 * 1024))
+    assert(tiny == viaHint(0L))
+  }
+
   test("per-key threshold table overrides the constant threshold") {
     import spark.implicits._
     import graft.operators.PairScorer
