@@ -45,13 +45,18 @@ class StreamingSpec extends SparkSpec {
   test("dedup with an idle-state TTL behaves identically within the horizon") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    // NOTE: processAllAvailable never idles under ProcessingTimeTimeout
-    // (the engine keeps scheduling timeout-check batches), so this test
-    // drives the query with AvailableNow runs against a checkpoint — the
-    // state carries across restarts, which doubles as a resume check.
+    // NOTE: under ProcessingTimeTimeout the engine keeps scheduling
+    // timeout-check batches, so NEITHER processAllAvailable NOR
+    // Trigger.AvailableNow ever terminates the query (measured: an
+    // awaitTermination(60s) here times out, the hung run is killed by the
+    // next start()'s "stopping existing query" path mid-state-commit, and
+    // the survivor NPEs at session teardown — a minute of hidden hang plus
+    // ERROR noise per suite run). So each run polls the parquet sink for
+    // the expected row count and then stops the query itself; the
+    // checkpoint still carries state across the restart (the resume check).
     val base = java.nio.file.Files.createTempDirectory("graft-ttl").toString
     val input = MemoryStream[PageKeyed]
-    def runOnce(): Unit = {
+    def runOnce(expectRows: Long): Unit = {
       val q = StreamingDedup
         .dedupByKey(input.toDS(), idleTimeout = Some("1 hour"))
         .writeStream
@@ -61,8 +66,13 @@ class StreamingSpec extends SparkSpec {
         .outputMode("append")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(60000)
-      ()
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def sinkRows(): Long =
+        scala.util.Try(spark.read.parquet(s"$base/out").count()).getOrElse(0L)
+      while (sinkRows() < expectRows && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      q.stop()
+      assert(sinkRows() >= expectRows, s"sink never reached $expectRows rows")
     }
     // a TTL far beyond the test's runtime: same first-seen-wins semantics,
     // but the state store is bounded by keys idle < TTL instead of all
@@ -71,7 +81,7 @@ class StreamingSpec extends SparkSpec {
       PageKeyed("k1", "url-b", new Timestamp(2000)),
       PageKeyed("k1", "url-a", new Timestamp(1000))
     )
-    runOnce()
+    runOnce(expectRows = 2)
     val first = spark.read.parquet(s"$base/out").as[Assignment].collect()
     assert(first.length == 2)
     assert(first.forall(_.canonical == "url-a"))
@@ -79,7 +89,7 @@ class StreamingSpec extends SparkSpec {
     // second run resumes from the checkpoint: exactly one new row, linked
     // to the canonical REMEMBERED in TTL'd state across the restart
     input.addData(PageKeyed("k1", "url-c", new Timestamp(3000)))
-    runOnce()
+    runOnce(expectRows = 3)
     val second = spark.read.parquet(s"$base/out").as[Assignment].collect()
     assert(second.length == 3)
     assert(second.toSet.contains(Assignment("url-c", "k1", "url-a", is_first = false)))
@@ -123,21 +133,25 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Timestamp, String)]
     val pages = input.toDF().toDF("url", "warc_ts", "text")
+    input.addData(
+      ("http://a.com/x", new Timestamp(60000), "hello world text"),
+      ("https://www.a.com/x", new Timestamp(61000), "hello world text"),
+      ("http://b.com/y", new Timestamp(62000), "other text entirely")
+    )
+    // AvailableNow + awaitTermination, NOT processAllAvailable + stop: the
+    // watermarked complete-mode agg schedules a follow-up no-data batch
+    // (watermark advance) that stop() would interrupt mid-planning — the
+    // engine logs a scary-but-benign INTERNAL_ERROR NPE on every suite run
     val q = StreamingDedup
       .blockSizeCounts(pages, window = "1 minute", watermark = "1 minute")
       .writeStream
       .format("memory")
       .queryName("block_counts")
       .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    input.addData(
-      ("http://a.com/x", new Timestamp(60000), "hello world text"),
-      ("https://www.a.com/x", new Timestamp(61000), "hello world text"),
-      ("http://b.com/y", new Timestamp(62000), "other text entirely")
-    )
-    q.processAllAvailable()
+    assert(q.awaitTermination(60000), "AvailableNow query must self-terminate")
     val rows = spark.table("block_counts").collect()
-    q.stop()
     // block key = top 16 simhash bits: the two identical-text pages share
     // a content block (count 2), the unrelated text lands elsewhere
     val counts = rows.map(r => r.getAs[Long]("block_key") -> r.getAs[Long]("n")).toMap
