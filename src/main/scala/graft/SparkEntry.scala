@@ -589,6 +589,22 @@ object SparkEntry {
         .select(col("urlA"), col("urlB"))
         .orderBy("urlA", "urlB")
     }),
+    "q_dd_line_dedup" -> ((s, dir) => {
+      // C4/CCNet-style line-level boilerplate removal: lines = deterministic
+      // 10-word chunks (the synthetic corpus has no newlines); any line
+      // appearing in more than one document is dropped from ALL of them,
+      // order of the survivors preserved (Dedup.lineDedup — keyed on the
+      // 8-byte line hash, no broadcast, no cartesian)
+      val words = split(col("text"), " ")
+      val lines = transform(
+        sequence(lit(0), ceil(size(words) / lit(10.0)).cast("int") - 1),
+        i => array_join(slice(words, i * lit(10) + 1, lit(10)), " ")
+      )
+      val docs = t(s, dir, "documents").select(col("doc_id"), lines.as("lines"))
+      graft.operators.Dedup
+        .lineDedup(docs, "doc_id", "lines", maxDocFreq = 1)
+        .orderBy("doc_id")
+    }),
     "q_dd_simhash" -> ((s, dir) =>
       // SimHash fingerprint + hamming-near pairs on adjacent ids (rows-only)
       t(s, dir, "documents")
@@ -1232,6 +1248,19 @@ object SparkEntry {
         | round(len(list_intersect(a.grams, b.grams))::DOUBLE /
         |   len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""".stripMargin,
+    "q_dd_line_dedup" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    list_transform(range(CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT)),
+        |      i -> array_to_string(list_slice(string_split(text, ' '), i*10 + 1, i*10 + 10), ' ')) AS lines
+        |  FROM documents),
+        |expl AS (
+        |  SELECT doc_id, unnest(lines) AS line, unnest(range(1, len(lines) + 1)) AS ord FROM lined),
+        |freq AS (
+        |  SELECT line FROM (SELECT DISTINCT line, doc_id FROM expl) GROUP BY line HAVING count(*) <= 1),
+        |kept AS (SELECT e.doc_id, e.ord, e.line FROM expl e JOIN freq f USING (line))
+        |SELECT l.doc_id, coalesce(string_agg(k.line, ' ' ORDER BY k.ord), '') AS text_clean
+        |FROM lined l LEFT JOIN kept k USING (doc_id) GROUP BY l.doc_id ORDER BY doc_id""".stripMargin,
     "q_ann_topk" ->
       """SELECT qid, rk, neighbor FROM (
         |  SELECT q.vec_id AS qid, e.vec_id AS neighbor,

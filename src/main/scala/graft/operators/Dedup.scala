@@ -331,4 +331,56 @@ object Dedup {
       embeddingNearDup(e, idCol, vecCol, threshold, plan.bits, plan.tables, maxBucketRows = 4 * targetBucketRows)
     (out, () => { e.unpersist(blocking = false); () })
   }
+
+  /** Line-level (C4/CCNet-style) corpus dedup: drop every line whose
+    * document frequency exceeds `maxDocFreq`, preserving the order of the
+    * surviving lines per document. Input: (`idCol`, `linesCol:
+    * array<string>`) — the caller decides what a "line" is (newline split,
+    * sentence split, fixed word chunks); output: (`idCol`, `text_clean`),
+    * one row per input document (all-boilerplate docs survive with "").
+    *
+    * Scale shape (no driver state, no broadcast, no cartesian):
+    * posexplode is row-local; doc frequency is distinct(line-hash, id) +
+    * one map-side-combinable count per hash; the filter is a left-semi
+    * join of the exploded lines against surviving hashes — all keyed on
+    * the 8-byte xxhash64 of the line, so shuffles never carry line text
+    * on the build side. Reassembly is one groupBy(id) with an
+    * array_sort(collect_list(struct(pos, line))) — per-doc state bounded
+    * by document length. The only approximation vs per-string grouping is
+    * a 2^-64 xxhash64 collision.
+    */
+  def lineDedup(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      linesCol: String = "lines",
+      maxDocFreq: Long = 1L,
+      sep: String = " "
+  ): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(col(linesCol)).as(Seq("pos", "line")))
+      .withColumn("h", xxhash64(col("line")))
+    val keep = lines
+      .select(col("h"), col(idCol))
+      .distinct() // a line repeated WITHIN one doc counts once toward df
+      .groupBy("h")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDocFreq)
+      .select("h")
+    val rebuilt = lines
+      .join(keep, Seq("h"), "left_semi")
+      .groupBy(idCol)
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")
+          ),
+          sep
+        ).as("text_clean")
+      )
+    docs
+      .select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

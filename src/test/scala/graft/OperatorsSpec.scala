@@ -24,6 +24,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("canonical") == 1L))
   }
 
+  test("line dedup drops cross-doc boilerplate, keeps order, keeps emptied docs") {
+    import spark.implicits._
+    val lined = Seq(
+      (1L, Seq("unique one", "COOKIE BANNER", "unique two")),
+      (2L, Seq("COOKIE BANNER", "other text", "COOKIE BANNER")), // in-doc repeat counts once
+      (3L, Seq("COOKIE BANNER")), // emptied entirely, must survive as ""
+      (4L, Seq.empty[String]) // no lines at all
+    ).toDF("doc_id", "lines")
+    val out = Dedup
+      .lineDedup(lined, maxDocFreq = 1)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(out(1L) == "unique one unique two", "order of survivors preserved")
+    assert(out(2L) == "other text")
+    assert(out(3L) == "")
+    assert(out(4L) == "")
+    assert(out.size == 4)
+    // df threshold honored: at maxDocFreq = 3 the banner (df=3) survives
+    val loose = Dedup
+      .lineDedup(lined, maxDocFreq = 3)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(loose(2L) == "COOKIE BANNER other text COOKIE BANNER")
+  }
+
   test("minhash pairs find near-duplicates") {
     val pairs = Dedup
       .minHashPairs(docs)
