@@ -57,7 +57,9 @@ class PlanAuditSpec extends SparkSpec {
     // the round-2 verdict's scale-killer findings: these two battery queries
     // used all-pairs joins; they must stay on bucketed/keyed plans
     val sf = "/root/testdata/sf0.001"
-    for (name <- Seq("q_dd_embedding_neardup", "q_a7_pairwise_eval", "q_er_pipeline_sym")) {
+    for (
+      name <- Seq("q_dd_embedding_neardup", "q_a7_pairwise_eval", "q_er_pipeline_sym", "q_dd_line_dedup")
+    ) {
       val q = graft.SparkEntry.queries(name)(spark, sf)
       q.collect() // finalize AQE before reading the executed plan
       val plan = q.queryExecution.executedPlan.toString
