@@ -246,7 +246,7 @@ class OperatorsSpec extends SparkSpec {
       val d = dirs(i % 6)
       (i.toLong, d.map(x => (x + 0.05 * rng.nextGaussian()).toFloat))
     }.toDF("vec_id", "embedding")
-    // the decimal(38,18) cell sums make the per-cell mean exact and
+    // the chunked-long fixed-point cell sums make the per-cell mean exact and
     // order-independent: 1 partition, 7 partitions, 32 hash-scattered
     // partitions and a reversed row order must all produce the same BITS
     // (a resumed/replayed trained-IVF job then assigns boundary vectors
