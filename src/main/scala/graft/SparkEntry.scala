@@ -560,6 +560,96 @@ object SparkEntry {
         .select("url", "cluster_id", "status", "seq")
         .orderBy("url")
     }),
+    "q_inc_link" -> ((s, dir) => {
+      // INCREMENTAL linkage, oracle-checked against the full-union rerun:
+      // base = doc_id % 4 != 0 is linked normally, the delta (% 4 == 0)
+      // then links through operators/IncrementalLinkage (hot-block index
+      // prune -> candidatePairs skipping old-old -> contracted CC ->
+      // merge-map relabel). The symbolic config makes the equivalence
+      // EXACT (contract conditions 1-3: per-doc keys, salt-free cap,
+      // corpus-independent lev-ratio scorer), so the DuckDB oracle
+      // recomputes the UNION closure engine-free — the oracle checks the
+      // incremental == rerun theorem itself, not a replay of the
+      // incremental steps.
+      val pages = t(s, dir, "documents").select(
+        col("doc_id").as("url"),
+        substring(col("text"), 1, 60).as("text"),
+        col("lang"),
+        col("n_chars")
+      )
+      def keysOf(p: org.apache.spark.sql.DataFrame) =
+        p.select(
+          col("url"),
+          concat_ws("|", lit("b"), col("lang"), floor(col("n_chars") / 5).cast("long")).as("key")
+        ).unionAll(
+          p.select(
+            col("url"),
+            concat_ws("|", lit("t"), array_join(slice(split(col("text"), " "), 1, 2), " ")).as("key")
+          )
+        )
+      val texts = pages.select("url", "text")
+      def levAccept(pairs: org.apache.spark.sql.DataFrame) = pairs
+        .join(texts.select(col("url").as("urlA"), col("text").as("t_a")), "urlA")
+        .join(texts.select(col("url").as("urlB"), col("text").as("t_b")), "urlB")
+        .select(col("urlA"), col("urlB"), Normalize.levRatio(col("t_a"), col("t_b")).as("score"))
+        .where(col("score") >= 0.4)
+
+      val base = pages.where(pmod(col("url"), lit(4)) =!= 0)
+      val delta = pages.where(pmod(col("url"), lit(4)) === 0)
+
+      // ---- base run (plays the already-committed production run) ----
+      val baseKeys = keysOf(base)
+      val baseAcc = levAccept(graft.operators.Blocker.pairs(baseKeys, maxBlockSize = 100000))
+      val baseClusters = graft.operators.ConnectedComponents.run(
+        baseAcc.select(col("urlA").as("src"), col("urlB").as("dst"))
+      )
+      val baseAssign = base
+        .select("url")
+        .join(baseClusters, Seq("url"), "left")
+        .select(
+          col("url"),
+          coalesce(col("cluster_id"), col("url")).as("cluster_id"),
+          col("cluster_id").isNotNull.as("base_linked")
+        )
+
+      // ---- incremental step ----
+      val deltaKeys = keysOf(delta)
+      val oldHot = baseKeys.join(deltaKeys.select("key").distinct(), Seq("key"), "left_semi")
+      val accInc = levAccept(
+        graft.operators.IncrementalLinkage.candidatePairs(deltaKeys, oldHot, maxBlockSize = 100000)
+      )
+      val cl = graft.operators.IncrementalLinkage
+        .contractAndCluster(accInc, baseAssign.select("url", "cluster_id"))
+      val touched = accInc
+        .select(col("urlA").as("url"))
+        .unionAll(accInc.select(col("urlB").as("url")))
+        .distinct()
+        .withColumn("touched", lit(true))
+      val oldOut = baseAssign
+        .join(
+          cl.mergeMap.withColumnRenamed("old_cluster_id", "cluster_id"),
+          Seq("cluster_id"),
+          "left"
+        )
+        .join(touched, Seq("url"), "left")
+        .select(
+          col("url"),
+          coalesce(col("new_cluster_id"), col("cluster_id")).as("cluster_id"),
+          when(col("base_linked") || col("touched").isNotNull, "linked").otherwise("nil").as("status")
+        )
+      val newOut = delta
+        .select("url")
+        .join(cl.assignments, Seq("url"), "left")
+        .select(
+          col("url"),
+          coalesce(col("cluster_id"), col("url")).as("cluster_id"),
+          when(col("cluster_id").isNotNull, "linked").otherwise("nil").as("status")
+        )
+      LinkagePipeline
+        .withDeterministicSeq(oldOut.unionByName(newOut), "url")
+        .select("url", "cluster_id", "status", "seq")
+        .orderBy("url")
+    }),
 
     // ---- dedup family (training-data ops) ----
     "q_dd_ngram_jaccard" -> ((s, dir) => {
@@ -1204,6 +1294,41 @@ object SparkEntry {
         |pairs AS (
         |  SELECT DISTINCT a.url AS url_a, b.url AS url_b
         |  FROM skeys a JOIN skeys b ON a.key = b.key AND a.url < b.url),
+        |accepted AS (
+        |  SELECT url_a, url_b FROM pairs
+        |  JOIN pages pa ON pa.url = url_a JOIN pages pb ON pb.url = url_b
+        |  WHERE (CASE WHEN greatest(length(pa.text), length(pb.text)) = 0 THEN 1.0
+        |         ELSE 1.0 - levenshtein(pa.text, pb.text)::DOUBLE /
+        |              greatest(length(pa.text), length(pb.text)) END) >= 0.4),
+        |e AS (
+        |  SELECT url_a AS src, url_b AS dst FROM accepted
+        |  UNION ALL SELECT url_b, url_a FROM accepted),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |assign AS (SELECT src AS url, min(dst) AS cluster_id FROM reach GROUP BY src)
+        |SELECT p.url, coalesce(a.cluster_id, p.url) AS cluster_id,
+        |       CASE WHEN a.cluster_id IS NOT NULL THEN 'linked' ELSE 'nil' END AS status,
+        |       row_number() OVER (ORDER BY p.url) AS seq
+        |FROM pages p LEFT JOIN assign a ON a.url = p.url
+        |ORDER BY p.url""".stripMargin,
+    // The oracle for the INCREMENTAL path is the FULL-UNION closure: under
+    // the contract's conditions (per-doc keys, salt-free cap, corpus-
+    // independent lev-ratio scorer) incremental == rerun EXACTLY, so
+    // recomputing the union run engine-free checks the equivalence theorem
+    // itself — not a replay of the incremental steps.
+    "q_inc_link" ->
+      """WITH RECURSIVE pages AS (
+        |  SELECT doc_id AS url, substr(text, 1, 60) AS text,
+        |         lang, n_chars FROM documents),
+        |keys AS (
+        |  SELECT url, concat_ws('|', 'b', lang, CAST(floor(n_chars / 5) AS BIGINT)) AS key FROM pages
+        |  UNION ALL
+        |  SELECT url, concat_ws('|', 't', array_to_string((string_split(text, ' '))[1:2], ' ')) AS key FROM pages),
+        |pairs AS (
+        |  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+        |  FROM keys a JOIN keys b ON a.key = b.key AND a.url < b.url),
         |accepted AS (
         |  SELECT url_a, url_b FROM pairs
         |  JOIN pages pa ON pa.url = url_a JOIN pages pb ON pb.url = url_b

@@ -140,7 +140,9 @@ object Blocker {
           // "#3") — PairScorer.threshold strips exactly this suffix
         ).otherwise(concat(col("key"), lit("#s#"), pmod(xxhash64(col("url")), nBuckets).cast("string")))
       )
-      .select("url", "key")
+      // drop, not select(url,key): extra caller columns (e.g. the
+      // incremental path's is_new side tag) ride through the salting
+      .drop("block_n")
   }
 
   def stats(keys: DataFrame, maxBlockSize: Int): BlockingStats = {

@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.LinkagePipeline
+
+/** Incremental linkage: link a DELTA of new pages against an already-run
+  * base corpus touching O(delta + affected blocks) work, never O(corpus).
+  *
+  * The reference's operational loop is exactly this shape — new tasks
+  * arrive against an existing prediction store and only the new work is
+  * computed (queue worker app/services/task_queue.py:56-75; the candidate
+  * cache's hit/miss split lion_linker/retrievers.py:43-89 keeps re-sent
+  * work from being recomputed). At 10^12 documents a daily delta re-run
+  * of the full pipeline is not viable; this operator is the batch analog
+  * of streaming/StreamingDedup.incrementalLink with FULL pipeline
+  * semantics (real scoring, transitive clustering, cluster merges).
+  *
+  * Correctness contract — the incremental result EQUALS a full rerun over
+  * (base ∪ delta), exactly, under two stated conditions:
+  *
+  *   1. Blocking keys are per-document (true for all shipped strategies:
+  *      canonical url / domain+tokens / MinHash bands depend only on the
+  *      row), so the union run's block membership is the union of the two
+  *      runs' memberships.
+  *   2. No block crosses `maxBlockSize` differently in base vs union:
+  *      `Blocker.saltOversized` sub-buckets depend on block SIZE, so a
+  *      block that grows past the cap (or re-buckets) between base and
+  *      union can change which OLD-OLD pairs exist. Old-old pairs inside
+  *      capped blocks are the documented salting recall loss either way;
+  *      outside them, old-old edges are identical to the base run's and
+  *      are fully represented by the base cluster ids.
+  *   3. The pair scorer is corpus-independent, OR old-old decisions at
+  *      base-time statistics are accepted as final. The production
+  *      scorer's TF-IDF leg depends on corpus-global document
+  *      frequencies: a rerun rescores OLD-OLD pairs under the union IDF,
+  *      while the incremental path freezes them at the base run's values
+  *      (that is what makes it O(delta)). Consequences, precisely: an old
+  *      url's reported `score` is max(base-time score, union-IDF-scored
+  *      new edges) rather than a full union-IDF max, and an old-old pair
+  *      whose score sits within the IDF drift of the threshold could be
+  *      accepted by one run and not the other. Delta-touching pairs are
+  *      ALWAYS scored at exact union statistics. This is the standard
+  *      incremental-maintenance trade (frozen statistics); periodic full
+  *      reruns re-converge, and corpus-independent scorers (e.g. a pure
+  *      edit-distance config) make the equivalence exact outright.
+  *
+  * Under those, equality is EXACT — including cluster LABELS:
+  *   - scores: the delta is scored with the union corpus's IDF,
+  *     reconstructed additively from the base IDF artifact plus the
+  *     delta's own stats ([[PairScorer.idfArtifact]] — document
+  *     frequencies are additive across disjoint corpora), so kernel
+  *     inputs are bit-identical to a rerun's;
+  *   - clusters: CC runs over CONTRACTED nodes — an old url is
+  *     represented by its base cluster_id. Because a base cluster_id is
+  *     the component-min url (ConnectedComponents.run contract), the
+  *     min-label of a merged component over contracted nodes equals the
+  *     min url over all its member urls: exactly the label a full rerun
+  *     would assign.
+  *
+  * Scale shape: the base appears only as (a) one map-side-pruned scan of
+  * the key INDEX (the delta's distinct keys are runtime-broadcast by AQE
+  * against it — the index never shuffles in full), (b) one text fetch for
+  * the old urls sharing a hot block (semi-join, again broadcast-pruned),
+  * and (c) one map-side remap pass over base predictions applying the
+  * (tiny, broadcast) merge map. Old-old pairs are never generated or
+  * scored — they are the base run's work.
+  */
+object IncrementalLinkage {
+
+  /** Persistable artifacts a base run leaves behind for incremental use:
+    * the blocking-key index (url, key — `runResumable` already commits
+    * this as its "keys" stage) and the additive IDF artifact. Both frames
+    * are parquet-able; `idfDf` is bounded by [[PairScorer.TfBuckets]].
+    */
+  final case class Index(keys: DataFrame, idfDf: DataFrame, idfDocs: Long)
+
+  /** Build index artifacts from a base corpus (one O(base) pass, done once
+    * — typically alongside the base run itself).
+    */
+  def buildIndex(base: DataFrame, cfg: LinkagePipeline.Config = LinkagePipeline.Config()): Index = {
+    val corpus = base.select("url", "text")
+    val (df, n) = PairScorer.idfArtifact(corpus)
+    Index(Blocker.allKeys(corpus, cfg.strategies), df, n)
+  }
+
+  /** Candidate pairs touching AT LEAST ONE new url: new-new pairs plus
+    * new-old pairs, with identical semantics to `Blocker.pairs` over the
+    * union key set (shared salting over union block sizes, canonical
+    * urlA < urlB orientation, min-key dedup) MINUS the old-old pairs.
+    * Inputs must be distinct (url, key) frames with disjoint url sets.
+    */
+  def candidatePairs(newKeys: DataFrame, oldKeys: DataFrame, maxBlockSize: Int = 1000): DataFrame = {
+    val tagged = newKeys
+      .select(col("url"), col("key"), lit(true).as("is_new"))
+      .unionByName(oldKeys.select(col("url"), col("key"), lit(false).as("is_new")))
+    // salt over the UNION's block sizes — the same sub-buckets a full
+    // rerun would compute (the is_new tag rides through)
+    val salted = Blocker.saltOversized(tagged, maxBlockSize)
+    val a = salted.where(col("is_new")).select(col("url").as("ua"), col("key"))
+    val b = salted.select(col("url").as("ub"), col("key"))
+    a.join(b, Seq("key"))
+      .where(col("ua") =!= col("ub"))
+      // canonical orientation; a new-new pair arrives once from each side
+      // and the min-key group-by dedups it, same as Blocker.pairs
+      .select(least(col("ua"), col("ub")).as("urlA"), greatest(col("ua"), col("ub")).as("urlB"), col("key"))
+      .groupBy("urlA", "urlB")
+      .agg(min("key").as("key"))
+  }
+
+  final case class Clusters(assignments: DataFrame, mergeMap: DataFrame)
+
+  /** Cluster accepted edges over CONTRACTED nodes: every old url is
+    * replaced by its base cluster id, new urls stand for themselves; CC
+    * then runs on a graph of size O(delta + affected clusters).
+    *
+    * Returns the component assignments over contracted nodes plus the
+    * merge map (old_cluster_id -> new_cluster_id) for base clusters whose
+    * label changed — tiny by construction (bounded by affected clusters).
+    */
+  def contractAndCluster(
+      accepted: DataFrame,
+      baseAssign: DataFrame,
+      maxIterations: Int = 20,
+      snapshot: DataFrame => DataFrame = graft.util.Checkpoints.serializedLocal
+  ): Clusters = {
+    val nodeOf = baseAssign.select(col("url"), col("cluster_id").as("node"))
+    val contracted = accepted
+      .join(nodeOf.select(col("url").as("urlA"), col("node").as("nodeA")), Seq("urlA"), "left")
+      .join(nodeOf.select(col("url").as("urlB"), col("node").as("nodeB")), Seq("urlB"), "left")
+      .select(
+        coalesce(col("nodeA"), col("urlA")).as("src"),
+        coalesce(col("nodeB"), col("urlB")).as("dst")
+      )
+    val comp = ConnectedComponents.run(contracted, maxIterations, snapshot)
+    val oldIds = baseAssign.select(col("cluster_id").as("url")).distinct()
+    val mergeMap = comp
+      .join(oldIds, Seq("url"), "left_semi")
+      .where(col("cluster_id") =!= col("url"))
+      .select(col("url").as("old_cluster_id"), col("cluster_id").as("new_cluster_id"))
+    Clusters(comp, mergeMap)
+  }
+
+  final case class Result(predictions: DataFrame, mergeMap: DataFrame, index: Index)
+
+  /** Link `deltaPages` against a base run. `basePredictions` is a
+    * LinkagePipeline.run/runResumable output (url, cluster_id, score,
+    * status, text, ...); `index` the base artifacts. Returns the FULL
+    * updated prediction frame (base rows remapped through the merge map,
+    * delta rows appended), the merge map, and the updated index for the
+    * next increment.
+    *
+    * `reseq = true` (rerun parity) recomputes the deterministic seq over
+    * the updated corpus — the one deliberately O(n) step (a range exchange
+    * of the output; a rerun pays the same). With `reseq = false` the
+    * output's `seq` is null and everything stays O(delta + affected).
+    *
+    * Delta urls already present in base are dropped (idempotent
+    * re-delivery — the reference's cache-hit split, retrievers.py:43-89);
+    * text UPDATES for an existing url are an upsert, out of scope here.
+    */
+  def link(
+      deltaPages: DataFrame,
+      basePredictions: DataFrame,
+      index: Index,
+      cfg: LinkagePipeline.Config = LinkagePipeline.Config(),
+      reseq: Boolean = true
+  ): Result = {
+    val delta = deltaPages
+      .select("url", "text")
+      .join(basePredictions.select("url"), Seq("url"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val deltaKeys = Blocker
+      .allKeys(delta, cfg.strategies)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+    // prune the base index to blocks the delta touches: hotKeys is small
+    // (O(delta)), so AQE broadcasts it and the index scan stays map-side
+    val hotKeys = deltaKeys.select("key").distinct()
+    val oldHot = index.keys.join(hotKeys, Seq("key"), "left_semi")
+    val oldHotUrls = oldHot.select("url").distinct()
+    val oldTexts = basePredictions.select("url", "text").join(oldHotUrls, Seq("url"), "left_semi")
+
+    // union-exact IDF: base artifact + delta stats (additive df)
+    val (deltaIdfDf, deltaN) = PairScorer.idfArtifact(delta)
+    val (feats, releaseFeats) =
+      PairScorer.featuresWithIdf(delta.unionByName(oldTexts), Seq((index.idfDf, index.idfDocs), (deltaIdfDf, deltaN)))
+
+    val pairs = candidatePairs(deltaKeys, oldHot, cfg.maxBlockSize)
+    val scored = PairScorer.score(pairs, feats, cfg.weights)
+    val accepted = PairScorer.threshold(scored, cfg.weights, cfg.perKeyThresholds)
+    val edgeSnapshot: DataFrame => DataFrame =
+      cfg.checkpointDir
+        .map(d => graft.util.Checkpoints.reliable(s"$d/inc-accepted"))
+        .getOrElse(LinkagePipeline.checkpointed)
+    val acceptedCk = edgeSnapshot(accepted)
+    releaseFeats()
+    deltaKeys.unpersist(false)
+
+    val baseHotAssign = basePredictions
+      .select("url", "cluster_id")
+      .join(oldHotUrls, Seq("url"), "left_semi")
+    val ccSnapshot: DataFrame => DataFrame =
+      cfg.checkpointDir
+        .map(d => graft.util.Checkpoints.reliable(s"$d/inc-cc", keepLast = 2))
+        .getOrElse(LinkagePipeline.checkpointed)
+    val Clusters(comp, mergeMap0) = contractAndCluster(acceptedCk, baseHotAssign, cfg.maxCcIterations, ccSnapshot)
+    // the merge map is read by every downstream join AND returned; it is
+    // tiny (affected clusters only) — materialize once
+    val mergeMap = LinkagePipeline.checkpointed(mergeMap0)
+
+    val bestNew = acceptedCk
+      .select(col("urlA").as("url"), col("score"))
+      .unionAll(acceptedCk.select(col("urlB").as("url"), col("score")))
+      .groupBy("url")
+      .agg(max("score").as("new_score"))
+
+    val deltaPred = delta
+      .join(comp, Seq("url"), "left")
+      .join(bestNew, Seq("url"), "left")
+      .select(
+        col("url"),
+        coalesce(col("cluster_id"), col("url")).as("cluster_id"),
+        col("new_score").as("score"),
+        when(col("cluster_id").isNotNull, "linked").otherwise("nil").as("status"),
+        col("text")
+      )
+    // base rewrite: one map-side pass (merge map broadcast by hint; the
+    // bestNew side is small and AQE-broadcast) — cluster relabel for
+    // merged clusters, score/status refresh for old urls touching a new
+    // edge. greatest() skips nulls, matching "max over all accepted edges".
+    val updatedBase = basePredictions
+      .join(
+        broadcast(mergeMap.select(col("old_cluster_id").as("cluster_id"), col("new_cluster_id"))),
+        Seq("cluster_id"),
+        "left"
+      )
+      .join(bestNew, Seq("url"), "left")
+      .select(
+        col("url"),
+        coalesce(col("new_cluster_id"), col("cluster_id")).as("cluster_id"),
+        greatest(col("score"), col("new_score")).as("score"),
+        when(col("new_score").isNotNull || col("status") === "linked", "linked")
+          .otherwise("nil")
+          .as("status"),
+        col("text")
+      )
+    val updatedAll = updatedBase.unionByName(deltaPred)
+    val predictions =
+      if (reseq) LinkagePipeline.withDeterministicSeq(updatedAll, "url")
+      else updatedAll.withColumn("seq", lit(null).cast("long"))
+
+    val nextIndex = Index(
+      index.keys.unionByName(deltaKeys),
+      index.idfDf
+        .unionByName(deltaIdfDf)
+        .groupBy("t")
+        .agg(sum("df").as("df")),
+      index.idfDocs + deltaN
+    )
+    Result(predictions, mergeMap, nextIndex)
+  }
+}

@@ -42,25 +42,96 @@ object PairScorer {
     */
   def features(pages: DataFrame): DataFrame = featuresWithRelease(pages)._1
 
+  /** Corpus IDF as a persistable ARTIFACT: hashed-bucket document
+    * frequencies (t, df) — bounded by [[TfBuckets]] rows — plus the corpus
+    * document count. Document frequencies are ADDITIVE across disjoint
+    * corpora, so a base artifact and a delta's own stats combine EXACTLY
+    * into the union corpus's IDF table — the incremental-linkage path
+    * (graft.operators.IncrementalLinkage) scores a delta with bit-identical
+    * weights to a full rerun over (base ∪ delta), without rescanning base
+    * text. The frame is collected (bounded) so it is self-contained: callers
+    * can write it to parquet and read it back in a later job.
+    */
+  def idfArtifact(pages: DataFrame): (DataFrame, Long) = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val toks = Normalize.tokensOf(col("text"))
+    val tf = pages
+      .select(SimilarityFunctions.term_freqs(toks, TfBuckets).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nDocs = tf.count()
+    val rows = tf
+      .select(explode(col("tf.ts")).as("t"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("df"))
+      .collect() // bounded by TfBuckets
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    tf.unpersist(false)
+    (rows.toDF("t", "df"), nDocs)
+  }
+
+  /** Features against a FIXED IDF built from one or more artifacts (summed
+    * df, summed nDocs) instead of local corpus stats. `pages` may be any
+    * subset of the union corpus the artifacts describe — the incremental
+    * path computes features only for the delta plus the old pages sharing a
+    * hot block, yet with exactly the union IDF a full rerun would use.
+    */
+  def featuresWithIdf(pages: DataFrame, parts: Seq[(DataFrame, Long)]): (DataFrame, () => Unit) = {
+    require(parts.nonEmpty, "featuresWithIdf: at least one IDF artifact")
+    val nDocs = parts.map(_._2).sum.toDouble
+    val dfSum = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    parts.foreach { case (dfFrame, _) =>
+      dfFrame.select(col("t").cast("long"), col("df").cast("long")).collect().foreach { r =>
+        dfSum.merge(r.getLong(0), r.getLong(1), (a, b) => a + b)
+      }
+    }
+    val idfMap = new java.util.HashMap[java.lang.Long, java.lang.Double](dfSum.size() * 2)
+    dfSum.forEach((t, df) => idfMap.put(t, math.log((nDocs + 1.0) / (df.doubleValue() + 1.0)) + 1.0))
+    val base = tokenized(pages)
+    (weightedSelect(base, pages.sparkSession.sparkContext.broadcast(idfMap)), () => { base.unpersist(false); () })
+  }
+
+  /** The shared tokenize+hash pass (persisted: read by the IDF aggregation
+    * and/or both sides of the pair-scoring join).
+    */
+  private def tokenized(pages: DataFrame): DataFrame = {
+    val toks = Normalize.tokensOf(col("text"))
+    pages
+      .select(
+        col("url"),
+        SimilarityFunctions.term_freqs(toks, TfBuckets).as("tf"), // in-row, no shuffle
+        array_join(slice(toks, 1, 10), " ").as("title_norm"),
+        // 120 chars: the banded Levenshtein leg is O(len*band); doubling the
+        // cap quadruples the dominant pair kernel for negligible signal gain
+        substring(regexp_replace(trim(col("text")), "\\s+", " "), 1, 120).as("text_cap")
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+  }
+
+  private def weightedSelect(
+      base: DataFrame,
+      idfBc: org.apache.spark.broadcast.Broadcast[java.util.HashMap[java.lang.Long, java.lang.Double]]
+  ): DataFrame =
+    base.select(
+      col("url"),
+      col("title_norm"),
+      col("text_cap"),
+      SimilarityFunctions.tfidf_weight(col("tf"), idfBc).as("tfidf")
+    )
+
   /** `features` plus a release handle that unpersists the internal
     * tokenize+hash cache — call it once the downstream consumer (the pair
     * join) has materialized, or each run keeps one cached corpus copy
     * until LRU eviction.
     */
   def featuresWithRelease(pages: DataFrame): (DataFrame, () => Unit) = {
-    val toks = Normalize.tokensOf(col("text"))
-    // persisted: this pass (tokenize + hash every document) is read three
-    // times — the IDF aggregation plus BOTH sides of the pair-scoring join —
-    // and recomputing it dominates CPU at scale. Serialized + rdd.compress
-    // keeps the cached bytes a fraction of the raw text; eviction is LRU.
-    val base = pages.select(
-      col("url"),
-      SimilarityFunctions.term_freqs(toks, TfBuckets).as("tf"), // in-row, no shuffle
-      array_join(slice(toks, 1, 10), " ").as("title_norm"),
-      // 120 chars: the banded Levenshtein leg is O(len*band); doubling the
-      // cap quadruples the dominant pair kernel for negligible signal gain
-      substring(regexp_replace(trim(col("text")), "\\s+", " "), 1, 120).as("text_cap")
-    ).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // persisted (see tokenized): this pass (tokenize + hash every document)
+    // is read three times — the IDF aggregation plus BOTH sides of the
+    // pair-scoring join — and recomputing it dominates CPU at scale.
+    // Serialized + rdd.compress keeps the cached bytes a fraction of the
+    // raw text; eviction is LRU.
+    val base = tokenized(pages)
 
     // corpus IDF over hashed buckets: the only wide dependency, and its
     // output is bounded by TfBuckets -> collected + broadcast. df counts
@@ -84,13 +155,7 @@ object PairScorer {
 
     // weighting + L2 normalization happen in-row against the broadcast map:
     // the document side of features() has NO full-corpus shuffle at all
-    val weighted = base.select(
-      col("url"),
-      col("title_norm"),
-      col("text_cap"),
-      SimilarityFunctions.tfidf_weight(col("tf"), idfBc).as("tfidf")
-    )
-    (weighted, () => { base.unpersist(false); () })
+    (weightedSelect(base, idfBc), () => { base.unpersist(false); () })
   }
 
   /** Score candidate pairs. `pairs`: (urlA, urlB, key); `feats`: output of
