@@ -18,6 +18,13 @@ import graft.synth.WebCorpus
   *     [--threshold 0.70] [--max-block-size 1000] [--master local[8]]
   *     [--snapshots <dir>]   resumable mode: commit every stage under <dir>
   *                           and resume from the last committed stage on rerun
+  *     [--save-index true]   also write <output>.index (blocking-key index +
+  *                           additive IDF artifact) for later increments
+  *     [--base <dir>]        INCREMENTAL: link --input as a delta against the
+  *                           base run at <dir> (needs <dir>.index, or --index)
+  *                           in O(delta + affected blocks); writes the full
+  *                           updated predictions, <output>.index and
+  *                           <output>.merges (old->new cluster relabels)
   */
 object Main {
 
@@ -194,9 +201,18 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
+    val master = opts.getOrElse("master", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+    val spark = LinkagePipeline.session(master, "graft-linkage-cli")
+    try run(spark, opts)
+    finally spark.stop()
+  }
+
+  /** The CLI body against a caller-owned session (main owns the session
+    * lifecycle; tests drive this directly on the shared suite session).
+    */
+  def run(spark: SparkSession, opts: Map[String, String]): Unit = {
     val input = opts.getOrElse("input", "synth:2000")
     val output = opts.getOrElse("output", "/tmp/graft-out")
-    val master = opts.getOrElse("master", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
     val strategies = opts
       .getOrElse("strategies", "canonical_url,domain,minhash")
       .split(",")
@@ -216,7 +232,6 @@ object Main {
       ccCompactIds = opts.get("cc-compact").contains("true")
     )
 
-    val spark = LinkagePipeline.session(master, "graft-linkage-cli")
     spark.sparkContext.setLogLevel("WARN")
     // --monitor true: report task-time utilization (dev/bench diagnostics)
     val taskNanos = new java.util.concurrent.atomic.AtomicLong(0)
@@ -228,8 +243,9 @@ object Main {
     val stageTimes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     val phaseTimes = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     val stagePhase = new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+    var monitorListener: org.apache.spark.scheduler.SparkListener = null
     if (opts.get("monitor").contains("true")) {
-      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      monitorListener = new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           val m = te.taskMetrics
           if (m != null) {
@@ -263,7 +279,8 @@ object Main {
             .computeIfAbsent(stagePhase.getOrDefault(info.stageId, "other"), _ => new java.util.concurrent.atomic.AtomicLong(0))
             .addAndGet(info.taskMetrics.executorRunTime)
         }
-      })
+      }
+      spark.sparkContext.addSparkListener(monitorListener)
     }
     try {
       // synth corpora are materialized to parquet first: the timed pipeline
@@ -302,10 +319,36 @@ object Main {
       }
 
       val t0 = System.nanoTime()
+      val strategyNames = strategies.map(_.name).mkString(",")
+      var mergedClusters = Option.empty[Long]
       val preds = if (opts.get("dry-run").contains("true")) {
+        require(!opts.contains("base"), "--dry-run and --base (incremental) are mutually exclusive")
         // hermetic all-NIL pass with the full output schema, zero scoring
         // (reference dry-run, app/services/linker.py:100-123,742-839)
         LinkagePipeline.dryRun(pages)
+      } else if (opts.contains("base")) {
+        // INCREMENTAL: link only the delta against a committed base run
+        // (reference operational loop — new tasks against an existing
+        // prediction store, app/services/task_queue.py:56-75). Reads
+        // <base> predictions + <base>.index artifacts, writes the full
+        // updated prediction set plus <output>.index for the NEXT
+        // increment and <output>.merges (old_cluster_id -> new_cluster_id)
+        // for downstream stores that relabel in place.
+        require(!opts.contains("snapshots"), "--base (incremental) and --snapshots are mutually exclusive")
+        val baseDir = opts("base")
+        val basePred = spark.read.parquet(baseDir)
+        val idxDir = opts.getOrElse("index", s"$baseDir.index")
+        val (index, storedStrategies) = IncrementalLinkage.loadIndex(spark, idxDir)
+        require(
+          storedStrategies == strategyNames,
+          s"index at $idxDir was built with --strategies $storedStrategies (got $strategyNames); " +
+            "blocking keys would not align — rerun with the matching strategies"
+        )
+        val r = IncrementalLinkage.link(pages, basePred, index, cfg)
+        IncrementalLinkage.saveIndex(r.index, s"$output.index", strategyNames)
+        r.mergeMap.write.mode("overwrite").parquet(s"$output.merges")
+        mergedClusters = Some(spark.read.parquet(s"$output.merges").count())
+        r.predictions
       } else opts.get("snapshots") match {
         case Some(snapDir) =>
           // the hash must cover EVERYTHING that shapes the linker input —
@@ -333,6 +376,11 @@ object Main {
         case None => LinkagePipeline.run(pages, cfg)
       }
       preds.write.mode("overwrite").parquet(output)
+      // --save-index true: leave behind the artifacts an incremental run
+      // needs (blocking-key index + additive IDF) — one extra O(corpus)
+      // pass, done once per base run
+      if (opts.get("save-index").contains("true") && !opts.contains("base") && !opts.get("dry-run").contains("true"))
+        IncrementalLinkage.saveIndex(IncrementalLinkage.buildIndex(pages, cfg), s"$output.index", strategyNames)
       val secs = (System.nanoTime() - t0) / 1e9
       // flush in-flight listener events before reading the counters
       if (opts.get("monitor").contains("true"))
@@ -356,6 +404,7 @@ object Main {
       println(
         s"""{"docs":$nDocs,"clusters":$nClusters,"linked":$nLinked,""" +
           s""""seconds":${"%.2f".format(secs)},"docs_per_sec":${"%.1f".format(nDocs / secs)}""" +
+          mergedClusters.map(m => s""","merged_clusters":$m""").getOrElse("") +
           monitorJson + s""","output":"$output"}"""
       )
       if (opts.get("monitor").contains("true")) {
@@ -367,6 +416,10 @@ object Main {
           println(f"[stage] ${v.get / 1000.0}%8.1f s  $k")
         }
       }
-    } finally spark.stop()
+    } finally {
+      // the session belongs to main/the test — leave it running, but do not
+      // leak per-invocation listeners onto it
+      if (monitorListener != null) spark.sparkContext.removeSparkListener(monitorListener)
+    }
   }
 }

@@ -85,6 +85,44 @@ object IncrementalLinkage {
     Index(Blocker.allKeys(corpus, cfg.strategies), df, n)
   }
 
+  /** Persist index artifacts next to a run's predictions (keys + idf
+    * parquet, meta JSON on the same FileSystem — any Hadoop scheme). The
+    * strategy list is recorded so a later increment can refuse an index
+    * built under different blocking (different keys would silently miss
+    * delta↔base candidate pairs).
+    */
+  def saveIndex(index: Index, dir: String, strategies: String): Unit = {
+    index.keys.write.mode("overwrite").parquet(s"$dir/keys")
+    index.idfDf.write.mode("overwrite").parquet(s"$dir/idf")
+    val spark = index.keys.sparkSession
+    val mp = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(mp, true)
+    try out.write(
+      s"""{"idf_docs":${index.idfDocs},"strategies":"$strategies"}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    )
+    finally out.close()
+  }
+
+  /** Load index artifacts written by [[saveIndex]]; returns the index plus
+    * the recorded strategy list for the caller's compatibility check.
+    */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): (Index, String) = {
+    val mp = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
+    val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(mp), s"no index at $dir (run the base with --save-index true)")
+    val in = fs.open(mp)
+    val txt =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val docs = "\"idf_docs\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      .getOrElse(sys.error(s"malformed index meta at $mp: $txt"))
+    val strategies = "\"strategies\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
+      .getOrElse(sys.error(s"malformed index meta at $mp: $txt"))
+    (Index(spark.read.parquet(s"$dir/keys"), spark.read.parquet(s"$dir/idf"), docs), strategies)
+  }
+
   /** Candidate pairs touching AT LEAST ONE new url: new-new pairs plus
     * new-old pairs, with identical semantics to `Blocker.pairs` over the
     * union key set (shared salting over union block sizes, canonical
