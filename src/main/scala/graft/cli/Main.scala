@@ -25,6 +25,10 @@ import graft.synth.WebCorpus
   *                           in O(delta + affected blocks); writes the full
   *                           updated predictions, <output>.index and
   *                           <output>.merges (old->new cluster relabels)
+  *     [--emit changed]      with --base: write the upsert view instead of a
+  *                           full-store rewrite — delta rows + affected old
+  *                           rows only (text/seq null for old rows), keeping
+  *                           the WRITE side O(delta) too
   */
 object Main {
 
@@ -265,7 +269,8 @@ object Main {
           val group = Option(j.properties).map(_.getProperty("spark.jobGroup.id")).orNull
           val phase = if (group != null && group.startsWith("graft:")) group.drop(6) else "other"
           j.stageInfos.foreach(si => stagePhase.put(si.stageId, phase))
-          System.err.println(f"[job] +$rel%7.2f START ${j.jobId}%3d stages=${j.stageInfos.size} phase=$phase")
+          val sites = j.stageInfos.map(_.name.split(" at ").last).distinct.take(4).mkString(",")
+          System.err.println(f"[job] +$rel%7.2f START ${j.jobId}%3d stages=${j.stageInfos.size} phase=$phase sites=$sites")
         }
         override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
           System.err.println(f"[job] +$rel%7.2f END   ${j.jobId}%3d")
@@ -344,11 +349,23 @@ object Main {
           s"index at $idxDir was built with --strategies $storedStrategies (got $strategyNames); " +
             "blocking keys would not align — rerun with the matching strategies"
         )
-        val r = IncrementalLinkage.link(pages, basePred, index, cfg)
-        IncrementalLinkage.saveIndex(r.index, s"$output.index", strategyNames)
+        // --emit changed: write the UPSERT view only (delta rows + affected
+        // old rows, text/seq null for old rows) — the store is patched in
+        // place, never rewritten; at corpus scale this is the only mode
+        // whose write cost is O(delta), and it skips the O(n) reseq too
+        val emitChanged = opts.get("emit").contains("changed")
+        val r = IncrementalLinkage.link(pages, basePred, index, cfg, reseq = !emitChanged)
+        // chained index write: O(delta) — only the delta's keys are
+        // written, the base's stay where they are (parent pointer); pass
+        // --index-compact true to rewrite the full union instead (chain
+        // compaction after many increments)
+        if (opts.get("index-compact").contains("true"))
+          IncrementalLinkage.saveIndex(r.index, s"$output.index", strategyNames)
+        else
+          IncrementalLinkage.saveIndexDelta(r.deltaKeys, r.index, s"$output.index", strategyNames, idxDir)
         r.mergeMap.write.mode("overwrite").parquet(s"$output.merges")
         mergedClusters = Some(spark.read.parquet(s"$output.merges").count())
-        r.predictions
+        if (emitChanged) r.changed else r.predictions
       } else opts.get("snapshots") match {
         case Some(snapDir) =>
           // the hash must cover EVERYTHING that shapes the linker input —

@@ -91,24 +91,63 @@ object IncrementalLinkage {
     * built under different blocking (different keys would silently miss
     * delta↔base candidate pairs).
     */
-  def saveIndex(index: Index, dir: String, strategies: String): Unit = {
-    index.keys.write.mode("overwrite").parquet(s"$dir/keys")
-    index.idfDf.write.mode("overwrite").parquet(s"$dir/idf")
-    val spark = index.keys.sparkSession
+  def saveIndex(index: Index, dir: String, strategies: String): Unit =
+    writeIndexDir(index.keys, index.idfDf, index.idfDocs, dir, strategies, parent = None)
+
+  /** Persist an INCREMENT's index as a chain link: only the delta's keys
+    * are written (the base's 10-per-doc key rows are never rewritten — an
+    * increment's index write is O(delta) like everything else), plus the
+    * already-combined IDF artifact (bounded rows) and a parent pointer to
+    * the base index. [[loadIndex]] unions keys down the chain; a chain that
+    * has grown too many links is compacted by one [[saveIndex]] of the
+    * loaded index.
+    */
+  def saveIndexDelta(
+      deltaKeys: DataFrame,
+      combined: Index,
+      dir: String,
+      strategies: String,
+      parentDir: String
+  ): Unit =
+    writeIndexDir(deltaKeys, combined.idfDf, combined.idfDocs, dir, strategies, Some(parentDir))
+
+  private def writeIndexDir(
+      keys: DataFrame,
+      idfDf: DataFrame,
+      idfDocs: Long,
+      dir: String,
+      strategies: String,
+      parent: Option[String]
+  ): Unit = {
+    keys.write.mode("overwrite").parquet(s"$dir/keys")
+    idfDf.write.mode("overwrite").parquet(s"$dir/idf")
+    val spark = keys.sparkSession
     val mp = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(mp, true)
+    val parentField = parent.map(p => s""","parent":"$p"""").getOrElse("")
     try out.write(
-      s"""{"idf_docs":${index.idfDocs},"strategies":"$strategies"}"""
+      s"""{"idf_docs":$idfDocs,"strategies":"$strategies"$parentField}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     )
     finally out.close()
   }
 
-  /** Load index artifacts written by [[saveIndex]]; returns the index plus
-    * the recorded strategy list for the caller's compatibility check.
+  /** Load index artifacts written by [[saveIndex]]/[[saveIndexDelta]];
+    * returns the index (keys unioned down the parent chain; idf/docs from
+    * the NEWEST link — they are stored already-combined) plus the recorded
+    * strategy list for the caller's compatibility check.
     */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, dir: String): (Index, String) = {
+    val (txt, _) = readMeta(spark, dir)
+    val docs = "\"idf_docs\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+      .getOrElse(sys.error(s"malformed index meta at $dir: $txt"))
+    val strategies = "\"strategies\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
+      .getOrElse(sys.error(s"malformed index meta at $dir: $txt"))
+    (Index(loadKeysChain(spark, dir, depth = 0), spark.read.parquet(s"$dir/idf"), docs), strategies)
+  }
+
+  private def readMeta(spark: org.apache.spark.sql.SparkSession, dir: String): (String, Option[String]) = {
     val mp = new org.apache.hadoop.fs.Path(s"$dir/meta.json")
     val fs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(mp), s"no index at $dir (run the base with --save-index true)")
@@ -116,11 +155,16 @@ object IncrementalLinkage {
     val txt =
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
-    val docs = "\"idf_docs\":(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-      .getOrElse(sys.error(s"malformed index meta at $mp: $txt"))
-    val strategies = "\"strategies\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
-      .getOrElse(sys.error(s"malformed index meta at $mp: $txt"))
-    (Index(spark.read.parquet(s"$dir/keys"), spark.read.parquet(s"$dir/idf"), docs), strategies)
+    (txt, "\"parent\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1)))
+  }
+
+  private def loadKeysChain(spark: org.apache.spark.sql.SparkSession, dir: String, depth: Int): DataFrame = {
+    require(depth < 1000, s"index parent chain deeper than 1000 at $dir — cycle? compact with saveIndex")
+    val own = spark.read.parquet(s"$dir/keys")
+    readMeta(spark, dir)._2 match {
+      case Some(parent) => own.unionByName(loadKeysChain(spark, parent, depth + 1))
+      case None => own
+    }
   }
 
   /** Candidate pairs touching AT LEAST ONE new url: new-new pairs plus
@@ -180,7 +224,27 @@ object IncrementalLinkage {
     Clusters(comp, mergeMap)
   }
 
-  final case class Result(predictions: DataFrame, mergeMap: DataFrame, index: Index)
+  /** `predictions`: the full updated store (base rows relabeled, delta rows
+    * appended). `changed`: the UPSERT view — only rows whose
+    * (cluster_id, score, status) differ from the base store: all delta rows
+    * (text included — the store has never seen it) plus affected old rows
+    * (text null — linking never mutates text, J1 invariant, so an upsert
+    * need not re-ship the corpus's heaviest column; `seq` null — a global
+    * dense seq is inherently O(n), the one thing an upsert cannot carry).
+    * At 10^12 docs the upsert is what a production increment writes;
+    * materializing `predictions` (or reseq) costs a full-store pass no
+    * matter how small the delta.
+    */
+  final case class Result(
+      predictions: DataFrame,
+      changed: DataFrame,
+      mergeMap: DataFrame,
+      index: Index,
+      /** keys of the EFFECTIVE delta (re-delivered urls dropped) — what
+        * [[saveIndexDelta]] writes as the chain link
+        */
+      deltaKeys: DataFrame
+  )
 
   /** Link `deltaPages` against a base run. `basePredictions` is a
     * LinkagePipeline.run/runResumable output (url, cluster_id, score,
@@ -289,6 +353,30 @@ object IncrementalLinkage {
       if (reseq) LinkagePipeline.withDeterministicSeq(updatedAll, "url")
       else updatedAll.withColumn("seq", lit(null).cast("long"))
 
+    // upsert view: base rows are re-scanned WITHOUT the text column (the
+    // projection reaches the parquet scan — at corpus scale this reads the
+    // narrow link columns only), filtered map-side against the broadcast
+    // merge map + bestNew before anything wide happens
+    val changedOld = basePredictions
+      .select("url", "cluster_id", "score", "status")
+      .join(
+        broadcast(mergeMap.select(col("old_cluster_id").as("cluster_id"), col("new_cluster_id"))),
+        Seq("cluster_id"),
+        "left"
+      )
+      .join(bestNew, Seq("url"), "left")
+      .where(col("new_cluster_id").isNotNull || col("new_score").isNotNull)
+      .select(
+        col("url"),
+        coalesce(col("new_cluster_id"), col("cluster_id")).as("cluster_id"),
+        greatest(col("score"), col("new_score")).as("score"),
+        when(col("new_score").isNotNull, "linked").otherwise(col("status")).as("status"),
+        lit(null).cast("string").as("text")
+      )
+    val changed = deltaPred
+      .unionByName(changedOld)
+      .withColumn("seq", lit(null).cast("long"))
+
     val nextIndex = Index(
       index.keys.unionByName(deltaKeys),
       index.idfDf
@@ -297,6 +385,6 @@ object IncrementalLinkage {
         .agg(sum("df").as("df")),
       index.idfDocs + deltaN
     )
-    Result(predictions, mergeMap, nextIndex)
+    Result(predictions, changed, mergeMap, nextIndex, deltaKeys)
   }
 }

@@ -44,6 +44,38 @@ class CliIncrementalSpec extends SparkSpec {
     assert(merges.columns.toSeq == Seq("old_cluster_id", "new_cluster_id"))
   }
 
+  test("a second increment chains the index (O(delta) write) and still links") {
+    // near-duplicates of 20 base docs under fresh urls — must attach to
+    // their source clusters THROUGH the chained (delta-keys + parent) index
+    val delta2 = spark.read
+      .parquet(s"$tmp/base-in")
+      .limit(20)
+      .select(concat(col("url"), lit("?v=2")).as("url"), col("text"))
+    delta2.write.mode("overwrite").parquet(s"$tmp/delta2-in")
+    Main.run(
+      spark,
+      Map("input" -> s"$tmp/delta2-in", "output" -> s"$tmp/inc2-out", "base" -> s"$tmp/inc-out", "emit" -> "changed")
+    )
+    val store = spark.read.parquet(s"$tmp/inc-out")
+      .select(col("url"), col("cluster_id").as("base_cluster"))
+    val v2 = spark.read.parquet(s"$tmp/inc2-out")
+      .where(col("url").endsWith("?v=2"))
+      .select(expr("substring(url, 1, length(url) - 4)").as("url"), col("cluster_id"), col("status"))
+    val joined = v2.join(store, Seq("url")).collect()
+    assert(joined.length == 20, s"${joined.length}")
+    joined.foreach { r =>
+      assert(r.getAs[String]("status") == "linked", r.toString)
+      assert(r.getAs[String]("cluster_id") == r.getAs[String]("base_cluster"), r.toString)
+    }
+    // the chain's own keys dir holds ONLY the 20-doc delta; loadIndex
+    // unions the parent links back to full coverage
+    assert(spark.read.parquet(s"$tmp/inc2-out.index/keys").select("url").distinct().count() == 20)
+    val (idx, _) = IncrementalLinkage.loadIndex(spark, s"$tmp/inc2-out.index")
+    val total = spark.read.parquet(s"$tmp/inc-out").count() + 20
+    assert(idx.idfDocs == total, s"${idx.idfDocs} != $total")
+    assert(idx.keys.select("url").distinct().count() == total)
+  }
+
   test("--base refuses an index built under different blocking strategies") {
     val e = intercept[IllegalArgumentException] {
       Main.run(

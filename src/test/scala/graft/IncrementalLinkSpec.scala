@@ -85,6 +85,41 @@ class IncrementalLinkSpec extends SparkSpec {
     assert(assign == Map("n1" -> "a0", "a0" -> "a0", "b0" -> "a0"))
   }
 
+  test("upsert view applied onto the base store reproduces the full output") {
+    val base = pages.where(pmod(xxhash64(col("url")), lit(3)) =!= 0).cache()
+    val delta = pages.where(pmod(xxhash64(col("url")), lit(3)) === 0).cache()
+    val basePred = LinkagePipeline.run(base).cache()
+    val index = IncrementalLinkage.buildIndex(base)
+    val inc = IncrementalLinkage.link(delta, basePred, index, reseq = false)
+
+    // patch the store: changed rows win by url; old rows keep their text
+    // (changed carries null text for them — linking never mutates text)
+    val cols = Seq("url", "cluster_id", "score", "status", "text")
+    val changed = inc.changed.cache()
+    val patched = basePred
+      .select(cols.map(col): _*)
+      .join(changed.select(col("url"), lit(true).as("_hit")), Seq("url"), "left_anti")
+      .unionByName(
+        changed
+          .join(basePred.select(col("url"), col("text").as("_base_text")), Seq("url"), "left")
+          .select(
+            col("url"),
+            col("cluster_id"),
+            col("score"),
+            col("status"),
+            coalesce(col("text"), col("_base_text")).as("text")
+          )
+      )
+    val want = inc.predictions.select(cols.map(col): _*).orderBy("url").collect()
+    val got = patched.orderBy("url").collect()
+    assert(got.length == want.length, s"${got.length} != ${want.length}")
+    got.zip(want).foreach { case (a, b) => assert(a == b, s"patched row differs:\n got =$a\n want=$b") }
+    // the upsert never re-ships base text, and is small: every changed old
+    // row carries null text
+    val oldChanged = changed.join(basePred.select("url"), Seq("url"), "left_semi")
+    assert(oldChanged.where(col("text").isNotNull).count() == 0, "old upsert rows must not carry text")
+  }
+
   test("re-delivered urls are dropped; empty effective delta is a no-op") {
     val base = pages.limit(50).cache()
     val basePred = LinkagePipeline.run(base).cache()
