@@ -409,6 +409,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("key")
     }),
+    "q_er_sorted_neighborhood" -> ((s, dir) => {
+      // sorted-neighborhood blocking: window 4 over the first-20-chars sort
+      // key; the oracle recomputes rank (row_number over the same composite
+      // order) and the rank-distance join engine-free
+      val d = t(s, dir, "documents")
+        .select(col("doc_id").as("url"), substring(col("text"), 1, 20).as("sk"))
+      graft.operators.SortedNeighborhood
+        .pairs(d, col("sk"), 4)
+        .orderBy("urlA", "urlB")
+    }),
     "q_er_exact_dedup" -> ((s, dir) => {
       val keyed = t(s, dir, "documents")
         .select(col("doc_id"), array_join(slice(split(col("text"), " "), 1, 5), " ").as("dup_key"))
@@ -1313,6 +1323,15 @@ object SparkEntry {
         |       row_number() OVER (ORDER BY p.url) AS seq
         |FROM pages p LEFT JOIN assign a ON a.url = p.url
         |ORDER BY p.url""".stripMargin,
+    "q_er_sorted_neighborhood" ->
+      """WITH ranked AS (
+        |  SELECT doc_id AS url,
+        |         row_number() OVER (ORDER BY
+        |           concat_ws(chr(1), substr(text, 1, 20), CAST(doc_id AS VARCHAR))) AS rk
+        |  FROM documents)
+        |SELECT least(a.url, b.url) AS urlA, greatest(a.url, b.url) AS urlB
+        |FROM ranked a JOIN ranked b ON b.rk > a.rk AND b.rk <= a.rk + 3
+        |ORDER BY urlA, urlB""".stripMargin,
     // The oracle for the INCREMENTAL path is the FULL-UNION closure: under
     // the contract's conditions (per-doc keys, salt-free cap, corpus-
     // independent lev-ratio scorer) incremental == rerun EXACTLY, so
