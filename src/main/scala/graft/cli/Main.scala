@@ -29,6 +29,9 @@ import graft.synth.WebCorpus
   *                           full-store rewrite — delta rows + affected old
   *                           rows only (text/seq null for old rows), keeping
   *                           the WRITE side O(delta) too
+  *     [--window-key <expr>] add a sorted-neighborhood pass: candidates from
+  *     [--window N]          a size-N window (default 10) over the corpus
+  *                           sorted by the SQL expression (url/text columns)
   */
 object Main {
 
@@ -233,7 +236,13 @@ object Main {
       checkpointDir = opts.get("checkpoint-dir"),
       // --cc-compact true: dense long node ids through the CC iterations
       // (the long-chain / TB-edge-set setting; see Config.ccCompactIds)
-      ccCompactIds = opts.get("cc-compact").contains("true")
+      ccCompactIds = opts.get("cc-compact").contains("true"),
+      // --window-key <sql expr> [--window N]: add a sorted-neighborhood
+      // pass over the given sort key (default window 10)
+      windowPasses = opts
+        .get("window-key")
+        .map(e => Seq((e, opts.get("window").map(_.toInt).getOrElse(10))))
+        .getOrElse(Nil)
     )
 
     spark.sparkContext.setLogLevel("WARN")
@@ -385,7 +394,10 @@ object Main {
               "inputSig" -> inputSignature(spark, input),
               "strategies" -> strategies.map(_.name).mkString(","),
               "threshold" -> weights.threshold.toString,
-              "maxBlockSize" -> cfg.maxBlockSize.toString
+              "maxBlockSize" -> cfg.maxBlockSize.toString,
+              // window passes shape the pair stage — a rerun with a
+              // different sort key / window must NOT resume committed pairs
+              "windowPasses" -> cfg.windowPasses.map { case (e, w) => s"$e#$w" }.mkString(";")
             ) ++ shapeFlags
           )
           val io = new graft.io.ParquetTableIO(snapDir, runId = java.util.UUID.randomUUID.toString, hash)

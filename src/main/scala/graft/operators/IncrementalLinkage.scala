@@ -269,6 +269,15 @@ object IncrementalLinkage {
       cfg: LinkagePipeline.Config = LinkagePipeline.Config(),
       reseq: Boolean = true
   ): Result = {
+    // sorted-neighborhood passes violate contract condition 1 (a doc's
+    // window membership depends on the GLOBAL rank, not the row), so an
+    // increment cannot honor them — fail loudly instead of silently
+    // dropping window candidates the base run had
+    require(
+      cfg.windowPasses.isEmpty,
+      "incremental linkage cannot honor sorted-neighborhood window passes " +
+        "(window membership is rank-dependent, not per-document) — rerun in full"
+    )
     val delta = deltaPages
       .select("url", "text")
       .join(basePredictions.select("url"), Seq("url"), "left_anti")

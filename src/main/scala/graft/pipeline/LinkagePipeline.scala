@@ -54,7 +54,16 @@ object LinkagePipeline {
         * shallow graphs (the typical ER case, 3-5 rounds) never pay the
         * fixed cost, so the auto rule is safe as a default.
         */
-      ccCompactIds: Boolean = false
+      ccCompactIds: Boolean = false,
+      /** Sorted-neighborhood passes: (sort-key SQL expression over the
+        * corpus's url/text columns, window size). Each pass's window pairs
+        * union into the key-based candidate set (operators/
+        * SortedNeighborhood — the merge/purge complement for near-matches
+        * that equal on no exact key; linear candidates by construction).
+        * SQL-expression strings (not Columns) so the config stays
+        * serializable/hashable for the resume signature.
+        */
+      windowPasses: Seq[(String, Int)] = Nil
   )
 
   /** Spark session tuned for the engine: AQE + skew join on, shuffle
@@ -140,7 +149,7 @@ object LinkagePipeline {
 
     phase("block+score")
     val keys = Blocker.allKeys(corpus, cfg.strategies)
-    val pairs = Blocker.pairs(keys, cfg.maxBlockSize)
+    val pairs = candidatePairs(corpus, keys, cfg)
     val (feats, releaseFeats) = PairScorer.featuresWithRelease(corpus)
     val scored = PairScorer.score(pairs, feats, cfg.weights)
     val accepted = PairScorer.threshold(scored, cfg.weights, cfg.perKeyThresholds)
@@ -253,6 +262,27 @@ object LinkagePipeline {
     * resumes from the last committed stage (SURVEY.md §4.3). Stage DAG:
     * keys -> pairs -> accepted(score+threshold) -> cc_iter_* -> predictions.
     */
+  /** Candidate pairs: key-equality blocking plus any configured
+    * sorted-neighborhood window passes, deduped across sources (a pair
+    * found by both scores once, under its deterministic min key — window
+    * pairs carry the pseudo-key "sn:<i>:w<window>").
+    */
+  def candidatePairs(corpus: DataFrame, keys: DataFrame, cfg: Config): DataFrame = {
+    val base = Blocker.pairs(keys, cfg.maxBlockSize)
+    if (cfg.windowPasses.isEmpty) base
+    else {
+      val sn = cfg.windowPasses.zipWithIndex.map { case ((sortExpr, w), i) =>
+        SortedNeighborhood
+          .pairs(corpus, expr(sortExpr), w)
+          .withColumn("key", lit(s"sn:$i:w$w"))
+      }
+      (base +: sn)
+        .reduce(_ unionByName _)
+        .groupBy("urlA", "urlB")
+        .agg(min("key").as("key"))
+    }
+  }
+
   def runResumable(pages: DataFrame, cfg: Config, io: graft.io.TableIO): DataFrame = {
     val spark = pages.sparkSession
     val corpus = pages.select("url", "text")
@@ -284,8 +314,7 @@ object LinkagePipeline {
       .readStage(spark, "pairs")
       .getOrElse {
         val obs = org.apache.spark.sql.Observation()
-        val observed = Blocker
-          .pairs(keys, cfg.maxBlockSize)
+        val observed = candidatePairs(corpus, keys, cfg)
           .observe(obs, count(lit(1)).as("candidate_pairs"))
         io.commitStage(observed, "pairs", Seq("keys"), () => metricsOf(obs))
       }

@@ -48,6 +48,32 @@ class SortedNeighborhoodSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pipeline window pass finds a pair every exact-key strategy misses") {
+    import graft.pipeline.LinkagePipeline
+    // the two targets share ONLY the sort-key region: different domains,
+    // different leading tokens (so canonical/domain keys differ) and mostly
+    // different text (so no MinHash band collides)
+    val targets = Seq(
+      ("https://alpha.example.org/1", "aaaa COMMON rest one entirely unrelated trailing content paddington"),
+      ("https://bravo.example.org/2", "zzzz COMMON rest two totally distinct words forming another payload")
+    )
+    val filler = (0 until 10).map(i =>
+      (s"https://site$i.example.org/f", s"fill$i document number $i with its own text body entirely distinct $i")
+    )
+    val corpus = (targets ++ filler).toDF("url", "text")
+    val keys = graft.operators.Blocker.allKeys(corpus, LinkagePipeline.Config().strategies)
+    def pairSet(cfg: LinkagePipeline.Config) =
+      LinkagePipeline
+        .candidatePairs(corpus, keys, cfg)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)))
+        .toSet
+    val target = ("https://alpha.example.org/1", "https://bravo.example.org/2")
+    assert(!pairSet(LinkagePipeline.Config()).contains(target), "exact keys unexpectedly block the pair")
+    val withWindow = LinkagePipeline.Config(windowPasses = Seq(("substring(text, 6, 10)", 3)))
+    assert(pairSet(withWindow).contains(target), "window pass must surface the sort-adjacent pair")
+  }
+
   test("multiPass unions passes and dedups shared pairs") {
     val df = rows.toDF("url", "sk").withColumn("sk2", reverse(col("sk")))
     val got = SortedNeighborhood
