@@ -806,6 +806,34 @@ object SparkEntry {
         )
         .orderBy("doc_id")
     }),
+    // ---- corpus curation (training-data ops) ----
+    "q_cur_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: every 97th doc plays the eval set; flag
+      // corpus docs sharing any distinct 5-gram with it (benchmark grams
+      // broadcast; only hit grams survive to the by-id aggregation)
+      val d = t(s, dir, "documents")
+      graft.operators.Curation
+        .decontaminate(d, d.where(pmod(col("doc_id"), lit(97)) === 0), n = 5)
+        .orderBy("doc_id")
+    }),
+    "q_cur_quota_sample" -> ((s, dir) => {
+      // deterministic stratified sampling: at most 3 docs per (lang,
+      // source), picked by xxhash64(doc_id) rank — the oracle re-derives
+      // the hash in HUGEINT arithmetic (same chain as q_ann_ivf)
+      val d = t(s, dir, "documents").select("doc_id", "lang", "source")
+      graft.operators.Curation.quotaSample(d, Seq("lang", "source"), 3).orderBy("doc_id")
+    }),
+    "q_cur_redact_pii" -> ((s, dir) => {
+      // synthetic text carries no PII — inject a deterministic email +
+      // phone per row, redact, and let the oracle replay both regexes
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(col("text"), lit(" contact-"), col("doc_id"), lit("@example.com tel 0123 456 789"))
+          .as("text")
+      )
+      graft.operators.Curation.redactPii(d).orderBy("doc_id")
+    }),
+
     "q_txt_langid" -> ((s, dir) => {
       // stopword-vote language id heuristic (here: english function words)
       val toks = split(col("text"), " ")
@@ -1412,6 +1440,77 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC) AS rk
         |  FROM embeddings q JOIN embeddings e ON q.vec_id < 20 AND e.vec_id >= 20)
         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    "q_cur_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 3),
+        |    i -> array_to_string(list_slice(t, i, i + 4), ' ')))) AS g
+        |  FROM toks WHERE len(t) >= 5),
+        |bg AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+        |agg AS (
+        |  SELECT g.doc_id, count(*) AS n_grams, count(bg.g) AS n_hits
+        |  FROM g LEFT JOIN bg ON g.g = bg.g GROUP BY g.doc_id)
+        |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams, coalesce(a.n_hits, 0) AS n_hits,
+        |       coalesce(a.n_hits, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_cur_quota_sample" ->
+      """WITH hx0 AS (
+        |  SELECT doc_id,
+        |    ((((doc_id::HUGEINT // 4294967296) * 14029467366897019727::HUGEINT % 4294967296) * 4294967296
+        |      + (doc_id::HUGEINT % 4294967296) * 14029467366897019727::HUGEINT)
+        |     % 18446744073709551616::HUGEINT) AS lp2
+        |  FROM documents),
+        |hx1 AS (
+        |  SELECT doc_id,
+        |    ((((((lp2 * 2147483648::HUGEINT + lp2 // 8589934592) % 18446744073709551616::HUGEINT) // 4294967296)
+        |        * 11400714785074694791::HUGEINT % 4294967296) * 4294967296
+        |      + (((lp2 * 2147483648::HUGEINT + lp2 // 8589934592) % 18446744073709551616::HUGEINT) % 4294967296)
+        |        * 11400714785074694791::HUGEINT)
+        |     % 18446744073709551616::HUGEINT) AS k1
+        |  FROM hx0),
+        |hx2 AS (
+        |  SELECT doc_id,
+        |    (((((xor(2870177450012600311::HUGEINT, k1) * 134217728::HUGEINT
+        |         + xor(2870177450012600311::HUGEINT, k1) // 137438953472) % 18446744073709551616::HUGEINT // 4294967296)
+        |        * 11400714785074694791::HUGEINT % 4294967296) * 4294967296
+        |      + ((xor(2870177450012600311::HUGEINT, k1) * 134217728::HUGEINT
+        |          + xor(2870177450012600311::HUGEINT, k1) // 137438953472) % 18446744073709551616::HUGEINT % 4294967296)
+        |        * 11400714785074694791::HUGEINT
+        |      + 9650029242287828579::HUGEINT)
+        |     % 18446744073709551616::HUGEINT) AS h0
+        |  FROM hx1),
+        |hx3 AS (
+        |  SELECT doc_id,
+        |    (((xor(h0, h0 // 8589934592) // 4294967296) * 14029467366897019727::HUGEINT % 4294967296) * 4294967296
+        |     + (xor(h0, h0 // 8589934592) % 4294967296) * 14029467366897019727::HUGEINT)
+        |    % 18446744073709551616::HUGEINT AS h1
+        |  FROM hx2),
+        |hx4 AS (
+        |  SELECT doc_id,
+        |    (((xor(h1, h1 // 536870912) // 4294967296) * 1609587929392839161::HUGEINT % 4294967296) * 4294967296
+        |     + (xor(h1, h1 // 536870912) % 4294967296) * 1609587929392839161::HUGEINT)
+        |    % 18446744073709551616::HUGEINT AS h2
+        |  FROM hx3),
+        |hashes AS (
+        |  SELECT doc_id,
+        |    CASE WHEN xor(h2, h2 // 4294967296) >= 9223372036854775808::HUGEINT
+        |         THEN (xor(h2, h2 // 4294967296) - 18446744073709551616::HUGEINT)::BIGINT
+        |         ELSE xor(h2, h2 // 4294967296)::BIGINT END AS h
+        |  FROM hx4),
+        |ranked AS (
+        |  SELECT d.doc_id, d.lang, d.source,
+        |         row_number() OVER (PARTITION BY d.lang, d.source ORDER BY h.h, d.doc_id) AS rk
+        |  FROM documents d JOIN hashes h ON h.doc_id = d.doc_id)
+        |SELECT doc_id, lang, source FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id""".stripMargin,
+    "q_cur_redact_pii" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    text || ' contact-' || doc_id || '@example.com tel 0123 456 789',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9][0-9 ()+-]{6,}[0-9]', '<PHONE>', 'g') AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_txt_quality" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,

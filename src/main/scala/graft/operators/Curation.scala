@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for the training-data pipeline: benchmark
+  * decontamination, deterministic quota sampling, PII redaction. These are
+  * the steps between dedup and export that a web-scale corpus build runs
+  * on every refresh.
+  */
+object Curation {
+
+  /** Distinct n-gram strings of `n` consecutive tokens (docs shorter than
+    * n tokens contribute none).
+    */
+  private def gramRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("_toks"))
+      .where(size(col("_toks")) >= n)
+      .select(
+        col(idCol),
+        explode(
+          expr(
+            s"array_distinct(transform(sequence(1, size(_toks) - ${n - 1}), " +
+              s"i -> concat_ws(' ', slice(_toks, i, $n))))"
+          )
+        ).as("_g")
+      )
+
+  /** Benchmark decontamination: flag corpus docs sharing at least
+    * `minHits` distinct n-grams with an evaluation set (the GPT-3/Llama
+    * n-gram-overlap method — training on eval data silently inflates every
+    * downstream score, so corpus builds run this on every refresh).
+    *
+    * Scale shape: the benchmark is small by definition (eval sets are
+    * thousands of docs), so its distinct gram set BROADCASTS; the corpus
+    * side explodes grams map-side and only the HITS survive to the by-id
+    * aggregation (the n-gram blowup never shuffles). Output: one row per
+    * corpus doc — (id, n_grams, n_hits, contaminated).
+    */
+  def decontaminate(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 8,
+      minHits: Int = 1
+  ): DataFrame = {
+    require(n >= 1 && minHits >= 1, s"n and minHits must be positive (got n=$n, minHits=$minHits)")
+    val grams = gramRows(docs, idCol, textCol, n)
+    val benchGrams = gramRows(benchmark, idCol, textCol, n).select("_g").distinct()
+    val agg = grams
+      .join(broadcast(benchGrams.withColumn("_hit", lit(1))), Seq("_g"), "left")
+      .groupBy(idCol)
+      // grams are distinct per doc by construction; each matches <= 1
+      // bench row, so plain counts are exact
+      .agg(count(lit(1)).as("n_grams"), count(col("_hit")).as("n_hits"))
+    docs
+      .select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= minHits).as("contaminated")
+      )
+  }
+
+  /** Deterministic quota sampling: at most `quota` docs per key, selected
+    * by xxhash64(id) rank — stable across runs, partitionings and corpus
+    * growth ORDER (a doc already sampled stays sampled unless lower-hash
+    * newcomers displace it; no RNG state to persist). The rank runs inside
+    * each key group; per-key quotas keep groups bounded for the window —
+    * a key skewed enough to overwhelm one task is the caller's signal that
+    * the stratum needs splitting, not a bigger window.
+    */
+  def quotaSample(
+      docs: DataFrame,
+      keyCols: Seq[String],
+      quota: Int,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    require(keyCols.nonEmpty && quota >= 1, s"need key columns and a positive quota (got $quota)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+    docs
+      .withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= quota)
+      .drop("_rk")
+  }
+
+  /** PII redaction: email addresses and long digit runs (phone-shaped)
+    * replaced with typed placeholders. Row-local regexp projections —
+    * zero exchanges, stays in whole-stage codegen. Patterns are
+    * deliberately simple character-class regexes so Java (Spark) and RE2
+    * (DuckDB oracle) agree byte-for-byte.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongDigitsRe = "[0-9][0-9 ()+-]{6,}[0-9]"
+
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn(
+      textCol,
+      regexp_replace(
+        regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        LongDigitsRe,
+        "<PHONE>"
+      )
+    )
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Corpus-curation operators: decontamination hit semantics, quota-sample
+  * determinism, PII redaction.
+  */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("decontaminate flags docs sharing an n-gram with the benchmark, counts exactly") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"), // contains the planted 5-gram
+      (2L, "completely unrelated words that never overlap anything benchmarked"),
+      (3L, "too short"), // < n tokens: zero grams, never contaminated
+      (4L, "quick brown fox jumps over and quick brown fox jumps again") // overlaps twice -> distinct grams
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "we ask about the quick brown fox jumps over it")).toDF("doc_id", "text")
+    val got = Curation
+      .decontaminate(docs, bench, n = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // doc 1 grams hitting: "the quick brown fox jumps", "quick brown fox jumps over"
+    assert(got(1L) == ((6L, 2L, true)), got(1L).toString)
+    assert(got(2L)._2 == 0L && !got(2L)._3)
+    assert(got(3L) == ((0L, 0L, false)))
+    // doc 4 shares "quick brown fox jumps over" only (distinct grams)
+    assert(got(4L)._2 == 1L && got(4L)._3)
+  }
+
+  test("quotaSample: per-key cap, deterministic across partitionings") {
+    val docs = (0 until 200)
+      .map(i => (i.toLong, s"k${i % 3}"))
+      .toDF("doc_id", "key")
+    val a = Curation.quotaSample(docs.repartition(7), Seq("key"), 10, idCol = "doc_id")
+    val b = Curation.quotaSample(docs.repartition(1), Seq("key"), 10, idCol = "doc_id")
+    val sa = a.select("doc_id").as[Long].collect().toSet
+    val sb = b.select("doc_id").as[Long].collect().toSet
+    assert(sa == sb, "sample must be partitioning-independent")
+    val perKey = a.groupBy("key").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perKey.values.forall(_ == 10L), perKey.toString)
+    // a key smaller than the quota survives whole
+    val tiny = Seq((900L, "solo"), (901L, "solo")).toDF("doc_id", "key")
+    assert(Curation.quotaSample(tiny, Seq("key"), 10).count() == 2)
+  }
+
+  test("redactPii replaces emails and phone-shaped digit runs") {
+    val docs = Seq(
+      (1L, "write to First.Last+tag@sub.example.co.uk or call +44 (0) 1234 567890 now"),
+      (2L, "no pii here just words and the number 42")
+    ).toDF("doc_id", "text")
+    val got = Curation.redactPii(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L).contains("<EMAIL>") && got(1L).contains("<PHONE>"), got(1L))
+    assert(!got(1L).contains("example.co.uk") && !got(1L).contains("567890"), got(1L))
+    assert(got(2L) == "no pii here just words and the number 42")
+  }
+}
