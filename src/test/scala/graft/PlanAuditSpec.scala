@@ -58,7 +58,16 @@ class PlanAuditSpec extends SparkSpec {
     // used all-pairs joins; they must stay on bucketed/keyed plans
     val sf = "/root/testdata/sf0.001"
     for (
-      name <- Seq("q_dd_embedding_neardup", "q_a7_pairwise_eval", "q_er_pipeline_sym", "q_dd_line_dedup", "q_inc_link")
+      name <- Seq(
+        "q_dd_embedding_neardup",
+        "q_a7_pairwise_eval",
+        "q_er_pipeline_sym",
+        "q_dd_line_dedup",
+        "q_inc_link",
+        "q_er_sorted_neighborhood",
+        "q_cur_decontaminate",
+        "q_cur_quota_sample"
+      )
     ) {
       val q = graft.SparkEntry.queries(name)(spark, sf)
       q.collect() // finalize AQE before reading the executed plan
