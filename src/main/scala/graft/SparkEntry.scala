@@ -202,11 +202,12 @@ object SparkEntry {
         .orderBy("o_custkey", "rk")
     }),
     "q_w5_seq" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          row_number().over(Window.orderBy("doc_id")).cast("long").as("seq")
-        )
+      // W5 battery row runs the production two-pass sequencer (range
+      // partition + driver offsets), not a single-partition global window —
+      // the oracle's row_number() is the semantic spec, not the plan.
+      graft.util.DeterministicSeq
+        .assign(t(s, dir, "documents").select("doc_id"), "doc_id")
+        .select(col("doc_id"), col("seq"))
         .orderBy("doc_id")),
     "q_w6_cursor_page" -> ((s, dir) =>
       t(s, dir, "events")
@@ -1208,7 +1209,7 @@ object SparkEntry {
     "q_a7_pairwise_eval" ->
       """WITH d AS (
         |  SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url,
-        |    lang || '|' || CAST(floor(n_chars / 50) AS BIGINT) AS key,
+        |    concat_ws('|', lang, CAST(floor(n_chars / 50) AS BIGINT)) AS key,
         |    source, floor(n_chars / 10) AS band
         |  FROM documents),
         |m AS (
@@ -1225,9 +1226,10 @@ object SparkEntry {
         |FROM m""".stripMargin,
     "q_er_block_pairs" ->
       """SELECT key, count(*) AS n_pairs FROM (
-        |  SELECT a.lang || '|' || CAST(floor(a.n_chars / 50) AS BIGINT) AS key
-        |  FROM documents a JOIN documents b
-        |    ON a.lang = b.lang AND floor(a.n_chars / 50) = floor(b.n_chars / 50) AND a.doc_id < b.doc_id)
+        |  SELECT a.key
+        |  FROM (SELECT doc_id, concat_ws('|', lang, CAST(floor(n_chars / 50) AS BIGINT)) AS key FROM documents) a
+        |  JOIN (SELECT doc_id, concat_ws('|', lang, CAST(floor(n_chars / 50) AS BIGINT)) AS key FROM documents) b
+        |    ON a.key = b.key AND a.doc_id < b.doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the streamed first-seen-wins snapshot recomputed engine-free: one
     // micro-batch => canonical per key is the global argmin(ts, url)
