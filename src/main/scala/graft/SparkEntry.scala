@@ -706,6 +706,33 @@ object SparkEntry {
         .lineDedup(docs, "doc_id", "lines", maxDocFreq = 1)
         .orderBy("doc_id")
     }),
+    "q_dd_span_dedup" -> ((s, dir) => {
+      // exact duplicated-SPAN removal (Lee et al. 2022 ExactSubstr, windowed
+      // relaxation — Dedup.spanDedup): every 8-word window occurring twice+
+      // anywhere in the corpus is removed from ALL its positions. A shared
+      // boilerplate sentence is planted row-locally on doc_id % 7 == 0 so
+      // the battery exercises real cross-doc span removal at every sf (the
+      // organic corpus also contributes duplicated windows); the DuckDB
+      // oracle recomputes window formation, corpus frequency, offset
+      // expansion and the rebuild engine-free by grouping window STRINGS
+      // (equal strings <=> equal xxhash64 up to a 2^-64 collision).
+      val pages = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(
+          pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" the quick brown fox jumps over the lazy dog end"))
+        ).otherwise(col("text")).as("text")
+      )
+      graft.operators.Dedup
+        .spanDedup(
+          pages.select(col("doc_id"), split(col("text"), " ").as("words")),
+          idCol = "doc_id",
+          wordsCol = "words",
+          windowWords = 8,
+          minFreq = 2
+        )
+        .orderBy("doc_id")
+    }),
     "q_dd_simhash" -> ((s, dir) =>
       // SimHash fingerprint + hamming-near pairs on adjacent ids (rows-only)
       t(s, dir, "documents")
@@ -1435,6 +1462,36 @@ object SparkEntry {
         |kept AS (SELECT e.doc_id, e.ord, e.line FROM expl e JOIN freq f USING (line))
         |SELECT l.doc_id, coalesce(string_agg(k.line, ' ' ORDER BY k.ord), '') AS text_clean
         |FROM lined l LEFT JOIN kept k USING (doc_id) GROUP BY l.doc_id ORDER BY doc_id""".stripMargin,
+    "q_dd_span_dedup" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' the quick brown fox jumps over the lazy dog end'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM pages),
+        |words AS (
+        |  SELECT doc_id, u.i - 1 AS idx, w[u.i] AS word
+        |  FROM t, unnest(generate_series(1, len(w))) AS u(i)),
+        |wins AS (
+        |  SELECT doc_id, u.o AS off, array_to_string(w[u.o + 1 : u.o + 8], ' ') AS win
+        |  FROM t, unnest(generate_series(0, len(w) - 8)) AS u(o)),
+        |dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2),
+        |removed AS (
+        |  SELECT DISTINCT wins.doc_id, wins.off + u.s AS idx
+        |  FROM wins JOIN dup USING (win), unnest(generate_series(0, 7)) AS u(s)),
+        |kept AS (
+        |  SELECT wd.doc_id, wd.idx, wd.word FROM words wd
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM removed r WHERE r.doc_id = wd.doc_id AND r.idx = wd.idx)),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |         string_agg(word, ' ' ORDER BY idx) AS text_clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
+        |  CAST(len(t.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(a.text_clean, '') AS text_clean
+        |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
     "q_ann_topk" ->
       """SELECT qid, rk, neighbor FROM (
         |  SELECT q.vec_id AS qid, e.vec_id AS neighbor,

@@ -349,6 +349,97 @@ object Dedup {
     * by document length. The only approximation vs per-string grouping is
     * a 2^-64 xxhash64 collision.
     */
+  /** Span-level exact-substring dedup: remove from EVERY document each
+    * word span that appears (as an exact `windowWords`-word window)
+    * `minFreq`+ times anywhere in the corpus — the windowed-hash
+    * relaxation of suffix-array ExactSubstr dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": drop all
+    * duplicated substrings of >= 50 tokens; a suffix array is not
+    * expressible relationally, but stride-1 windows give the same
+    * guarantee at word granularity — any duplicated span of >=
+    * `windowWords` words is fully covered by duplicated windows, and
+    * nothing shorter is ever touched). Within-doc repetition counts
+    * toward the frequency (a doc repeating its own span gets it removed),
+    * matching the paper's "appears more than once in the corpus".
+    *
+    * Input: (`idCol`, `wordsCol: array<string>`) — caller tokenizes, same
+    * contract as [[lineDedup]]. Output one row per input doc:
+    * (`idCol`, n_words, n_removed, text_clean), all-duplicate docs
+    * survive with "".
+    *
+    * Scale shape: window formation is row-local (stride-1 xxhash64 over
+    * word windows; costs `windowWords`x the hashing of a rolling
+    * Rabin-Karp — see TextAnalysis.fingerprints for that kernel — but
+    * stays inside whole-stage codegen and collision-behaves like 2^-64);
+    * the shuffle rows are (id, int-offset, 8-byte hash) — window TEXT
+    * never shuffles. Frequency is one map-side-combinable count by hash;
+    * duplicated offsets come back via a left-semi join on the hash;
+    * offset->word-index expansion multiplies only the DUPLICATED windows
+    * by `windowWords`. The rebuild is the lineDedup shape: exploded words
+    * anti-joined against removed indexes, one groupBy(id) with per-doc
+    * state bounded by document length.
+    */
+  def spanDedup(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      wordsCol: String = "words",
+      windowWords: Int = 50,
+      minFreq: Long = 2L,
+      sep: String = " "
+  ): DataFrame = {
+    require(windowWords >= 1, s"windowWords must be >= 1 (got $windowWords)")
+    require(minFreq >= 2, s"minFreq < 2 would remove every window (got $minFreq)")
+    val base = docs.select(col(idCol), col(wordsCol).as("_w"))
+    val words = base.select(col(idCol), posexplode(col("_w")).as(Seq("idx", "word")))
+    val wins = base
+      .where(size(col("_w")) >= windowWords) // shorter docs form no window
+      .select(
+        col(idCol),
+        explode(
+          transform(
+            sequence(lit(0), size(col("_w")) - windowWords),
+            off =>
+              struct(
+                off.as("off"),
+                xxhash64(array_join(slice(col("_w"), off + lit(1), lit(windowWords)), sep)).as("h")
+              )
+          )
+        ).as("w")
+      )
+      .select(col(idCol), col("w.off").as("off"), col("w.h").as("h"))
+    val dup = wins
+      .groupBy("h")
+      .agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minFreq)
+      .select("h")
+    val removed = wins
+      .join(dup, Seq("h"), "left_semi")
+      .select(col(idCol), explode(sequence(col("off"), col("off") + lit(windowWords - 1))).as("idx"))
+      .distinct()
+    val rebuilt = words
+      .join(removed, Seq(idCol, "idx"), "left_anti")
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("_n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("idx"), col("word")))),
+            x => x.getField("word")
+          ),
+          sep
+        ).as("text_clean")
+      )
+    base
+      .select(col(idCol), size(col("_w")).cast("long").as("n_words"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_words"),
+        (col("n_words") - coalesce(col("_n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean")
+      )
+  }
+
   def lineDedup(
       docs: DataFrame,
       idCol: String = "doc_id",

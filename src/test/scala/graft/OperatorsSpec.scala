@@ -51,6 +51,29 @@ class OperatorsSpec extends SparkSpec {
     assert(loose(2L) == "COOKIE BANNER other text COOKIE BANNER")
   }
 
+  test("span dedup removes duplicated windows from all copies, only those") {
+    import spark.implicits._
+    // docs 1 and 2 share the 6-word prefix "a b c d e f"; with window 3
+    // every covered word of that span is removed from BOTH docs; doc 2's
+    // own tail repeats "x y z x y z" (within-doc duplication counts);
+    // doc 3 shares nothing; doc 4 is shorter than the window.
+    val corpus = Seq(
+      (1L, "a b c d e f p q r"),
+      (2L, "a b c d e f x y z x y z"),
+      (3L, "g h i j k l m n"),
+      (4L, "s t")
+    ).toDF("doc_id", "text").select(col("doc_id"), split(col("text"), " ").as("words"))
+    val out = Dedup
+      .spanDedup(corpus, windowWords = 3, minFreq = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((9L, 6L, "p q r")), "shared prefix removed, unique tail kept")
+    assert(out(2L) == ((12L, 12L, "")), "shared prefix AND self-repeated tail removed; emptied doc survives")
+    assert(out(3L) == ((8L, 0L, "g h i j k l m n")), "doc with no duplicated window untouched")
+    assert(out(4L) == ((2L, 0L, "s t")), "doc shorter than the window forms no window")
+  }
+
   test("minhash pairs find near-duplicates") {
     val pairs = Dedup
       .minHashPairs(docs)
