@@ -851,6 +851,18 @@ object SparkEntry {
       val d = t(s, dir, "documents").select("doc_id", "lang", "source")
       graft.operators.Curation.quotaSample(d, Seq("lang", "source"), 3).orderBy("doc_id")
     }),
+    "q_cur_split" -> ((s, dir) => {
+      // leakage-safe deterministic train/valid/test split: the split unit
+      // is a symbolic dedup cluster (3 consecutive ids share cluster_key),
+      // so near-duplicates always co-travel into one split; 80/10/10 cut
+      // at 10000 hash buckets — row-local, zero exchanges, growth-stable.
+      // The oracle replays pmod(xxhash64(cluster_key), 10000) in HUGEINT.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") - pmod(col("doc_id"), lit(3))).as("cluster_key"))
+      graft.operators.Curation
+        .hashSplit(d, Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), keyCol = "cluster_key")
+        .orderBy("doc_id")
+    }),
     "q_cur_redact_pii" -> ((s, dir) => {
       // synthetic text carries no PII — inject a deterministic email +
       // phone per row, redact, and let the oracle replay both regexes
@@ -1076,6 +1088,57 @@ object SparkEntry {
     .get("graft.golden.dir")
     .orElse(sys.env.get("GRAFT_GOLDEN_DIR"))
     .getOrElse("/root/repo/golden")
+
+  /** DuckDB CTE stages replaying Spark's xxhash64 of a BIGINT column in
+    * HUGEINT mod-2^64 arithmetic: emits `hx0..hx4` plus `hashes(<id>, h)`
+    * over CTE `from` (which must expose column `<id>`). Same chain the
+    * q_ann_ivf / q_er_pipeline_sym / q_cur_quota_sample oracles inline;
+    * new oracles that replay hash-derived bucketing use this builder.
+    */
+  private def xxhash64Cte(id: String, from: String): String =
+    s"""hx0 AS (
+       |  SELECT $id,
+       |    (((($id::HUGEINT // 4294967296) * 14029467366897019727::HUGEINT % 4294967296) * 4294967296
+       |      + ($id::HUGEINT % 4294967296) * 14029467366897019727::HUGEINT)
+       |     % 18446744073709551616::HUGEINT) AS lp2
+       |  FROM $from),
+       |hx1 AS (
+       |  SELECT $id,
+       |    ((((((lp2 * 2147483648::HUGEINT + lp2 // 8589934592) % 18446744073709551616::HUGEINT) // 4294967296)
+       |        * 11400714785074694791::HUGEINT % 4294967296) * 4294967296
+       |      + (((lp2 * 2147483648::HUGEINT + lp2 // 8589934592) % 18446744073709551616::HUGEINT) % 4294967296)
+       |        * 11400714785074694791::HUGEINT)
+       |     % 18446744073709551616::HUGEINT) AS k1
+       |  FROM hx0),
+       |hx2 AS (
+       |  SELECT $id,
+       |    (((((xor(2870177450012600311::HUGEINT, k1) * 134217728::HUGEINT
+       |         + xor(2870177450012600311::HUGEINT, k1) // 137438953472) % 18446744073709551616::HUGEINT // 4294967296)
+       |        * 11400714785074694791::HUGEINT % 4294967296) * 4294967296
+       |      + ((xor(2870177450012600311::HUGEINT, k1) * 134217728::HUGEINT
+       |          + xor(2870177450012600311::HUGEINT, k1) // 137438953472) % 18446744073709551616::HUGEINT % 4294967296)
+       |        * 11400714785074694791::HUGEINT
+       |      + 9650029242287828579::HUGEINT)
+       |     % 18446744073709551616::HUGEINT) AS h0
+       |  FROM hx1),
+       |hx3 AS (
+       |  SELECT $id,
+       |    (((xor(h0, h0 // 8589934592) // 4294967296) * 14029467366897019727::HUGEINT % 4294967296) * 4294967296
+       |     + (xor(h0, h0 // 8589934592) % 4294967296) * 14029467366897019727::HUGEINT)
+       |    % 18446744073709551616::HUGEINT AS h1
+       |  FROM hx2),
+       |hx4 AS (
+       |  SELECT $id,
+       |    (((xor(h1, h1 // 536870912) // 4294967296) * 1609587929392839161::HUGEINT % 4294967296) * 4294967296
+       |     + (xor(h1, h1 // 536870912) % 4294967296) * 1609587929392839161::HUGEINT)
+       |    % 18446744073709551616::HUGEINT AS h2
+       |  FROM hx3),
+       |hashes AS (
+       |  SELECT $id,
+       |    CASE WHEN xor(h2, h2 // 4294967296) >= 9223372036854775808::HUGEINT
+       |         THEN (xor(h2, h2 // 4294967296) - 18446744073709551616::HUGEINT)::BIGINT
+       |         ELSE xor(h2, h2 // 4294967296)::BIGINT END AS h
+       |  FROM hx4)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1563,6 +1626,16 @@ object SparkEntry {
         |  FROM documents d JOIN hashes h ON h.doc_id = d.doc_id)
         |SELECT doc_id, lang, source FROM ranked WHERE rk <= 3
         |ORDER BY doc_id""".stripMargin,
+    "q_cur_split" ->
+      s"""WITH ck AS (SELECT DISTINCT doc_id - (doc_id % 3) AS id FROM documents),
+         |${xxhash64Cte("id", "ck")},
+         |b AS (SELECT id, ((h % 10000) + 10000) % 10000 AS bucket FROM hashes)
+         |SELECT d.doc_id, d.doc_id - (d.doc_id % 3) AS cluster_key,
+         |  CASE WHEN b.bucket < 8000 THEN 'train'
+         |       WHEN b.bucket < 9000 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM documents d JOIN b ON b.id = d.doc_id - (d.doc_id % 3)
+         |ORDER BY d.doc_id""".stripMargin,
     "q_cur_redact_pii" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(

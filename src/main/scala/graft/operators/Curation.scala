@@ -90,6 +90,40 @@ object Curation {
       .drop("_rk")
   }
 
+  /** Leakage-safe deterministic train/valid/test split: each row is
+    * assigned a split by hashing `keyCol` into `buckets` and cutting at
+    * the cumulative-weight boundaries. Pass the dedup CLUSTER id (or any
+    * group representative) as `keyCol` and every near-duplicate lands in
+    * the SAME split — splitting by raw doc id after deduplication still
+    * leaks eval content through surviving near-dups, which is the classic
+    * contamination bug this operator exists to prevent.
+    *
+    * Deterministic and growth-stable: a doc's split depends only on its
+    * key, never on corpus size, partitioning, or insertion order — a
+    * corpus refresh re-assigns nothing (xxhash64, no RNG state). Row-local
+    * projection, zero exchanges, stays in whole-stage codegen.
+    *
+    * Boundaries are integer bucket cuts (round(cumWeight * buckets)), so
+    * realized proportions are exact to 1/buckets; weights must sum to ~1.
+    */
+  def hashSplit(
+      docs: DataFrame,
+      splits: Seq[(String, Double)],
+      keyCol: String = "doc_id",
+      buckets: Int = 10000
+  ): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), s"need positive split weights (got $splits)")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split weights must sum to 1 (got $total)")
+    require(buckets >= splits.size, s"need at least one bucket per split (got $buckets)")
+    val bucket = pmod(xxhash64(col(keyCol)), lit(buckets))
+    val bounds = splits.scanLeft(0.0)(_ + _._2).tail.map(c => math.round(c * buckets))
+    val label = splits.zip(bounds).init.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), bound), rest) => when(bucket < bound, name).otherwise(rest)
+    }
+    docs.withColumn("split", label)
+  }
+
   /** PII redaction: email addresses and long digit runs (phone-shaped)
     * replaced with typed placeholders. Row-local regexp projections —
     * zero exchanges, stays in whole-stage codegen. Patterns are

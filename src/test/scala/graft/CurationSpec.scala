@@ -48,6 +48,43 @@ class CurationSpec extends SparkSpec {
     assert(Curation.quotaSample(tiny, Seq("key"), 10).count() == 2)
   }
 
+  test("hashSplit: deterministic, cluster-atomic, proportions near weights") {
+    val docs = (0 until 3000)
+      .map(i => (i.toLong, (i / 3).toLong)) // 3-doc near-dup clusters
+      .toDF("doc_id", "cluster_key")
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val out = Curation.hashSplit(docs, splits, keyCol = "cluster_key")
+    // leakage-safety: every cluster lands in exactly one split
+    val perCluster = out
+      .groupBy("cluster_key")
+      .agg(countDistinct(col("split")).as("n"))
+      .where(col("n") > 1)
+    assert(perCluster.count() == 0, "a cluster split across train/eval leaks")
+    // determinism across partitionings: same doc -> same split
+    val again = Curation
+      .hashSplit(docs.repartition(13), splits, keyCol = "cluster_key")
+      .select("doc_id", "split")
+      .as[(Long, String)]
+      .collect()
+      .toMap
+    val first = out.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(first == again, "split assignment must be partitioning-independent")
+    // realized proportions within a few points of the weights
+    val frac = out
+      .groupBy("split")
+      .count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / 3000)
+      .toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, frac.toString)
+    assert(math.abs(frac("valid") - 0.1) < 0.05, frac.toString)
+    assert(math.abs(frac("test") - 0.1) < 0.05, frac.toString)
+    // weights must sum to 1
+    intercept[IllegalArgumentException] {
+      Curation.hashSplit(docs, Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
   test("redactPii replaces emails and phone-shaped digit runs") {
     val docs = Seq(
       (1L, "write to First.Last+tag@sub.example.co.uk or call +44 (0) 1234 567890 now"),
