@@ -863,6 +863,14 @@ object SparkEntry {
         .hashSplit(d, Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), keyCol = "cluster_key")
         .orderBy("doc_id")
     }),
+    "q_cur_mix_weights" -> ((s, dir) => {
+      // temperature-scaled training-mixture weights per source (alpha=0.7
+      // upsamples small sources): one tiny agg + scalar normalizer —
+      // the corpus is read once, never reshuffled
+      val d = t(s, dir, "documents")
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.operators.Curation.mixWeights(d, "source", "n_tokens", alpha = 0.7).orderBy("source")
+    }),
     "q_cur_redact_pii" -> ((s, dir) => {
       // synthetic text carries no PII — inject a deterministic email +
       // phone per row, redact, and let the oracle replay both regexes
@@ -1636,6 +1644,15 @@ object SparkEntry {
          |       ELSE 'test' END AS split
          |FROM documents d JOIN b ON b.id = d.doc_id - (d.doc_id % 3)
          |ORDER BY d.doc_id""".stripMargin,
+    "q_cur_mix_weights" ->
+      """WITH s AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |m AS (SELECT source, n_docs, n_tokens, pow(n_tokens::DOUBLE, 0.7) AS mass FROM s)
+        |SELECT source, n_docs, n_tokens,
+        |       round(mass / (SELECT sum(mass) FROM m), 6) AS weight
+        |FROM m ORDER BY source""".stripMargin,
     "q_cur_redact_pii" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(

@@ -124,6 +124,43 @@ object Curation {
     docs.withColumn("split", label)
   }
 
+  /** Training-mixture weights per source stratum: weight_s proportional
+    * to (token mass of s)^alpha, normalized to sum 1 — temperature
+    * reweighting (alpha < 1 upsamples small sources relative to their raw
+    * share; alpha = 1 is proportional sampling), the standard rule for
+    * composing web-corpus training mixtures across domains/languages.
+    *
+    * Scale shape: one map-side-combinable aggregation to one row per
+    * source (strata counts are tiny by definition), then the normalizer
+    * rides a scalar cross-join of the 1-row total — the corpus is read
+    * once and never reshuffled. Output: (keyCol, n_docs, n_tokens,
+    * weight), weight rounded to 6 decimals so replay engines agree.
+    */
+  def mixWeights(
+      docs: DataFrame,
+      keyCol: String = "source",
+      tokensCol: String = "n_tokens",
+      alpha: Double = 0.7
+  ): DataFrame = {
+    require(alpha > 0, s"alpha must be positive (got $alpha)")
+    val bySource = docs
+      .groupBy(keyCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).cast("long").as("n_tokens")
+      )
+      .withColumn("_mass", pow(col("n_tokens").cast("double"), lit(alpha)))
+    val total = bySource.agg(sum(col("_mass")).as("_total"))
+    bySource
+      .crossJoin(total)
+      .select(
+        col(keyCol),
+        col("n_docs"),
+        col("n_tokens"),
+        round(col("_mass") / col("_total"), 6).as("weight")
+      )
+  }
+
   /** PII redaction: email addresses and long digit runs (phone-shaped)
     * replaced with typed placeholders. Row-local regexp projections —
     * zero exchanges, stays in whole-stage codegen. Patterns are

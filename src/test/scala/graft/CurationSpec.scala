@@ -85,6 +85,27 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("mixWeights: temperature reweighting sums to 1, upsamples small sources") {
+    val docs = Seq.fill(90)(("big", 100L)) ++ Seq.fill(10)(("small", 100L))
+    val out = Curation
+      .mixWeights(docs.toDF("source", "n_tokens"), "source", "n_tokens", alpha = 0.5)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out("big")._1 == 90 && out("big")._2 == 9000L)
+    assert(math.abs(out.values.map(_._3).sum - 1.0) < 1e-5)
+    // alpha=0.5: masses sqrt(9000):sqrt(1000) = 3:1 -> 0.75/0.25
+    assert(math.abs(out("big")._3 - 0.75) < 1e-6, out.toString)
+    assert(math.abs(out("small")._3 - 0.25) < 1e-6, out.toString)
+    // alpha=1 is proportional sampling
+    val prop = Curation
+      .mixWeights(docs.toDF("source", "n_tokens"), "source", "n_tokens", alpha = 1.0)
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(3))
+      .toMap
+    assert(math.abs(prop("big") - 0.9) < 1e-6 && math.abs(prop("small") - 0.1) < 1e-6)
+  }
+
   test("redactPii replaces emails and phone-shaped digit runs") {
     val docs = Seq(
       (1L, "write to First.Last+tag@sub.example.co.uk or call +44 (0) 1234 567890 now"),
