@@ -66,7 +66,8 @@ class PlanAuditSpec extends SparkSpec {
         "q_inc_link",
         "q_er_sorted_neighborhood",
         "q_cur_decontaminate",
-        "q_cur_quota_sample"
+        "q_cur_quota_sample",
+        "q_dd_span_dedup"
       )
     ) {
       val q = graft.SparkEntry.queries(name)(spark, sf)
