@@ -882,6 +882,35 @@ object SparkEntry {
       graft.operators.Curation.redactPii(d).orderBy("doc_id")
     }),
 
+    "q_html_extract" -> ((s, dir) => {
+      // north-rule html:binary -> text extraction: each doc's text is
+      // wrapped row-locally into a full HTML page (head/title, style block,
+      // attributes, a comment, entities in the body, a script whose content
+      // contains a bare '<'), extracted with TextAnalysis.htmlText, and
+      // checked against the expected body — the per-row "byte-identical
+      // extracted text per url" invariant, oracle-replayed in RE2.
+      val body = concat(col("text"), lit(" A &amp; B &lt;ok&gt;"))
+      val html = concat(
+        lit(
+          "<html><head><title>T</title><style>p {color: red}</style></head>" +
+            "<body class=\"main\"><!-- note --><p>"
+        ),
+        body,
+        lit("</p><script type=\"text/javascript\">var x = 1 < 2;</script></body></html>")
+      )
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          graft.operators.TextAnalysis.htmlText(encode(html, "UTF-8")).as("text_extracted"),
+          col("text")
+        )
+        .select(
+          col("doc_id"),
+          col("text_extracted"),
+          (col("text_extracted") === concat(col("text"), lit(" A & B <ok>"))).as("ok")
+        )
+        .orderBy("doc_id")
+    }),
     "q_txt_langid" -> ((s, dir) => {
       // stopword-vote language id heuristic (here: english function words)
       val toks = split(col("text"), " ")
@@ -1665,6 +1694,33 @@ object SparkEntry {
         | CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
         | round(n_chars::DOUBLE / len(string_split(text, ' ')), 6) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_html_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    '<html><head><title>T</title><style>p {color: red}</style></head>'
+        |    || '<body class="main"><!-- note --><p>'
+        |    || text || ' A &amp; B &lt;ok&gt;'
+        |    || '</p><script type="text/javascript">var x = 1 < 2;</script></body></html>' AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(html, '(?is)<head\b[^>]*>.*?</head>', ' ', 'g'),
+        |                '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |              '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+        |            '(?s)<!--.*?-->', ' ', 'g'),
+        |          '(?s)<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS text_extracted
+        |  FROM h)
+        |SELECT doc_id, text_extracted,
+        |       text_extracted = (text || ' A & B <ok>') AS ok
+        |FROM x ORDER BY doc_id""".stripMargin,
     "q_txt_langid" ->
       """SELECT lang_pred, count(*) AS n FROM (
         |  SELECT CASE WHEN len(list_filter(string_split(text, ' '),

@@ -114,6 +114,49 @@ object TextAnalysis {
   def fingerprintMinhash(text: Column, shingle: Int = 4): Column =
     element_at(minhash_sig(Normalize.shingles(Normalize.tokensOf(text), shingle), 4), 1)
 
+  /** Main-content extraction from the north-rule `html:binary` column —
+    * the step that produces the pipeline's `text` (per-row invariant:
+    * byte-identical extracted text per url). Standard extraction order:
+    * the whole head element and script/style elements WITH their content
+    * (title/meta/js/css are chrome, not content), then comments, then all
+    * remaining tags, then one-pass entity decode (&lt; &gt; &quot; &#39;
+    * &nbsp; first, &amp; LAST — so "&amp;lt;" decodes to "&lt;", never
+    * double-decodes to "<"), then whitespace-run collapse + trim.
+    *
+    * Pure built-in regexp/replace chain: row-local, zero exchanges, stays
+    * in whole-stage codegen — at 100 TB this runs entirely inside the
+    * scan projection. Patterns avoid backreferences and Java-only classes
+    * so Java (Spark) and RE2 (the DuckDB oracle) agree byte-for-byte.
+    * A real CC build swaps in a DOM-aware kernel per content type; the
+    * contract (binary in, normalized text out, row-local) is this one.
+    */
+  def htmlText(html: Column): Column = {
+    val s0 = decode(html, "UTF-8")
+    val sh = regexp_replace(s0, "(?is)<head\\b[^>]*>.*?</head>", " ")
+    val s1 = regexp_replace(sh, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val s2 = regexp_replace(s1, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val s3 = regexp_replace(s2, "(?s)<!--.*?-->", " ")
+    val s4 = regexp_replace(s3, "(?s)<[^>]*>", " ")
+    val e = replace(
+      replace(
+        replace(
+          replace(
+            replace(replace(s4, lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+            lit("&quot;"),
+            lit("\"")
+          ),
+          lit("&#39;"),
+          lit("'")
+        ),
+        lit("&nbsp;"),
+        lit(" ")
+      ),
+      lit("&amp;"),
+      lit("&")
+    )
+    trim(regexp_replace(e, "\\s+", " "))
+  }
+
   /** Convenience: annotate a documents frame (expects a `text` column). */
   def annotate(docs: DataFrame): DataFrame =
     docs

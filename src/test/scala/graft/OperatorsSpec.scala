@@ -378,6 +378,33 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L).getAs[Long]("fingerprint") == out(2L).getAs[Long]("fingerprint"))
   }
 
+  test("htmlText: drops chrome, strips tags, decodes entities once, collapses ws") {
+    import spark.implicits._
+    val cases = Seq(
+      // head (incl. title), style, script, comments all removed with content
+      (1L, "<html><head><title>NO</title><style>b{}</style></head>" +
+        "<body><p>keep</p><script>if (1 < 2) alert('x')</script><!-- no --></body></html>", "keep"),
+      // single-pass entity decode: &amp;lt; -> &lt; (never to '<')
+      (2L, "<body>a &amp;lt; b &amp; c &lt;d&gt; &quot;e&quot; &#39;f&#39;&nbsp;g</body>",
+        "a &lt; b & c <d> \"e\" 'f' g"),
+      // whitespace runs across removed blocks collapse to one space
+      (3L, "<body>  x \n\n <b>y</b>\t z  </body>", "x y z")
+    ).toDF("id", "html_s", "expected")
+    val got = cases
+      .select(col("id"), TextAnalysis.htmlText(encode(col("html_s"), "UTF-8")).as("t"), col("expected"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+    got.foreach { case (id, (t, exp)) => assert(t == exp, s"case $id: got '$t'") }
+    // the north-rule invariant end-to-end: extraction over the synthetic
+    // corpus's html column recovers the text column byte-identically
+    val corpus = graft.synth.WebCorpus.pages(spark).toDF().limit(200)
+    val mismatches = corpus
+      .where(TextAnalysis.htmlText(col("html")) =!= col("text"))
+      .count()
+    assert(mismatches == 0L, "htmlText(html) must equal text per url")
+  }
+
   test("bpe-ish token count splits punctuation and digits") {
     import spark.implicits._
     val df = Seq("hello, world! v2.0").toDF("text")
