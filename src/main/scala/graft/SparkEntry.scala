@@ -398,6 +398,34 @@ object SparkEntry {
       graft.eval.PairwiseEval.metricsDf(assignments, gold)
     }),
 
+    "q_er_blocking_eval" -> ((s, dir) => {
+      // blocking-quality report (reduction ratio / pairs completeness /
+      // pairs quality) for the two-family symbolic key scheme against a
+      // band-rule gold — the feasibility numbers an operator reads BEFORE
+      // paying for a scoring run. Candidate volume comes from block-size
+      // counts only (the quadratic set is never materialized); coverage is
+      // two keyed joins of the gold set against the key table.
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val keys = d
+        .select(
+          col("doc_id").as("url"),
+          concat_ws("|", lit("b"), col("lang"), floor(col("n_chars") / 5).cast("long")).as("key")
+        )
+        .unionAll(
+          d.select(
+            col("doc_id").as("url"),
+            concat_ws("|", lit("t"), array_join(slice(split(col("text"), " "), 1, 2), " ")).as("key")
+          )
+        )
+      val g = d.select(col("doc_id").as("u"), col("lang"), floor(col("n_chars") / 10).as("band"))
+      val gold = g
+        .select(col("u").as("url_a"), col("lang"), col("band"))
+        .join(g.select(col("u").as("url_b"), col("lang"), col("band")), Seq("lang", "band"))
+        .where(col("url_a") < col("url_b"))
+        .select("url_a", "url_b")
+      graft.eval.BlockingEval.metricsDf(keys, gold)
+    }),
+
     // ---- ER core (J7, J8 / north rule) ----
     "q_er_block_pairs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1351,6 +1379,39 @@ object SparkEntry {
         |  CASE WHEN tp + fp = 0 AND tp + fn = 0 THEN 1.0 WHEN tp = 0 THEN 0.0
         |    ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
         |FROM m""".stripMargin,
+    "q_er_blocking_eval" ->
+      """WITH keys AS (
+        |  SELECT DISTINCT url, key FROM (
+        |    SELECT doc_id AS url,
+        |           concat_ws('|', 'b', lang, CAST(floor(n_chars / 5) AS BIGINT)) AS key
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT doc_id AS url,
+        |           concat_ws('|', 't', array_to_string((string_split(text, ' '))[1:2], ' ')) AS key
+        |    FROM documents)),
+        |blocks AS (SELECT key, count(*) AS n FROM keys GROUP BY key),
+        |cand AS (SELECT coalesce(sum(n * (n - 1) // 2), 0) AS candidates FROM blocks),
+        |nd AS (SELECT count(DISTINCT url) AS n_docs FROM keys),
+        |gold AS (
+        |  SELECT a.doc_id AS url_a, b.doc_id AS url_b
+        |  FROM documents a JOIN documents b
+        |    ON a.lang = b.lang AND floor(a.n_chars / 10) = floor(b.n_chars / 10)
+        |   AND a.doc_id < b.doc_id),
+        |gc AS (SELECT count(*) AS gold_pairs FROM gold),
+        |cov AS (
+        |  SELECT count(*) AS covered FROM (
+        |    SELECT DISTINCT g.url_a, g.url_b
+        |    FROM gold g
+        |    JOIN keys ka ON ka.url = g.url_a
+        |    JOIN keys kb ON kb.url = g.url_b AND kb.key = ka.key))
+        |SELECT n_docs, candidates, gold_pairs, covered,
+        |  CASE WHEN n_docs < 2 THEN 1.0
+        |       ELSE round(1.0 - candidates::DOUBLE / (n_docs * (n_docs - 1) // 2), 6) END AS reduction_ratio,
+        |  CASE WHEN gold_pairs = 0 THEN 1.0
+        |       ELSE round(covered::DOUBLE / gold_pairs, 6) END AS pairs_completeness,
+        |  CASE WHEN candidates = 0 THEN 1.0
+        |       ELSE round(covered::DOUBLE / candidates, 6) END AS pairs_quality
+        |FROM cand, nd, gc, cov""".stripMargin,
     "q_er_block_pairs" ->
       """SELECT key, count(*) AS n_pairs FROM (
         |  SELECT a.key

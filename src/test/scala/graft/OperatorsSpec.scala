@@ -378,6 +378,31 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L).getAs[Long]("fingerprint") == out(2L).getAs[Long]("fingerprint"))
   }
 
+  test("blocking eval: candidate count from block sizes, coverage, closed form") {
+    import spark.implicits._
+    // 4 docs: key k1 = {a,b,c} (3 candidates), k2 = {c,d} (1 candidate),
+    // doc e emits no key. N = 4 keyed docs -> C(4,2) = 6 total.
+    val keys = Seq(("a", "k1"), ("b", "k1"), ("c", "k1"), ("c", "k2"), ("d", "k2"))
+      .toDF("url", "key")
+    // gold: (a,b) covered by k1, (c,d) covered by k2, (a,d) NOT covered,
+    // (a,e) has a keyless member -> not covered; labels filter applies
+    val gold = Seq(
+      ("a", "b", true),
+      ("c", "d", true),
+      ("a", "d", true),
+      ("a", "e", true),
+      ("b", "c", false)
+    ).toDF("url_a", "url_b", "label")
+    val m = graft.eval.BlockingEval.metricsDf(keys, gold).collect()(0)
+    assert(m.getAs[Long]("n_docs") == 4L)
+    assert(m.getAs[Long]("candidates") == 4L, "C(3,2) + C(2,2) = 3 + 1")
+    assert(m.getAs[Long]("gold_pairs") == 4L)
+    assert(m.getAs[Long]("covered") == 2L)
+    assert(math.abs(m.getAs[Double]("reduction_ratio") - (1.0 - 4.0 / 6.0)) < 1e-6)
+    assert(math.abs(m.getAs[Double]("pairs_completeness") - 0.5) < 1e-6)
+    assert(math.abs(m.getAs[Double]("pairs_quality") - 0.5) < 1e-6)
+  }
+
   test("htmlText: drops chrome, strips tags, decodes entities once, collapses ws") {
     import spark.implicits._
     val cases = Seq(
