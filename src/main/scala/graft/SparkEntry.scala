@@ -398,6 +398,30 @@ object SparkEntry {
       graft.eval.PairwiseEval.metricsDf(assignments, gold)
     }),
 
+    "q_f_canonical_url" -> ((s, dir) => {
+      // canonical-url normalization (the CLI's first blocking strategy):
+      // four tracked variants per doc built row-locally — scheme swap,
+      // www., tracking params, mobile host + trailing slash — must
+      // collapse to ONE canonical key; the oracle replays the regex chain
+      // in RE2 (patterns chosen to agree with Java)
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val base = concat(col("source"), lit(".example.org/p/"), col("doc_id"))
+      d.select(
+        col("doc_id"),
+        explode(
+          array(
+            concat(lit("http://"), base),
+            concat(lit("https://www."), base),
+            concat(lit("http://"), base, lit("?utm_source=feed&ref=1")),
+            concat(lit("https://m."), base, lit("/"))
+          )
+        ).as("url")
+      )
+        .select(col("doc_id"), Normalize.canonicalUrl(col("url")).as("canonical"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("canonical")).as("n_canonical"), min("canonical").as("canonical"))
+        .orderBy("doc_id")
+    }),
     "q_er_blocking_eval" -> ((s, dir) => {
       // blocking-quality report (reduction ratio / pairs completeness /
       // pairs quality) for the two-family symbolic key scheme against a
@@ -1379,6 +1403,26 @@ object SparkEntry {
         |  CASE WHEN tp + fp = 0 AND tp + fn = 0 THEN 1.0 WHEN tp = 0 THEN 0.0
         |    ELSE round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1
         |FROM m""".stripMargin,
+    "q_f_canonical_url" ->
+      """WITH urls AS (
+        |  SELECT doc_id, unnest([
+        |    'http://' || source || '.example.org/p/' || doc_id,
+        |    'https://www.' || source || '.example.org/p/' || doc_id,
+        |    'http://' || source || '.example.org/p/' || doc_id || '?utm_source=feed&ref=1',
+        |    'https://m.' || source || '.example.org/p/' || doc_id || '/'
+        |  ]) AS url FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(trim(url)),
+        |      '^[a-z][a-z0-9+.-]*://', ''),
+        |      '^(www\.|m\.)', ''),
+        |      '[?#].*$', ''),
+        |      '/+$', '') AS canonical
+        |  FROM urls)
+        |SELECT doc_id, CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+        |       min(canonical) AS canonical
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_er_blocking_eval" ->
       """WITH keys AS (
         |  SELECT DISTINCT url, key FROM (
