@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.IncrementalLinkage
+import graft.pipeline.LinkagePipeline
+
+/** Continuous-ingestion record linkage: a stream of new pages is linked
+  * against a durable cluster store in O(delta) per micro-batch by driving
+  * [[graft.operators.IncrementalLinkage]] inside `foreachBatch` — the
+  * production shape for crawl ingestion (stream the page firehose, keep a
+  * continuously-updated cluster store), the streaming face of the CLI's
+  * `--base/--save-index` surface.
+  *
+  * Store layout under `storeDir`: versioned prediction snapshots
+  * (`predictions_v<N>`) and chained index dirs (`index_v<N>`, each an
+  * O(delta) [[IncrementalLinkage.saveIndexDelta]] link pointing at its
+  * parent), advanced by an atomically-rewritten one-line `LATEST` pointer.
+  * Crash safety: a micro-batch that dies mid-write never moves the
+  * pointer; the Structured Streaming checkpoint re-delivers the batch,
+  * which recomputes from v<N> and overwrites v<N+1> — and
+  * `IncrementalLinkage.link` drops urls already present in the base, so
+  * re-delivered rows are idempotent no-ops even across overlapping
+  * batches.
+  *
+  * Equivalence contract inherited from the operator: after ANY prefix of
+  * micro-batches the store equals the full batch rerun over every page
+  * seen so far (exactly, including cluster labels, under the operator's
+  * contract conditions). `seq` is not assigned (`reseq = false`): the
+  * deterministic sequence is a full-corpus range exchange — O(n) work
+  * that contradicts O(delta) streaming; a consumer that needs it runs
+  * one seq pass over the final snapshot.
+  *
+  * Index chains grow one link per batch; every `compactEvery` versions
+  * the loaded index is rewritten flat ([[IncrementalLinkage.saveIndex]])
+  * so lookup cost stays bounded on long-running streams.
+  */
+object StreamingLinkage {
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Latest committed store version, if any. */
+  def currentVersion(spark: SparkSession, storeDir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$storeDir/LATEST")
+    val f = fs(spark, storeDir)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      Some(txt.trim.toInt)
+    }
+  }
+
+  private def commitVersion(spark: SparkSession, storeDir: String, v: Int): Unit = {
+    val f = fs(spark, storeDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$storeDir/LATEST.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$storeDir/LATEST")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // rename is the FS-atomic step; delete-then-rename because HDFS rename
+    // does not overwrite (a crash between the two re-delivers the batch,
+    // which rewrites both files)
+    if (f.exists(dst)) f.delete(dst, false)
+    require(f.rename(tmp, dst), s"could not advance $dst")
+  }
+
+  /** The latest committed prediction snapshot (url, cluster_id, score,
+    * status, text; seq is null by streaming contract).
+    */
+  def predictions(spark: SparkSession, storeDir: String): DataFrame = {
+    val v = currentVersion(spark, storeDir)
+      .getOrElse(sys.error(s"no committed store at $storeDir"))
+    spark.read.parquet(s"$storeDir/predictions_v$v")
+  }
+
+  /** Link one batch of pages (url, text) into the store: bootstrap a base
+    * run at v0 if the store is empty, else an O(delta) increment to
+    * v<N+1>. Exposed for tests and for callers that already sit inside a
+    * foreachBatch.
+    */
+  def linkBatch(
+      batch: DataFrame,
+      storeDir: String,
+      cfg: LinkagePipeline.Config = LinkagePipeline.Config(),
+      compactEvery: Int = 16
+  ): Unit = {
+    val spark = batch.sparkSession
+    val pages = batch.select("url", "text")
+    if (pages.isEmpty) return
+    val strategyNames = cfg.strategies.map(_.name).mkString(",")
+    currentVersion(spark, storeDir) match {
+      case None =>
+        val preds = LinkagePipeline.run(pages, cfg)
+        preds.write.mode("overwrite").parquet(s"$storeDir/predictions_v0")
+        IncrementalLinkage.saveIndex(
+          IncrementalLinkage.buildIndex(pages, cfg),
+          s"$storeDir/index_v0",
+          strategyNames
+        )
+        commitVersion(spark, storeDir, 0)
+      case Some(v) =>
+        val base = spark.read.parquet(s"$storeDir/predictions_v$v")
+        val (index, stored) = IncrementalLinkage.loadIndex(spark, s"$storeDir/index_v$v")
+        require(
+          stored == strategyNames,
+          s"store at $storeDir was built with strategies [$stored], batch uses [$strategyNames]"
+        )
+        val r = IncrementalLinkage.link(pages, base, index, cfg, reseq = false)
+        r.predictions.write.mode("overwrite").parquet(s"$storeDir/predictions_v${v + 1}")
+        if ((v + 1) % compactEvery == 0)
+          IncrementalLinkage.saveIndex(r.index, s"$storeDir/index_v${v + 1}", strategyNames)
+        else
+          IncrementalLinkage.saveIndexDelta(
+            r.deltaKeys,
+            r.index,
+            s"$storeDir/index_v${v + 1}",
+            strategyNames,
+            s"$storeDir/index_v$v"
+          )
+        commitVersion(spark, storeDir, v + 1)
+    }
+  }
+
+  /** Start the continuous query: every micro-batch of `pages` (a STREAMING
+    * frame with url, text) advances the store one version. Exactly-once
+    * effect via the streaming checkpoint (batch replay) + idempotent
+    * re-delivery in the operator.
+    */
+  def run(
+      pages: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      cfg: LinkagePipeline.Config = LinkagePipeline.Config(),
+      trigger: Trigger = Trigger.AvailableNow(),
+      compactEvery: Int = 16
+  ): StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        linkBatch(batch, storeDir, cfg, compactEvery)
+      }
+      .start()
+}

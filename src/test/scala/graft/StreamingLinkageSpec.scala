@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.LinkagePipeline
+import graft.streaming.StreamingLinkage
+import graft.synth.WebCorpus
+
+class StreamingLinkageSpec extends SparkSpec {
+
+  private def snapshot(store: String): Map[String, (String, String)] =
+    StreamingLinkage
+      .predictions(spark, store)
+      .select(col("url"), col("cluster_id").cast("string"), col("status"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+
+  private def rerun(
+      pages: Seq[(String, String)],
+      cfg: LinkagePipeline.Config
+  ): Map[String, (String, String)] = {
+    import spark.implicits._
+    LinkagePipeline
+      .run(pages.toDF("url", "text"), cfg)
+      .select(col("url"), col("cluster_id").cast("string"), col("status"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2))))
+      .toMap
+  }
+
+  test("streaming linkage: store equals the batch rerun after every micro-batch prefix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-slink-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-slink-ckpt").toString
+    val cfg = LinkagePipeline.Config()
+    val all = WebCorpus
+      .pages(spark, WebCorpus.Config(numClusters = 25, seed = 11L))
+      .toDF()
+      .select("url", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSeq
+    // any 3-way split must converge to the same clusters (the operator's
+    // equivalence theorem); round-robin keeps every wave non-trivial
+    val waves = (0 until 3).map(w => all.zipWithIndex.filter(_._2 % 3 == w).map(_._1))
+
+    val input = MemoryStream[(String, String)]
+    val q = StreamingLinkage.run(
+      input.toDS().toDF("url", "text"),
+      store,
+      ckpt,
+      cfg,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)
+    )
+    try {
+      var seen = Seq.empty[(String, String)]
+      for ((wave, i) <- waves.zipWithIndex) {
+        input.addData(wave: _*)
+        q.processAllAvailable()
+        seen = seen ++ wave
+        assert(StreamingLinkage.currentVersion(spark, store).contains(i), s"version after wave $i")
+        val got = snapshot(store)
+        val want = rerun(seen, cfg)
+        assert(got.size == want.size, s"wave $i: ${got.size} rows vs rerun ${want.size}")
+        assert(got == want, s"wave $i: store diverged from the batch rerun")
+      }
+    } finally q.stop()
+
+    // idempotent re-delivery: a crashed-and-replayed batch advances the
+    // version but cannot change the clusters
+    val before = snapshot(store)
+    StreamingLinkage.linkBatch(waves.last.toDF("url", "text"), store, cfg)
+    assert(StreamingLinkage.currentVersion(spark, store).contains(3))
+    assert(snapshot(store) == before, "re-delivered batch must be a no-op")
+  }
+}
