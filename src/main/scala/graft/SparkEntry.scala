@@ -915,6 +915,30 @@ object SparkEntry {
         .hashSplit(d, Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), keyCol = "cluster_key")
         .orderBy("doc_id")
     }),
+    "q_cur_quality_gate" -> ((s, dir) => {
+      // keep/drop gate with reason codes: doc_id % 3 == 0 docs get their
+      // text doubled row-locally (plants repetitive_trigram + too_long +
+      // low_diversity), thresholds chosen so the battery exercises a mix
+      // of reasons; raw split tokens shared with the oracle
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        split(
+          when(pmod(col("doc_id"), lit(3)) === 0, concat(col("text"), lit(" "), col("text")))
+            .otherwise(col("text")),
+          " "
+        ).as("toks")
+      )
+      graft.operators.Curation
+        .qualityGate(
+          d,
+          minTokens = 30,
+          maxTokens = 200,
+          minDistinctRatio = 0.3,
+          maxTopBigramFrac = 0.1,
+          maxDupTrigramFrac = 0.2
+        )
+        .orderBy("doc_id")
+    }),
     "q_cur_mix_weights" -> ((s, dir) => {
       // temperature-scaled training-mixture weights per source (alpha=0.7
       // upsamples small sources): one tiny agg + scalar normalizer —
@@ -1778,6 +1802,45 @@ object SparkEntry {
          |       ELSE 'test' END AS split
          |FROM documents d JOIN b ON b.id = d.doc_id - (d.doc_id % 3)
          |ORDER BY d.doc_id""".stripMargin,
+    "q_cur_quality_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(CASE WHEN doc_id % 3 = 0 THEN text || ' ' || text ELSE text END, ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(toks) AS n,
+        |    round(len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1), 6) AS distinct_ratio,
+        |    greatest(len(toks) - 1, 0) AS n_bi, greatest(len(toks) - 2, 0) AS n_tri,
+        |    list_transform(range(1, greatest(len(toks), 1)),
+        |      i -> toks[i] || chr(31) || toks[i+1]) AS bis,
+        |    list_transform(range(1, greatest(len(toks) - 1, 1)),
+        |      i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]) AS tris
+        |  FROM t),
+        |bc AS (
+        |  SELECT doc_id, gram, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(bis) AS gram FROM g) GROUP BY 1, 2),
+        |btop AS (SELECT doc_id, max(c) AS top FROM bc GROUP BY 1),
+        |tc AS (
+        |  SELECT doc_id, gram, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(tris) AS gram FROM g) GROUP BY 1, 2),
+        |tdup AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM tc GROUP BY 1),
+        |m AS (
+        |  SELECT g.doc_id, CAST(g.n AS BIGINT) AS n_tokens, g.distinct_ratio,
+        |    round(coalesce(btop.top, 0)::DOUBLE / greatest(g.n_bi, 1), 6) AS top_bigram_frac,
+        |    round(coalesce(tdup.dup, 0)::DOUBLE / greatest(g.n_tri, 1), 6) AS dup_trigram_frac
+        |  FROM g LEFT JOIN btop ON btop.doc_id = g.doc_id LEFT JOIN tdup ON tdup.doc_id = g.doc_id),
+        |r AS (
+        |  SELECT *, list_filter([
+        |      CASE WHEN n_tokens < 30 THEN 'too_short' END,
+        |      CASE WHEN n_tokens > 200 THEN 'too_long' END,
+        |      CASE WHEN distinct_ratio < 0.3 THEN 'low_diversity' END,
+        |      CASE WHEN top_bigram_frac > 0.1 THEN 'repetitive_bigram' END,
+        |      CASE WHEN dup_trigram_frac > 0.2 THEN 'repetitive_trigram' END
+        |    ], x -> x IS NOT NULL) AS reasons
+        |  FROM m)
+        |SELECT doc_id, n_tokens, distinct_ratio, top_bigram_frac, dup_trigram_frac,
+        |       reasons, len(reasons) = 0 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_cur_mix_weights" ->
       """WITH s AS (
         |  SELECT source, count(*) AS n_docs,

@@ -124,6 +124,56 @@ object Curation {
     docs.withColumn("split", label)
   }
 
+  /** One-call quality gate: composes the TextAnalysis signals into a
+    * keep/drop decision with REASON CODES — the auditable form a corpus
+    * build wants (drop rates per reason are the monitoring surface; a
+    * bare boolean hides which filter fired). Checks, in fixed order:
+    * too_short / too_long (token count), low_diversity (distinct-token
+    * ratio), repetitive_bigram / repetitive_trigram (the Gopher
+    * repetition fractions). Operates on caller-supplied tokens (same
+    * contract as repetitionSignalsTokens, so engine and oracle share one
+    * tokenization). Row-local projection — zero exchanges; at 100 TB
+    * this runs inside the scan.
+    */
+  def qualityGate(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      toksCol: String = "toks",
+      minTokens: Long = 50L,
+      maxTokens: Long = 100000L,
+      minDistinctRatio: Double = 0.0,
+      maxTopBigramFrac: Double = 0.2,
+      maxDupTrigramFrac: Double = 0.2
+  ): DataFrame = {
+    val toks = col(toksCol)
+    val rep = graft.operators.TextAnalysis.repetitionSignalsTokens(toks)
+    val staged = docs.select(
+      col(idCol),
+      size(toks).cast("long").as("n_tokens"),
+      round(
+        size(array_distinct(toks)).cast("double") / greatest(size(toks), lit(1)).cast("double"),
+        6
+      ).as("distinct_ratio"),
+      rep.getField("top_bigram_frac").as("top_bigram_frac"),
+      rep.getField("dup_trigram_frac").as("dup_trigram_frac")
+    )
+    staged
+      .withColumn(
+        "reasons",
+        filter(
+          array(
+            when(col("n_tokens") < minTokens, lit("too_short")),
+            when(col("n_tokens") > maxTokens, lit("too_long")),
+            when(col("distinct_ratio") < minDistinctRatio, lit("low_diversity")),
+            when(col("top_bigram_frac") > maxTopBigramFrac, lit("repetitive_bigram")),
+            when(col("dup_trigram_frac") > maxDupTrigramFrac, lit("repetitive_trigram"))
+          ),
+          x => x.isNotNull
+        )
+      )
+      .withColumn("keep", size(col("reasons")) === 0)
+  }
+
   /** Training-mixture weights per source stratum: weight_s proportional
     * to (token mass of s)^alpha, normalized to sum 1 — temperature
     * reweighting (alpha < 1 upsamples small sources relative to their raw

@@ -85,6 +85,38 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("qualityGate: reason codes fire in fixed order, clean doc passes") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight"), // clean at these thresholds
+      (2L, "tiny doc"), // too_short
+      (3L, ("w " * 15).trim), // 15 identical tokens: low_diversity + repetitive grams
+      (4L, (1 to 50).map(i => s"t$i").mkString(" ")) // too_long at maxTokens = 20
+    ).toDF("doc_id", "text").select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val out = Curation
+      .qualityGate(
+        docs,
+        minTokens = 5,
+        maxTokens = 20,
+        minDistinctRatio = 0.3,
+        maxTopBigramFrac = 0.5,
+        maxDupTrigramFrac = 0.5
+      )
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Seq[String]]("reasons"), r.getBoolean(r.fieldIndex("keep")))))
+      .toMap
+    assert(out(1L) == ((Seq(), true)), out(1L).toString)
+    // a 2-token doc has ONE bigram, so its top-bigram fraction is 1.0 by
+    // definition — the gate reports the raw signal and too_short composes
+    // with it (tiny docs never reach the repetition thresholds in practice
+    // because minTokens fails them first; both reasons are informative)
+    assert(out(2L) == ((Seq("too_short", "repetitive_bigram"), false)))
+    assert(
+      out(3L) == ((Seq("low_diversity", "repetitive_bigram", "repetitive_trigram"), false)),
+      "order must be the fixed check order: " + out(3L)
+    )
+    assert(out(4L) == ((Seq("too_long"), false)))
+  }
+
   test("mixWeights: temperature reweighting sums to 1, upsamples small sources") {
     val docs = Seq.fill(90)(("big", 100L)) ++ Seq.fill(10)(("small", 100L))
     val out = Curation
