@@ -78,6 +78,29 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("row-local operators execute with ZERO exchanges") {
+    // these must all run inside the scan projection — one Exchange node in
+    // any of them is a 100 TB shuffle bill for row-local work
+    val base = spark.read.parquet(dir)
+    val cases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+      "htmlText" -> base.select(
+        col("id"),
+        graft.operators.TextAnalysis.htmlText(encode(col("text"), "UTF-8")).as("t")
+      ),
+      "redactPii" -> graft.operators.Curation.redactPii(base.select(col("id"), col("text"))),
+      "hashSplit" -> graft.operators.Curation
+        .hashSplit(base.select(col("id")), Seq("train" -> 0.9, "test" -> 0.1), keyCol = "id"),
+      "qualityGate" -> graft.operators.Curation
+        .qualityGate(base.select(col("id"), split(col("text"), " ").as("toks")), idCol = "id"),
+      "annotate" -> graft.operators.TextAnalysis.annotate(base.select(col("id"), col("text")))
+    )
+    for ((name, q) <- cases) {
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"$name shuffles row-local work:\n$plan")
+    }
+  }
+
   test("per-key threshold table joins as a broadcast") {
     import spark.implicits._
     val scored = (0 until 500)
