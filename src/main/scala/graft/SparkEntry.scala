@@ -987,6 +987,19 @@ object SparkEntry {
         )
         .orderBy("doc_id")
     }),
+    "q_txt_winnow" -> ((s, dir) =>
+      // winnowing fingerprints (MOSS): distinct minima of 5-windows over
+      // the 4-gram FNV hash stream; the oracle replays the per-char FNV
+      // fold, the k-gram fold, signed conversion, window minima and the
+      // distinct-sort — fully symbolic. Raw split tokens shared with the
+      // oracle (one tokenization).
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          SF.winnow(split(col("text"), " "), 4, 5).as("fingerprints")
+        )
+        .select(col("doc_id"), col("fingerprints"), size(col("fingerprints")).cast("long").as("n_fp"))
+        .orderBy("doc_id")),
     "q_txt_langid" -> ((s, dir) => {
       // stopword-vote language id heuristic (here: english function words)
       val toks = split(col("text"), " ")
@@ -1889,6 +1902,38 @@ object SparkEntry {
         |SELECT doc_id, text_extracted,
         |       text_extracted = (text || ' A & B <ok>') AS ok
         |FROM x ORDER BY doc_id""".stripMargin,
+    "q_txt_winnow" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_transform(toks, t ->
+        |      list_reduce(
+        |        list_prepend(14695981039346656037::HUGEINT,
+        |          list_transform(range(1, length(t) + 1), i -> ord(substr(t, i, 1))::HUGEINT)),
+        |        (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)) AS th
+        |  FROM tok),
+        |hs0 AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(th) - 2, 1)), p ->
+        |      list_reduce(list_prepend(14695981039346656037::HUGEINT, th[p:p+3]),
+        |        (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)) AS hs0
+        |  FROM th),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(hs0, f ->
+        |      CASE WHEN f >= 9223372036854775808::HUGEINT
+        |           THEN (f - 18446744073709551616::HUGEINT)::BIGINT
+        |           ELSE f::BIGINT END) AS hs
+        |  FROM hs0),
+        |sel AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(hs) = 0 THEN hs
+        |         WHEN len(hs) <= 5 THEN [list_min(hs)]
+        |         ELSE list_transform(range(1, len(hs) - 3), q -> list_min(hs[q:q+4])) END AS sel
+        |  FROM hs)
+        |SELECT doc_id, list_sort(list_distinct(sel)) AS fingerprints,
+        |       CAST(len(list_distinct(sel)) AS BIGINT) AS n_fp
+        |FROM sel ORDER BY doc_id""".stripMargin,
     "q_txt_langid" ->
       """SELECT lang_pred, count(*) AS n FROM (
         |  SELECT CASE WHEN len(list_filter(string_split(text, ' '),

@@ -475,6 +475,65 @@ object SimKernels {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+    * MOSS algorithm): the distinct minima of every `w`-window over the
+    * in-order `k`-gram hash stream, sorted. Guarantees: two documents
+    * sharing a token run of at least w + k - 1 tokens share at least one
+    * fingerprint, and no shared fingerprint reflects a match shorter than
+    * k tokens (modulo a 2^-64 collision). Fingerprints are VALUES
+    * (position-free), so a match survives the shared span moving within
+    * either document. Same FNV-1a fold as the MinHash kernel, so the
+    * DuckDB oracle replays it with the identical list_reduce chain.
+    * Window minima are the naive O(m·w) scan — documents are row-local
+    * and w is small; swap in a monotonic deque if profiles ever say so.
+    */
+  def winnow(tokens: ArrayData, k: Int, w: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt < k) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      th(i) = if (tokens.isNullAt(i)) 0L else fnv64(tokens.getUTF8String(i))
+      i += 1
+    }
+    val m = cnt - k + 1
+    val hs = new Array[Long](m)
+    var p = 0
+    while (p < m) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) {
+        h = (h ^ th(p + j)) * 0x100000001b3L
+        j += 1
+      }
+      hs(p) = h
+      p += 1
+    }
+    // a doc shorter than one full window still emits one fingerprint
+    val nw = if (m <= w) 1 else m - w + 1
+    val sel = new Array[Long](nw)
+    var q = 0
+    while (q < nw) {
+      val end = math.min(q + w, m)
+      var mn = hs(q)
+      var r = q + 1
+      while (r < end) {
+        if (hs(r) < mn) mn = hs(r)
+        r += 1
+      }
+      sel(q) = mn
+      q += 1
+    }
+    java.util.Arrays.sort(sel)
+    var rd = 1
+    var wr = 1
+    while (rd < sel.length) {
+      if (sel(rd) != sel(wr - 1)) { sel(wr) = sel(rd); wr += 1 }
+      rd += 1
+    }
+    new GenericArrayData(if (wr == sel.length) sel else java.util.Arrays.copyOf(sel, wr))
+  }
+
   /** MinHash signature: for each of k hash families, the minimum of
     * (fnv64(shingle) XOR seed_k) * PRIME over all shingles. Empty input
     * yields Long.MaxValue per slot.
@@ -574,6 +633,18 @@ case class MinHashShingles(child: Expression, n: Int, k: Int) extends UnaryExpre
     SimKernels.minHashShingles(v.asInstanceOf[ArrayData], n, k)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.functions.SimKernels.minHashShingles($a, $n, $k)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Winnowing fingerprint set of an array<string> token column. */
+case class Winnow(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow"
+  override protected def nullSafeEval(v: Any): Any =
+    SimKernels.winnow(v.asInstanceOf[ArrayData], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SimKernels.winnow($a, $k, $w)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -710,6 +781,8 @@ object SimilarityFunctions {
 
   def minhash_shingles(tokens: Column, n: Int, k: Int): Column =
     GraftShim.column(MinHashShingles(e(tokens), n, k))
+  def winnow(tokens: Column, k: Int, w: Int): Column =
+    GraftShim.column(Winnow(e(tokens), k, w))
   def tfidf_weight(
       tf: Column,
       idfBc: org.apache.spark.broadcast.Broadcast[java.util.HashMap[java.lang.Long, java.lang.Double]]

@@ -103,6 +103,46 @@ class SimilaritySpec extends SparkSpec {
     assert(agreeAB >= 8) // ~0.8 jaccard over 16 slots
   }
 
+  test("winnow: the MOSS guarantees on hand-built documents") {
+    import spark.implicits._
+    val k = 4
+    val w = 5
+    // shared run of exactly w + k - 1 = 8 tokens, embedded at different
+    // positions in otherwise-disjoint documents
+    val run = (1 to 8).map(i => s"shared$i")
+    val a = (1 to 6).map(i => s"a$i") ++ run ++ (1 to 6).map(i => s"a${i + 6}")
+    val b = (1 to 3).map(i => s"b$i") ++ run ++ (1 to 9).map(i => s"b${i + 3}")
+    val c = (1 to 20).map(i => s"c$i") // nothing shared
+    val tiny = Seq("t1", "t2", "t3", "t4", "t5") // >= k, shorter than one window
+    val sub = Seq("x1", "x2", "x3") // < k tokens
+    val row = Seq((a, b, c, tiny, sub))
+      .toDF("a", "b", "c", "tiny", "sub")
+      .select(
+        SimilarityFunctions.winnow(col("a"), k, w).as("fa"),
+        SimilarityFunctions.winnow(col("b"), k, w).as("fb"),
+        SimilarityFunctions.winnow(col("c"), k, w).as("fc"),
+        SimilarityFunctions.winnow(col("tiny"), k, w).as("ft"),
+        SimilarityFunctions.winnow(col("sub"), k, w).as("fs")
+      )
+      .collect()(0)
+    val fa = row.getSeq[Long](0).toSet
+    val fb = row.getSeq[Long](1).toSet
+    val fc = row.getSeq[Long](2).toSet
+    assert((fa & fb).nonEmpty, "a shared w+k-1 run must yield a shared fingerprint")
+    assert((fa & fc).isEmpty && (fb & fc).isEmpty, "disjoint docs share nothing")
+    assert(row.getSeq[Long](3).size == 1, "a doc shorter than one window emits ONE fingerprint")
+    assert(row.getSeq[Long](4).isEmpty, "fewer than k tokens emits none")
+    // fingerprints are position-free: the same run at another offset
+    // selects the same minima values inside its fully-shared windows
+    val fa2 = Seq(Tuple1((1 to 11).map(i => s"z$i") ++ run))
+      .toDF("z")
+      .select(SimilarityFunctions.winnow(col("z"), k, w))
+      .collect()(0)
+      .getSeq[Long](0)
+      .toSet
+    assert((fa & fa2).nonEmpty)
+  }
+
   test("normalize: canonical url collapses planted variants") {
     import spark.implicits._
     val urls = Seq(
