@@ -48,11 +48,46 @@ object ScaleProbe {
       )
     }
 
+    // SPARK_GRAFT_PROBE_ONLY=span (etc.) restricts to one family (dev loop)
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+    def fam(name: String): Boolean = only.forall(_ == name)
+
     sizes.foreach { n =>
       val cfg = WebCorpus.Config(numClusters = n / 4)
       val pages = WebCorpus.pages(spark, cfg).toDF().select("url", "text")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val docs = pages.count()
+
+      // family 6: the span-dedup window stream (exact-substring dedup).
+      // Window ROWS are linear by construction (one per word offset); the
+      // only corpus-size-dependent quantity is the duplicated-window
+      // SHARE, capped at 1.0 — so the removal pass is at worst one extra
+      // linear scan. Measured here so the cap claim has numbers.
+      if (fam("span")) {
+        val wins = pages
+          .select(col("url"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 8)
+          .select(
+            explode(
+              expr("transform(sequence(0, size(w) - 8), i -> xxhash64(array_join(slice(w, i + 1, 8), ' ')))")
+            ).as("h")
+          )
+        val st = wins
+          .groupBy("h")
+          .agg(count(lit(1)).as("c"))
+          .agg(
+            sum("c").as("windows"),
+            sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup")
+          )
+          .collect()(0)
+        val windows = st.getLong(0)
+        val dup = st.getLong(1)
+        println(
+          f"[scale] n=$docs%8d spanDedup windows=$windows%12d win/doc=${windows.toDouble / docs}%6.1f " +
+            f"dupWindows=$dup%12d dupShare=${dup.toDouble / windows}%.4f"
+        )
+      }
+      if (!only.contains("span")) {
 
       // family 1-3: the ER blocking strategies
       strategies.foreach { s =>
@@ -104,6 +139,7 @@ object ScaleProbe {
         .saltBuckets(eKeys, cap = 4 * 1000)
         .select(col("id").as("url"), col("key").cast("string").as("key"))
       blockStats(s"emb_refined", docs, salted, cap = 4000)
+      }
       pages.unpersist()
     }
     spark.stop()
