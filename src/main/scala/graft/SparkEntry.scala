@@ -785,6 +785,34 @@ object SparkEntry {
         )
         .orderBy("doc_id")
     }),
+    "q_dd_resolve" -> ((s, dir) => {
+      // near-dup resolution (the drop list): two symbolic key families
+      // produce duplicate pairs, Dedup.resolve closes them transitively
+      // (checkpointed CC), picks the longest-text/min-id canonical per
+      // cluster, and emits keep/drop; the oracle replays closure with a
+      // recursive CTE and the canonical rule with a window
+      val pages = t(s, dir, "documents").select(
+        col("doc_id"),
+        substring(col("text"), 1, 60).as("text"),
+        col("lang"),
+        col("n_chars")
+      )
+      val keys = pages
+        .select(
+          col("doc_id").as("url"),
+          concat_ws("|", lit("t"), array_join(slice(split(col("text"), " "), 1, 2), " ")).as("key")
+        )
+        .unionAll(
+          pages.select(
+            col("doc_id").as("url"),
+            concat_ws("|", lit("b"), col("lang"), floor(col("n_chars") / 5).cast("long")).as("key")
+          )
+        )
+      val a = keys.select(col("url").as("urlA"), col("key"))
+      val b = keys.select(col("url").as("urlB"), col("key"))
+      val pairs = a.join(b, Seq("key")).where(col("urlA") < col("urlB")).select("urlA", "urlB").distinct()
+      graft.operators.Dedup.resolve(pages, pairs, "doc_id", "text").orderBy("doc_id")
+    }),
     "q_dd_simhash" -> ((s, dir) =>
       // SimHash fingerprint + hamming-near pairs on adjacent ids (rows-only)
       t(s, dir, "documents")
@@ -1704,6 +1732,34 @@ object SparkEntry {
         |kept AS (SELECT e.doc_id, e.ord, e.line FROM expl e JOIN freq f USING (line))
         |SELECT l.doc_id, coalesce(string_agg(k.line, ' ' ORDER BY k.ord), '') AS text_clean
         |FROM lined l LEFT JOIN kept k USING (doc_id) GROUP BY l.doc_id ORDER BY doc_id""".stripMargin,
+    "q_dd_resolve" ->
+      """WITH RECURSIVE pages AS (
+        |  SELECT doc_id AS url, substr(text, 1, 60) AS text, lang, n_chars FROM documents),
+        |keys AS (
+        |  SELECT url, concat_ws('|', 't', array_to_string((string_split(text, ' '))[1:2], ' ')) AS key FROM pages
+        |  UNION ALL
+        |  SELECT url, concat_ws('|', 'b', lang, CAST(floor(n_chars / 5) AS BIGINT)) AS key FROM pages),
+        |pairs AS (
+        |  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+        |  FROM keys a JOIN keys b ON a.key = b.key AND a.url < b.url),
+        |e AS (SELECT url_a AS src, url_b AS dst FROM pairs
+        |      UNION SELECT url_b, url_a FROM pairs),
+        |reach AS (
+        |  SELECT src, src AS dst FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |assign AS (SELECT src AS url, min(dst) AS cluster_id FROM reach GROUP BY src),
+        |m AS (
+        |  SELECT p.url AS doc_id, coalesce(a.cluster_id, p.url) AS cluster_id,
+        |         length(p.text) AS len
+        |  FROM pages p LEFT JOIN assign a ON a.url = p.url),
+        |c AS (
+        |  SELECT cluster_id, doc_id AS canonical FROM (
+        |    SELECT cluster_id, doc_id,
+        |           row_number() OVER (PARTITION BY cluster_id ORDER BY len DESC, doc_id ASC) AS rn
+        |    FROM m) WHERE rn = 1)
+        |SELECT m.doc_id, m.cluster_id, c.canonical, m.doc_id = c.canonical AS keep
+        |FROM m JOIN c USING (cluster_id) ORDER BY m.doc_id""".stripMargin,
     "q_dd_span_dedup" ->
       """WITH pages AS (
         |  SELECT doc_id,

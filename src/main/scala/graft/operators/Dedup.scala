@@ -332,6 +332,46 @@ object Dedup {
     (out, () => { e.unpersist(blocking = false); () })
   }
 
+  /** Near-dup RESOLUTION — the last mile of corpus dedup: turn verified
+    * duplicate PAIRS (any family: MinHash, SimHash, embedding, span)
+    * into a per-doc keep/drop decision. Pairs must close transitively
+    * (A~B and B~C must not keep both A and C), so clusters come from the
+    * checkpointed large/small-star operator; the canonical per cluster is
+    * the LONGEST text (the usual keep-the-fullest-copy policy), ties to
+    * the smallest id. Docs in no pair are singleton keeps.
+    *
+    * Output: (idCol, cluster_id, canonical, keep). Scale shape: CC over
+    * the (small) pair set, one min(struct) agg per cluster for the
+    * canonical, two keyed joins to land it back on the corpus — text
+    * length travels as an int, text never joins.
+    */
+  def resolve(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val assign = ConnectedComponents
+      .run(pairs.select(col("urlA").as("src"), col("urlB").as("dst")))
+      .select(col("url").as(idCol), col("cluster_id"))
+    val d = docs.select(col(idCol), length(col(textCol)).as("_len"))
+    val membered = d
+      .join(assign, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"), col("_len"))
+    val canon = membered
+      .groupBy("cluster_id")
+      .agg(min(struct((-col("_len")).as("nl"), col(idCol).as("id"))).as("_c"))
+      .select(col("cluster_id"), col("_c.id").as("canonical"))
+    membered
+      .join(canon, Seq("cluster_id"))
+      .select(
+        col(idCol),
+        col("cluster_id"),
+        col("canonical"),
+        (col(idCol) === col("canonical")).as("keep")
+      )
+  }
+
   /** Line-level (C4/CCNet-style) corpus dedup: drop every line whose
     * document frequency exceeds `maxDocFreq`, preserving the order of the
     * surviving lines per document. Input: (`idCol`, `linesCol:

@@ -51,6 +51,27 @@ class OperatorsSpec extends SparkSpec {
     assert(loose(2L) == "COOKIE BANNER other text COOKIE BANNER")
   }
 
+  test("resolve: pairs close transitively, longest text wins, singletons keep") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "short"),
+      (2L, "the longest copy of the three"), // canonical of {1,2,3} by length
+      (3L, "medium copy"),
+      (4L, "alone") // no pair: singleton keep
+    ).toDF("doc_id", "text")
+    // 1~2 and 2~3 only: 1 and 3 must still land in ONE cluster (closure)
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("urlA", "urlB")
+    val out = Dedup
+      .resolve(corpus, pairs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out(1L) == ((1L, 2L, false)), out(1L).toString) // cluster label = min member
+    assert(out(2L) == ((1L, 2L, true)), "longest text is the canonical")
+    assert(out(3L) == ((1L, 2L, false)))
+    assert(out(4L) == ((4L, 4L, true)), "unpaired doc keeps itself")
+  }
+
   test("span dedup removes duplicated windows from all copies, only those") {
     import spark.implicits._
     // docs 1 and 2 share the 6-word prefix "a b c d e f"; with window 3
