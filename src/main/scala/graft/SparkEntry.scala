@@ -785,6 +785,32 @@ object SparkEntry {
         )
         .orderBy("doc_id")
     }),
+    "q_emb_quantize" -> ((s, dir) => {
+      // symmetric int8 embedding quantization (4x storage/shuffle at 100 TB
+      // of vectors): explicit floor(x/scale + 0.5) rounding so the oracle
+      // replays it bit-for-bit; per-coordinate reconstruction error must be
+      // <= scale/2 by construction (checked per row)
+      val F = graft.functions.EmbeddingFunctions
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("qv", F.quantizeInt8(col("embedding")))
+        .select(
+          col("vec_id"),
+          col("qv.scale").as("scale"),
+          col("qv.q").as("q"),
+          aggregate(
+            zip_with(
+              F.dequantizeInt8(col("qv")),
+              transform(col("embedding"), x => x.cast("double")),
+              (a, b) => abs(a - b)
+            ),
+            lit(0.0),
+            (m, x) => greatest(m, x)
+          ).as("max_err")
+        )
+        .withColumn("ok", col("max_err") <= col("scale") / 2)
+        .orderBy("vec_id")
+    }),
     "q_dd_resolve" -> ((s, dir) => {
       // near-dup resolution (the drop list): two symbolic key families
       // produce duplicate pairs, Dedup.resolve closes them transitively
@@ -1732,6 +1758,24 @@ object SparkEntry {
         |kept AS (SELECT e.doc_id, e.ord, e.line FROM expl e JOIN freq f USING (line))
         |SELECT l.doc_id, coalesce(string_agg(k.line, ' ' ORDER BY k.ord), '') AS text_clean
         |FROM lined l LEFT JOIN kept k USING (doc_id) GROUP BY l.doc_id ORDER BY doc_id""".stripMargin,
+    "q_emb_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |    list_transform(v, x ->
+        |      CASE WHEN scale = 0 THEN 0
+        |           ELSE CAST(greatest(-127, least(127, floor(x / scale + 0.5))) AS BIGINT) END) AS q
+        |  FROM s),
+        |d AS (
+        |  SELECT vec_id, scale, q,
+        |    list_max(list_transform(range(1, len(q) + 1),
+        |      i -> abs(q[i]::DOUBLE * scale - v[i]))) AS max_err
+        |  FROM q)
+        |SELECT vec_id, scale, q, max_err, max_err <= scale / 2 AS ok
+        |FROM d ORDER BY vec_id""".stripMargin,
     "q_dd_resolve" ->
       """WITH RECURSIVE pages AS (
         |  SELECT doc_id AS url, substr(text, 1, 60) AS text, lang, n_chars FROM documents),

@@ -103,6 +103,33 @@ class SimilaritySpec extends SparkSpec {
     assert(agreeAB >= 8) // ~0.8 jaccard over 16 slots
   }
 
+  test("embedding l2-normalize and int8 quantization round-trip") {
+    import spark.implicits._
+    val F = graft.functions.EmbeddingFunctions
+    val row = Seq((Seq(3.0, 4.0), Seq(0.0, 0.0), Seq(1.27, -0.635, 0.005)))
+      .toDF("v", "z", "q")
+      .select(
+        F.l2Normalize(col("v")).as("nv"),
+        F.l2Normalize(col("z")).as("nz"),
+        F.quantizeInt8(col("q")).as("qv"),
+        F.dequantizeInt8(F.quantizeInt8(col("q"))).as("dq")
+      )
+      .collect()(0)
+    assert(row.getSeq[Double](0) == Seq(0.6, 0.8))
+    assert(row.getSeq[Double](1) == Seq(0.0, 0.0), "zero vector stays zero, no NaN")
+    val qv = row.getStruct(2)
+    val scale = qv.getDouble(0)
+    assert(math.abs(scale - 1.27 / 127.0) < 1e-12) // = 0.01
+    // codes: 1.27/0.01 = 127; -0.635/0.01 = -63.5 -> floor(-63) = -63 (the
+    // explicit floor(x+0.5) contract — SQL round() would say -64);
+    // 0.005/0.01 = 0.5 -> 1
+    assert(qv.getSeq[Byte](1) == Seq[Byte](127, -63, 1), qv.getSeq[Byte](1).toString)
+    val dq = row.getSeq[Double](3)
+    dq.zip(Seq(1.27, -0.635, 0.005)).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= scale / 2 + 1e-12, s"$a vs $b")
+    }
+  }
+
   test("winnow: the MOSS guarantees on hand-built documents") {
     import spark.implicits._
     val k = 4
