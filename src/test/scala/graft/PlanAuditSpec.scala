@@ -67,7 +67,8 @@ class PlanAuditSpec extends SparkSpec {
         "q_er_sorted_neighborhood",
         "q_cur_decontaminate",
         "q_cur_quota_sample",
-        "q_dd_span_dedup"
+        "q_dd_span_dedup",
+        "q_dd_resolve"
       )
     ) {
       val q = graft.SparkEntry.queries(name)(spark, sf)
