@@ -127,6 +127,47 @@ object StreamingLinkage {
     }
   }
 
+  /** Garbage-collect superseded store versions — on a long-running stream
+    * the version history grows one prediction snapshot + one index link
+    * per micro-batch, which is unbounded disk. Deletes prediction
+    * snapshots older than `keepVersions` behind LATEST, and index links
+    * older than the newest FLAT index (the most recent `compactEvery`
+    * rewrite) — links at or after the flat root are still referenced by
+    * the live parent chain and are never touched. Pure deletes of
+    * unreferenced directories: crash-safe at any point, re-run to finish.
+    * Returns (predictionDirsDeleted, indexDirsDeleted).
+    */
+  def gc(spark: SparkSession, storeDir: String, keepVersions: Int = 2): (Int, Int) = {
+    require(keepVersions >= 1, s"must keep at least the live version (got $keepVersions)")
+    currentVersion(spark, storeDir) match {
+      case None => (0, 0)
+      case Some(v) =>
+        val f = fs(spark, storeDir)
+        // walk the index parent chain from v down to its flat root
+        def parentVersion(ver: Int): Option[Int] = {
+          val mp = new org.apache.hadoop.fs.Path(s"$storeDir/index_v$ver/meta.json")
+          if (!f.exists(mp)) None
+          else {
+            val in = f.open(mp)
+            val txt =
+              try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+              finally in.close()
+            "\"parent\":\"[^\"]*index_v(\\d+)\"".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+          }
+        }
+        var root = v
+        var p = parentVersion(root)
+        while (p.isDefined) { root = p.get; p = parentVersion(root) }
+        def drop(path: String): Boolean = {
+          val hp = new org.apache.hadoop.fs.Path(path)
+          f.exists(hp) && f.delete(hp, true)
+        }
+        val preds = (0 to v - keepVersions).count(w => drop(s"$storeDir/predictions_v$w"))
+        val idx = (0 until root).count(w => drop(s"$storeDir/index_v$w"))
+        (preds, idx)
+    }
+  }
+
   /** Start the continuous query: every micro-batch of `pages` (a STREAMING
     * frame with url, text) advances the store one version. Exactly-once
     * effect via the streaming checkpoint (batch replay) + idempotent

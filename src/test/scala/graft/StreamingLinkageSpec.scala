@@ -76,4 +76,35 @@ class StreamingLinkageSpec extends SparkSpec {
     assert(StreamingLinkage.currentVersion(spark, store).contains(3))
     assert(snapshot(store) == before, "re-delivered batch must be a no-op")
   }
+
+  test("gc keeps the live store loadable and drops superseded versions") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft-slink-gc").toString
+    val cfg = LinkagePipeline.Config()
+    val all = WebCorpus
+      .pages(spark, WebCorpus.Config(numClusters = 12, seed = 3L))
+      .toDF()
+      .select("url", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSeq
+    val waves = (0 until 4).map(w => all.zipWithIndex.filter(_._2 % 4 == w).map(_._1))
+    // compactEvery = 2: v2 is a FLAT index, so v0/v1 links become unreferenced
+    waves.foreach(w => StreamingLinkage.linkBatch(w.toDF("url", "text"), store, cfg, compactEvery = 2))
+    assert(StreamingLinkage.currentVersion(spark, store).contains(3))
+    val before = snapshot(store)
+
+    val (preds, idx) = StreamingLinkage.gc(spark, store, keepVersions = 2)
+    assert(preds == 2, s"predictions_v0/v1 dropped (got $preds)")
+    assert(idx == 2, s"index_v0/v1 (below the flat root v2) dropped (got $idx)")
+    assert(snapshot(store) == before, "gc must not change the live snapshot")
+    // the store still takes increments after gc (index chain intact)
+    StreamingLinkage.linkBatch(waves.head.toDF("url", "text"), store, cfg, compactEvery = 2)
+    assert(StreamingLinkage.currentVersion(spark, store).contains(4))
+    assert(snapshot(store) == before, "re-delivered wave is still a no-op post-gc")
+    // second gc: v4's post-increment index is flat again, so v2/v3 links
+    // and the one now-superseded prediction snapshot go; nothing else
+    assert(StreamingLinkage.gc(spark, store, keepVersions = 2) == ((1, 2)))
+    assert(snapshot(store) == before)
+  }
 }
