@@ -785,6 +785,69 @@ object SparkEntry {
         )
         .orderBy("doc_id")
     }),
+    "q_corpus_build" -> ((s, dir) => {
+      // the training-data FLAGSHIP: one chain through five library
+      // operators — html:binary -> text (TextAnalysis.htmlText), quality
+      // gate (Curation.qualityGate, keeps only passing docs), exact dedup
+      // (Dedup.exact keeps the min-id copy of each planted boilerplate
+      // text, doc_id % 11 == 0), span dedup (Dedup.spanDedup, 8-word
+      // windows over the survivors), leakage-safe split
+      // (Curation.hashSplit). Every stage's math is replayed engine-free
+      // in ONE DuckDB oracle; the final text ships as a sha256 so rows
+      // stay small.
+      val boiler = "this fixed boilerplate sentence repeats across many pages and contains " +
+        "exactly thirty distinct common words so the quality gate accepts every copy while " +
+        "exact dedup must collapse them to one"
+      val src = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(11)) === 0, lit(boiler)).otherwise(col("text")).as("raw")
+      )
+      // stage 1: extraction from the binary page
+      val pages = src.select(
+        col("doc_id"),
+        graft.operators.TextAnalysis
+          .htmlText(encode(concat(lit("<body><p>"), col("raw"), lit("</p></body>")), "UTF-8"))
+          .as("text")
+      )
+      // stage 2: quality gate — only keepers continue
+      val gated = graft.operators.Curation
+        .qualityGate(
+          pages.select(col("doc_id"), split(col("text"), " ").as("toks")),
+          minTokens = 30,
+          maxTokens = 200,
+          minDistinctRatio = 0.3,
+          maxTopBigramFrac = 0.1,
+          maxDupTrigramFrac = 0.2
+        )
+        .where(col("keep"))
+        .select("doc_id")
+        .join(pages, Seq("doc_id"))
+      // stage 3: exact dedup — keep the min-id copy of each text
+      val deduped = graft.operators.Dedup
+        .exact(gated, "doc_id", sha2(col("text"), 256))
+        .where(col("doc_id") === col("canonical"))
+        .select("doc_id")
+        .join(gated, Seq("doc_id"))
+      // stage 4: span-level exact-substring dedup over the survivors
+      val cleaned = graft.operators.Dedup.spanDedup(
+        deduped.select(col("doc_id"), split(col("text"), " ").as("words")),
+        idCol = "doc_id",
+        wordsCol = "words",
+        windowWords = 8,
+        minFreq = 2
+      )
+      // stage 5: leakage-safe split
+      graft.operators.Curation
+        .hashSplit(cleaned, Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), keyCol = "doc_id")
+        .select(
+          col("doc_id"),
+          col("split"),
+          col("n_words"),
+          col("n_removed"),
+          sha2(col("text_clean"), 256).as("sha")
+        )
+        .orderBy("doc_id")
+    }),
     "q_emb_quantize" -> ((s, dir) => {
       // symmetric int8 embedding quantization (4x storage/shuffle at 100 TB
       // of vectors): explicit floor(x/scale + 0.5) rounding so the oracle
@@ -1758,6 +1821,84 @@ object SparkEntry {
         |kept AS (SELECT e.doc_id, e.ord, e.line FROM expl e JOIN freq f USING (line))
         |SELECT l.doc_id, coalesce(string_agg(k.line, ' ' ORDER BY k.ord), '') AS text_clean
         |FROM lined l LEFT JOIN kept k USING (doc_id) GROUP BY l.doc_id ORDER BY doc_id""".stripMargin,
+    "q_corpus_build" ->
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 11 = 0
+         |      THEN 'this fixed boilerplate sentence repeats across many pages and contains exactly thirty distinct common words so the quality gate accepts every copy while exact dedup must collapse them to one'
+         |      ELSE text END AS raw
+         |  FROM documents),
+         |pages AS (
+         |  SELECT doc_id,
+         |    trim(regexp_replace(regexp_replace(
+         |      '<body><p>' || raw || '</p></body>',
+         |      '(?s)<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS text
+         |  FROM src),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM pages),
+         |g AS (
+         |  SELECT doc_id, len(toks) AS n,
+         |    round(len(list_distinct(toks))::DOUBLE / greatest(len(toks), 1), 6) AS distinct_ratio,
+         |    greatest(len(toks) - 1, 0) AS n_bi, greatest(len(toks) - 2, 0) AS n_tri,
+         |    list_transform(range(1, greatest(len(toks), 1)),
+         |      i -> toks[i] || chr(31) || toks[i+1]) AS bis,
+         |    list_transform(range(1, greatest(len(toks) - 1, 1)),
+         |      i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]) AS tris
+         |  FROM t),
+         |bc AS (
+         |  SELECT doc_id, gram, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(bis) AS gram FROM g) GROUP BY 1, 2),
+         |btop AS (SELECT doc_id, max(c) AS top FROM bc GROUP BY 1),
+         |tc AS (
+         |  SELECT doc_id, gram, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(tris) AS gram FROM g) GROUP BY 1, 2),
+         |tdup AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM tc GROUP BY 1),
+         |m AS (
+         |  SELECT g.doc_id, g.n AS n_tokens, g.distinct_ratio,
+         |    round(coalesce(btop.top, 0)::DOUBLE / greatest(g.n_bi, 1), 6) AS top_bigram_frac,
+         |    round(coalesce(tdup.dup, 0)::DOUBLE / greatest(g.n_tri, 1), 6) AS dup_trigram_frac
+         |  FROM g LEFT JOIN btop ON btop.doc_id = g.doc_id LEFT JOIN tdup ON tdup.doc_id = g.doc_id),
+         |keepers AS (
+         |  SELECT doc_id FROM m
+         |  WHERE n_tokens >= 30 AND n_tokens <= 200 AND distinct_ratio >= 0.3
+         |    AND top_bigram_frac <= 0.1 AND dup_trigram_frac <= 0.2),
+         |gated AS (SELECT p.doc_id, p.text FROM pages p JOIN keepers USING (doc_id)),
+         |ded AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS canon FROM gated)
+         |  WHERE doc_id = canon),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM ded),
+         |words AS (
+         |  SELECT doc_id, u.i - 1 AS idx, w[u.i] AS word
+         |  FROM w, unnest(generate_series(1, len(w))) AS u(i)),
+         |wins AS (
+         |  SELECT doc_id, u.o AS off, array_to_string(w[u.o + 1 : u.o + 8], ' ') AS win
+         |  FROM w, unnest(generate_series(0, len(w) - 8)) AS u(o)),
+         |dup AS (SELECT win FROM wins GROUP BY win HAVING count(*) >= 2),
+         |removed AS (
+         |  SELECT DISTINCT wins.doc_id, wins.off + u.s AS idx
+         |  FROM wins JOIN dup USING (win), unnest(generate_series(0, 7)) AS u(s)),
+         |kept AS (
+         |  SELECT wd.doc_id, wd.idx, wd.word FROM words wd
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM removed r WHERE r.doc_id = wd.doc_id AND r.idx = wd.idx)),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |         string_agg(word, ' ' ORDER BY idx) AS text_clean
+         |  FROM kept GROUP BY doc_id),
+         |clean AS (
+         |  SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+         |    CAST(len(w.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+         |    coalesce(a.text_clean, '') AS text_clean
+         |  FROM w LEFT JOIN agg a USING (doc_id)),
+         |ids AS (SELECT doc_id AS id FROM clean),
+         |${xxhash64Cte("id", "ids")},
+         |b AS (SELECT id, ((h % 10000) + 10000) % 10000 AS bucket FROM hashes)
+         |SELECT c.doc_id,
+         |  CASE WHEN b.bucket < 8000 THEN 'train'
+         |       WHEN b.bucket < 9000 THEN 'valid'
+         |       ELSE 'test' END AS split,
+         |  c.n_words, c.n_removed, sha256(c.text_clean) AS sha
+         |FROM clean c JOIN b ON b.id = c.doc_id ORDER BY c.doc_id""".stripMargin,
     "q_emb_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
