@@ -68,7 +68,8 @@ class PlanAuditSpec extends SparkSpec {
         "q_cur_decontaminate",
         "q_cur_quota_sample",
         "q_dd_span_dedup",
-        "q_dd_resolve"
+        "q_dd_resolve",
+        "q_corpus_build"
       )
     ) {
       val q = graft.SparkEntry.queries(name)(spark, sf)
