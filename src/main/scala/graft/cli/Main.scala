@@ -119,6 +119,29 @@ object Main {
     * content hash, in that order. A frame that already has url+text and no
     * column flags passes through untouched (minus gt columns).
     */
+  /** S4 input materializer, shared by the linkage and curation CLIs:
+    * synth:N (generated then written to parquet so the timed pipeline
+    * reads from storage like a real run), csv:path (header CSV through
+    * any Hadoop FS scheme — the reference's CSV upload surface,
+    * app/api/routes.py:244-337), else a parquet dir.
+    */
+  def materializeInput(
+      spark: SparkSession,
+      input: String,
+      output: String
+  ): DataFrame =
+    if (input.startsWith("synth:")) {
+      val n = input.drop("synth:".length).toInt
+      val synthDir = s"$output-input"
+      WebCorpus
+        .pages(spark, WebCorpus.Config(numClusters = math.max(n / 4, 1)))
+        .write.mode("overwrite").parquet(synthDir)
+      spark.read.parquet(synthDir)
+    } else if (input.startsWith("csv:") || input.endsWith(".csv")) {
+      val path = if (input.startsWith("csv:")) input.drop(4) else input
+      spark.read.option("header", true).option("escape", "\\").csv(path)
+    } else spark.read.parquet(input)
+
   def preparePages(df: DataFrame, opts: Map[String, String]): DataFrame = {
     // selection/link indexes resolve against the RAW header: the reference
     // reads the CSV header before any gt handling (app/services/
@@ -303,18 +326,7 @@ object Main {
       // S4 materializer: synth:N (generated), csv:path (header CSV through
       // any Hadoop FS scheme — the reference's CSV upload surface,
       // app/api/routes.py:244-337), else parquet dir
-      val raw =
-        if (input.startsWith("synth:")) {
-          val n = input.drop("synth:".length).toInt
-          val synthDir = s"$output-input"
-          WebCorpus
-            .pages(spark, WebCorpus.Config(numClusters = math.max(n / 4, 1)))
-            .write.mode("overwrite").parquet(synthDir)
-          spark.read.parquet(synthDir)
-        } else if (input.startsWith("csv:") || input.endsWith(".csv")) {
-          val path = if (input.startsWith("csv:")) input.drop(4) else input
-          spark.read.option("header", true).option("escape", "\\").csv(path)
-        } else spark.read.parquet(input)
+      val raw = materializeInput(spark, input, output)
       // any table shape is accepted: gt columns dropped, mention columns
       // resolved by name or index (--select-columns/--link-columns/
       // --mention-columns), url synthesized when absent
