@@ -77,6 +77,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // JSON output uses "%.2f".format — locale-dependent (a comma-decimal
+    // locale would emit invalid JSON); pin the JVM default for this process
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 

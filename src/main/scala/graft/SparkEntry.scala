@@ -2085,6 +2085,7 @@ object SparkEntry {
         |  FROM g LEFT JOIN btop ON btop.doc_id = g.doc_id LEFT JOIN tdup ON tdup.doc_id = g.doc_id),
         |r AS (
         |  SELECT *, list_filter([
+        |      CASE WHEN n_tokens IS NULL THEN 'no_text' END,
         |      CASE WHEN n_tokens < 30 THEN 'too_short' END,
         |      CASE WHEN n_tokens > 200 THEN 'too_long' END,
         |      CASE WHEN distinct_ratio < 0.3 THEN 'low_diversity' END,

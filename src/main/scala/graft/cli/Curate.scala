@@ -26,6 +26,9 @@ object Curate {
     }
 
   def main(args: Array[String]): Unit = {
+    // JSON output uses "%.2f".format — locale-dependent (a comma-decimal
+    // locale would emit invalid JSON); pin the JVM default for this process
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val opts = Main.parseArgs(args)
     val input = opts.getOrElse("input", "synth:2000")
     val output = opts.getOrElse("output", "/tmp/graft-curated")

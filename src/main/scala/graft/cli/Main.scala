@@ -111,14 +111,6 @@ object Main {
   private def csvList(opts: Map[String, String], key: String): Seq[String] =
     opts.get(key).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
-  /** Lift an arbitrary input frame into the pipeline's (url, text, ...)
-    * shape: drop gt columns (reference gt_columns semantics — P1, errors
-    * ignored for absent names), resolve mention columns by the reference
-    * precedence, synthesize `text` from the mention columns and `url` from
-    * --id-column / an `id_row` column / an existing `url` column / a
-    * content hash, in that order. A frame that already has url+text and no
-    * column flags passes through untouched (minus gt columns).
-    */
   /** S4 input materializer, shared by the linkage and curation CLIs:
     * synth:N (generated then written to parquet so the timed pipeline
     * reads from storage like a real run), csv:path (header CSV through
@@ -142,6 +134,14 @@ object Main {
       spark.read.option("header", true).option("escape", "\\").csv(path)
     } else spark.read.parquet(input)
 
+  /** Lift an arbitrary input frame into the pipeline's (url, text, ...)
+    * shape: drop gt columns (reference gt_columns semantics — P1, errors
+    * ignored for absent names), resolve mention columns by the reference
+    * precedence, synthesize `text` from the mention columns and `url` from
+    * --id-column / an `id_row` column / an existing `url` column / a
+    * content hash, in that order. A frame that already has url+text and no
+    * column flags passes through untouched (minus gt columns).
+    */
   def preparePages(df: DataFrame, opts: Map[String, String]): DataFrame = {
     // selection/link indexes resolve against the RAW header: the reference
     // reads the CSV header before any gt handling (app/services/
@@ -230,6 +230,9 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
+    // JSON output uses "%.2f".format — locale-dependent (a comma-decimal
+    // locale would emit invalid JSON); pin the JVM default for this process
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val opts = parseArgs(args)
     val master = opts.getOrElse("master", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
     val spark = LinkagePipeline.session(master, "graft-linkage-cli")

@@ -17,12 +17,18 @@ import org.apache.spark.sql.functions._
 object EmbeddingFunctions {
 
   /** L2-normalized copy of an array<float|double> column; the zero vector
-    * stays zero (no NaN).
+    * stays zero (no NaN). The norm is bound ONCE per row via aggregate's
+    * finish lambda — referencing the reduction inside the per-element
+    * transform would re-run the O(n) sum for every element (O(n^2)/row).
     */
   def l2Normalize(v: Column): Column = {
     val d = transform(v, x => x.cast("double"))
-    val norm = sqrt(aggregate(d, lit(0.0), (acc, x) => acc + x * x))
-    when(norm === 0.0, d).otherwise(transform(d, x => x / norm))
+    aggregate(
+      d,
+      lit(0.0),
+      (acc, x) => acc + x * x,
+      acc => when(acc === 0.0, d).otherwise(transform(d, x => x / sqrt(acc)))
+    )
   }
 
   /** Symmetric int8 quantization: scale = max|x| / 127, q_i =
@@ -33,16 +39,26 @@ object EmbeddingFunctions {
     */
   def quantizeInt8(v: Column): Column = {
     val d = transform(v, x => x.cast("double"))
-    val scale = array_max(transform(d, x => abs(x))) / 127.0
-    struct(
-      scale.as("scale"),
-      transform(
-        d,
-        x =>
-          when(scale === 0.0, lit(0))
-            .otherwise(greatest(lit(-127), least(lit(127), floor(x / scale + 0.5).cast("int"))))
-            .cast("byte")
-      ).as("q")
+    // max|x| reduces once and binds in the finish lambda (same O(n)/row
+    // reasoning as l2Normalize); inside the element lambda `scale` is a
+    // bound-variable reference, not a re-evaluated reduction
+    aggregate(
+      d,
+      lit(0.0),
+      (m, x) => greatest(m, abs(x)),
+      m => {
+        val scale = m / 127.0
+        struct(
+          scale.as("scale"),
+          transform(
+            d,
+            x =>
+              when(scale === 0.0, lit(0))
+                .otherwise(greatest(lit(-127), least(lit(127), floor(x / scale + 0.5).cast("int"))))
+                .cast("byte")
+          ).as("q")
+        )
+      }
     )
   }
 

@@ -162,6 +162,10 @@ object Curation {
         "reasons",
         filter(
           array(
+            // null text -> null toks -> every comparison below is NULL and
+            // filters out, which would silently PASS the degenerate doc —
+            // the gate's exact job is to drop it, with its own reason code
+            when(col("n_tokens").isNull, lit("no_text")),
             when(col("n_tokens") < minTokens, lit("too_short")),
             when(col("n_tokens") > maxTokens, lit("too_long")),
             when(col("distinct_ratio") < minDistinctRatio, lit("low_diversity")),

@@ -80,11 +80,16 @@ object CorpusPipeline {
       )
       .collect()(0)
     val survivors = ann.where(col("is_canonical")).select(col("url"), split(col("text"), " ").as("words"))
-    val cleaned = Curation.hashSplit(
-      Dedup.spanDedup(survivors, idCol = "url", wordsCol = "words", windowWords = cfg.windowWords, minFreq = cfg.minFreq),
-      cfg.splits,
-      keyCol = "url"
-    )
+    // persist before the stats action: span dedup is the heaviest stage
+    // (several corpus shuffles) and the caller's terminal action on
+    // `cleaned` would otherwise re-execute it from scratch
+    val cleaned = Curation
+      .hashSplit(
+        Dedup.spanDedup(survivors, idCol = "url", wordsCol = "words", windowWords = cfg.windowWords, minFreq = cfg.minFreq),
+        cfg.splits,
+        keyCol = "url"
+      )
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val removed = cleaned.agg(coalesce(sum("n_removed"), lit(0L)).as("r")).collect()(0).getLong(0)
     Result(
       cleaned,
@@ -92,7 +97,7 @@ object CorpusPipeline {
       stats.getLong(1),
       stats.getLong(2),
       removed,
-      () => { ann.unpersist(false); () }
+      () => { ann.unpersist(false); cleaned.unpersist(false); () }
     )
   }
 }

@@ -42,18 +42,28 @@ object StreamingLinkage {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Latest committed store version, if any. */
+  /** Latest committed store version, if any. Falls back to `LATEST.tmp`
+    * when `LATEST` is absent: commitVersion's delete-then-rename has a
+    * crash window where the pointer exists only as the tmp file — without
+    * the fallback a restarted stream would see an "empty" store,
+    * BOOTSTRAP from the replayed batch alone, and silently orphan every
+    * committed version (the tmp content is always a fully-written version:
+    * it is created strictly after that version's data).
+    */
   def currentVersion(spark: SparkSession, storeDir: String): Option[Int] = {
-    val p = new org.apache.hadoop.fs.Path(s"$storeDir/LATEST")
     val f = fs(spark, storeDir)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val txt =
-        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      Some(txt.trim.toInt)
+    def read(name: String): Option[Int] = {
+      val p = new org.apache.hadoop.fs.Path(s"$storeDir/$name")
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val txt =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        Some(txt.trim.toInt)
+      }
     }
+    read("LATEST").orElse(read("LATEST.tmp"))
   }
 
   private def commitVersion(spark: SparkSession, storeDir: String, v: Int): Unit = {
@@ -90,6 +100,7 @@ object StreamingLinkage {
       cfg: LinkagePipeline.Config = LinkagePipeline.Config(),
       compactEvery: Int = 16
   ): Unit = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1 (got $compactEvery)")
     val spark = batch.sparkSession
     val pages = batch.select("url", "text")
     if (pages.isEmpty) return
@@ -180,7 +191,8 @@ object StreamingLinkage {
       cfg: LinkagePipeline.Config = LinkagePipeline.Config(),
       trigger: Trigger = Trigger.AvailableNow(),
       compactEvery: Int = 16
-  ): StreamingQuery =
+  ): StreamingQuery = {
+    require(compactEvery >= 1, s"compactEvery must be >= 1 (got $compactEvery)")
     pages.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
@@ -188,4 +200,5 @@ object StreamingLinkage {
         linkBatch(batch, storeDir, cfg, compactEvery)
       }
       .start()
+  }
 }

@@ -115,6 +115,17 @@ class CurationSpec extends SparkSpec {
       "order must be the fixed check order: " + out(3L)
     )
     assert(out(4L) == ((Seq("too_long"), false)))
+    // null text: every threshold comparison is NULL (would silently PASS
+    // without the explicit guard) — must drop with its own reason
+    val nullOut = Curation
+      .qualityGate(
+        Seq((9L, null: String)).toDF("doc_id", "text")
+          .select(col("doc_id"), split(col("text"), " ").as("toks")),
+        minTokens = 5
+      )
+      .collect()(0)
+    assert(nullOut.getSeq[String](nullOut.fieldIndex("reasons")) == Seq("no_text"))
+    assert(!nullOut.getAs[Boolean]("keep"))
   }
 
   test("mixWeights: temperature reweighting sums to 1, upsamples small sources") {

@@ -106,5 +106,24 @@ class StreamingLinkageSpec extends SparkSpec {
     // and the one now-superseded prediction snapshot go; nothing else
     assert(StreamingLinkage.gc(spark, store, keepVersions = 2) == ((1, 2)))
     assert(snapshot(store) == before)
+
+    // commitVersion crash window: LATEST deleted, only LATEST.tmp present
+    // (the delete-then-rename gap). The store must still read as v4 and the
+    // next batch must INCREMENT to v5 — bootstrapping here would silently
+    // orphan every committed version
+    val fsys = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsys.rename(
+      new org.apache.hadoop.fs.Path(s"$store/LATEST"),
+      new org.apache.hadoop.fs.Path(s"$store/LATEST.tmp")
+    )
+    assert(StreamingLinkage.currentVersion(spark, store).contains(4), "tmp fallback")
+    StreamingLinkage.linkBatch(waves.last.toDF("url", "text"), store, cfg, compactEvery = 2)
+    assert(StreamingLinkage.currentVersion(spark, store).contains(5))
+    assert(snapshot(store) == before, "recovered store must not lose clusters")
+    // compactEvery must be validated up front
+    intercept[IllegalArgumentException](
+      StreamingLinkage.linkBatch(waves.last.toDF("url", "text"), store, cfg, compactEvery = 0)
+    )
   }
 }
