@@ -1743,7 +1743,7 @@ object SparkEntry {
       """WITH ranked AS (
         |  SELECT doc_id AS url,
         |         row_number() OVER (ORDER BY
-        |           concat_ws(chr(1), substr(text, 1, 20), CAST(doc_id AS VARCHAR))) AS rk
+        |           substr(text, 1, 20) NULLS FIRST, CAST(doc_id AS VARCHAR)) AS rk
         |  FROM documents)
         |SELECT least(a.url, b.url) AS urlA, greatest(a.url, b.url) AS urlB
         |FROM ranked a JOIN ranked b ON b.rk > a.rk AND b.rk <= a.rk + 3
@@ -2133,10 +2133,10 @@ object SparkEntry {
         |          regexp_replace(
         |            regexp_replace(
         |              regexp_replace(
-        |                regexp_replace(html, '(?is)<head\b[^>]*>.*?</head>', ' ', 'g'),
-        |                '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
-        |              '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
-        |            '(?s)<!--.*?-->', ' ', 'g'),
+        |                regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
+        |                '(?is)<head\b[^>]*>.*?</head>', ' ', 'g'),
+        |              '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
         |          '(?s)<[^>]*>', ' ', 'g'),
         |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
         |      '\s+', ' ', 'g')) AS text_extracted

@@ -350,6 +350,9 @@ object Main {
       val t0 = System.nanoTime()
       val strategyNames = strategies.map(_.name).mkString(",")
       var mergedClusters = Option.empty[Long]
+      // incremental runs hand back a cache-release hook; invoked after the
+      // final predictions write (the terminal action on the frames)
+      var releaseInc: () => Unit = () => ()
       val preds = if (opts.get("dry-run").contains("true")) {
         require(!opts.contains("base"), "--dry-run and --base (incremental) are mutually exclusive")
         // hermetic all-NIL pass with the full output schema, zero scoring
@@ -389,6 +392,7 @@ object Main {
           IncrementalLinkage.saveIndexDelta(r.deltaKeys, r.index, s"$output.index", strategyNames, idxDir)
         r.mergeMap.write.mode("overwrite").parquet(s"$output.merges")
         mergedClusters = Some(spark.read.parquet(s"$output.merges").count())
+        releaseInc = r.release
         if (emitChanged) r.changed else r.predictions
       } else opts.get("snapshots") match {
         case Some(snapDir) =>
@@ -420,6 +424,7 @@ object Main {
         case None => LinkagePipeline.run(pages, cfg)
       }
       preds.write.mode("overwrite").parquet(output)
+      releaseInc()
       // --save-index true: leave behind the artifacts an incremental run
       // needs (blocking-key index + additive IDF) — one extra O(corpus)
       // pass, done once per base run

@@ -100,7 +100,11 @@ object Dedup {
     val offsets = sizes.scanLeft(0)(_ + _).init
     def chunk(i: Int): Column =
       shiftright(col("fp"), offsets(i)).bitwiseAND(lit((1L << sizes(i)) - 1))
-    val pick = 6 - math.max(maxHamming, 1) // d=0 still needs one key per doc
+    // C(6, 6-d) combinations guarantee a shared key at Hamming distance
+    // <= d; at d=0 that is C(6,6) = ONE full-fingerprint key per doc (the
+    // old max(d,1) emitted six 5-chunk keys — 6x the shuffle rows and
+    // every d=1 pair as a doomed candidate, pure wasted join volume)
+    val pick = 6 - maxHamming
     val combos = (0 until 6).combinations(pick).toSeq
     // one LONG key per combination: combo index in DISJOINT high bits.
     // Combos have different total chunk widths (e.g. pick=3: 30-33 bits),
@@ -351,10 +355,20 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
+    // accept both pair shapes this file produces: (urlA, urlB) from the
+    // blocking path and (id_a, id_b) from minHashPairs/simHashPairs/
+    // embeddingNearDup — resolve is documented as composing with ANY family
+    val (a, b) =
+      if (pairs.columns.contains("urlA")) ("urlA", "urlB")
+      else if (pairs.columns.contains("id_a")) ("id_a", "id_b")
+      else sys.error(s"pairs must have (urlA, urlB) or (id_a, id_b); got ${pairs.columns.mkString(",")}")
     val assign = ConnectedComponents
-      .run(pairs.select(col("urlA").as("src"), col("urlB").as("dst")))
+      .run(pairs.select(col(a).as("src"), col(b).as("dst")))
       .select(col("url").as(idCol), col("cluster_id"))
-    val d = docs.select(col(idCol), length(col(textCol)).as("_len"))
+    // null text must LOSE the canonical pick (embedding-family pairs never
+    // inspect text, so null-text members reach here; a null length would
+    // otherwise WIN — struct ordering sorts null fields first)
+    val d = docs.select(col(idCol), coalesce(length(col(textCol)), lit(-1)).as("_len"))
     val membered = d
       .join(assign, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"), col("_len"))

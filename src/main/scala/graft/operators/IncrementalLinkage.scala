@@ -119,6 +119,14 @@ object IncrementalLinkage {
       strategies: String,
       parent: Option[String]
   ): Unit = {
+    // meta.json is written by interpolation and read back by regex — a
+    // quote/backslash in either value would silently truncate what
+    // loadIndex parses (wrong strategy compare, nonexistent parent dir).
+    // Loud refusal beats silent corruption; neither value legitimately
+    // contains these characters.
+    Seq("strategies" -> strategies, "parent" -> parent.getOrElse("")).foreach { case (what, v) =>
+      require(!v.contains('"') && !v.contains('\\'), s"index $what must not contain quotes/backslashes: $v")
+    }
     keys.write.mode("overwrite").parquet(s"$dir/keys")
     idfDf.write.mode("overwrite").parquet(s"$dir/idf")
     val spark = keys.sparkSession
@@ -243,7 +251,14 @@ object IncrementalLinkage {
       /** keys of the EFFECTIVE delta (re-delivered urls dropped) — what
         * [[saveIndexDelta]] writes as the chain link
         */
-      deltaKeys: DataFrame
+      deltaKeys: DataFrame,
+      /** call after the terminal actions on the returned frames (writes of
+        * predictions/changed + saveIndexDelta) — drops the pinned delta
+        * caches (the featuresWithRelease pattern). A long-lived driver that
+        * links increment after increment without releasing accumulates one
+        * cached delta corpus per call.
+        */
+      release: () => Unit
   )
 
   /** Link `deltaPages` against a base run. `basePredictions` is a
@@ -307,7 +322,10 @@ object IncrementalLinkage {
         .getOrElse(LinkagePipeline.checkpointed)
     val acceptedCk = edgeSnapshot(accepted)
     releaseFeats()
-    deltaKeys.unpersist(false)
+    // deltaKeys stays cached: it is still consumed by the CC snapshot
+    // below (through oldHotUrls) AND by the caller's saveIndexDelta —
+    // dropping it here re-ran the full blocking-key pass (tokenize +
+    // MinHash over the delta) two more times; Result.release drops it
 
     val baseHotAssign = basePredictions
       .select("url", "cluster_id")
@@ -394,6 +412,13 @@ object IncrementalLinkage {
         .agg(sum("df").as("df")),
       index.idfDocs + deltaN
     )
-    Result(predictions, changed, mergeMap, nextIndex, deltaKeys)
+    Result(
+      predictions,
+      changed,
+      mergeMap,
+      nextIndex,
+      deltaKeys,
+      () => { delta.unpersist(false); deltaKeys.unpersist(false); () }
+    )
   }
 }

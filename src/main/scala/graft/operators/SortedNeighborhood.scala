@@ -38,9 +38,12 @@ object SortedNeighborhood {
     require(window >= 2, s"window must be >= 2, got $window")
     val keyed = pages.select(
       col("url"),
-      //  separator sorts below every printable char, so composite
-      // ordering equals (key, url) lexicographic ordering
-      concat_ws("\u0001", sortKey.cast("string"), col("url").cast("string")).as("_ord")
+      // TYPED composite ordering: a struct compares field-by-field, so a
+      // numeric sort key orders numerically (a string-concat _ord would
+      // put "10" before "2") and a NULL key groups deterministically
+      // FIRST (concat_ws SKIPS nulls, which would scatter null-key rows
+      // through the ordering by bare url instead)
+      struct(sortKey.as("k"), col("url").cast("string").as("u")).as("_ord")
     )
     val ranked = graft.util.DeterministicSeq.assign(keyed, "_ord").select(col("url"), col("seq"))
     val succ = ranked.select(

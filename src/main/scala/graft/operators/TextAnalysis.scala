@@ -105,7 +105,9 @@ object TextAnalysis {
     * usual cheap proxy for tokenizer token counts.
     */
   def tokenCountBpeIsh(text: Column): Column =
-    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => length(t) > 0)).cast("long")
+    // whitespace pieces are separators, not tokens — without the \S guard
+    // every space counts as a token and prose counts run ~1.7-2x high
+    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => t.rlike("\\S"))).cast("long")
 
   /** 64-bit SimHash fingerprint of the token stream. */
   def fingerprintSimhash(text: Column): Column = simhash64(Normalize.tokensOf(text))
@@ -141,11 +143,18 @@ object TextAnalysis {
     */
   def htmlText(html: Column): Column = {
     val s0 = decode(html, "UTF-8")
-    val sh = regexp_replace(s0, "(?is)<head\\b[^>]*>.*?</head>", " ")
+    // comments are stripped BEFORE script/style: a commented-out <script>
+    // would otherwise make the non-greedy script pass consume visible
+    // content up to the next real </script>. (The converse failure — a
+    // literal "<!--" inside live script source — is removed WITH its
+    // script element anyway unless it also swallows a "-->", the rarer
+    // case; HTML5's full script-data tokenizer is out of scope for a
+    // regex extractor.)
+    val s3 = regexp_replace(s0, "(?s)<!--.*?-->", " ")
+    val sh = regexp_replace(s3, "(?is)<head\\b[^>]*>.*?</head>", " ")
     val s1 = regexp_replace(sh, "(?is)<script\\b[^>]*>.*?</script>", " ")
     val s2 = regexp_replace(s1, "(?is)<style\\b[^>]*>.*?</style>", " ")
-    val s3 = regexp_replace(s2, "(?s)<!--.*?-->", " ")
-    val s4 = regexp_replace(s3, "(?s)<[^>]*>", " ")
+    val s4 = regexp_replace(s2, "(?s)<[^>]*>", " ")
     val e = replace(
       replace(
         replace(

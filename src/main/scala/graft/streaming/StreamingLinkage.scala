@@ -134,6 +134,10 @@ object StreamingLinkage {
             strategyNames,
             s"$storeDir/index_v$v"
           )
+        // drop the per-batch delta caches NOW — a streaming driver calling
+        // link() forever is exactly the accumulation case Result.release
+        // exists for
+        r.release()
         commitVersion(spark, storeDir, v + 1)
     }
   }

@@ -455,7 +455,9 @@ class OperatorsSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq("hello, world! v2.0").toDF("text")
       .select(TextAnalysis.tokenCountBpeIsh(col("text")).as("n"))
-    assert(df.collect()(0).getLong(0) >= 8)
+    // hello , world ! v2 . 0 — whitespace pieces are separators, NOT
+    // tokens (counting them inflated prose estimates ~2x)
+    assert(df.collect()(0).getLong(0) == 7)
   }
 
   test("multimodal: stub decode plumbing produces typed metadata") {
