@@ -930,6 +930,18 @@ object SparkEntry {
     }),
 
     // ---- similarity search ----
+    "q_ann_topk_int8" -> ((s, dir) => {
+      // the QUANTIZED search path: cosine top-5 ranked entirely in int8
+      // integer space (scales cancel in cosine — 1/4 the bytes on the
+      // broadcast/fetch side at corpus scale); the oracle replays the
+      // quantization chain and the integer dot/norm ranking
+      val F = graft.functions.EmbeddingFunctions
+      val e = t(s, dir, "embeddings").select(col("vec_id"), F.quantizeInt8(col("embedding")).as("qv"))
+      graft.operators.SimilaritySearch
+        .bruteForceTopKInt8(e.where(col("vec_id") < 20), e.where(col("vec_id") >= 20), "vec_id", "qv", 5)
+        .select("qid", "rk", "neighbor")
+        .orderBy("qid", "rk")
+    }),
     "q_ann_topk" -> ((s, dir) => {
       // brute-force cosine top-5 neighbors for the first 20 vectors
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -1975,6 +1987,29 @@ object SparkEntry {
         |  CAST(len(t.w) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
         |  coalesce(a.text_clean, '') AS text_clean
         |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_ann_topk_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(v, x ->
+        |      CASE WHEN scale = 0 THEN 0
+        |           ELSE CAST(greatest(-127, least(127, floor(x / scale + 0.5))) AS BIGINT) END) AS q
+        |  FROM s),
+        |p AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS neighbor,
+        |    list_reduce(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i]), (x, y) -> x + y) AS dot,
+        |    list_reduce(list_transform(a.q, x -> x * x), (x, y) -> x + y) AS na,
+        |    list_reduce(list_transform(b.q, x -> x * x), (x, y) -> x + y) AS nb
+        |  FROM q a JOIN q b ON a.vec_id < 20 AND b.vec_id >= 20)
+        |SELECT qid, rk, neighbor FROM (
+        |  SELECT qid, neighbor, row_number() OVER (PARTITION BY qid ORDER BY
+        |    CASE WHEN na = 0 OR nb = 0 THEN 0.0
+        |         ELSE dot::DOUBLE / sqrt((na * nb)::DOUBLE) END DESC, neighbor ASC) AS rk
+        |  FROM p)
+        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     "q_ann_topk" ->
       """SELECT qid, rk, neighbor FROM (
         |  SELECT q.vec_id AS qid, e.vec_id AS neighbor,

@@ -130,6 +130,37 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 top-k ranks like float top-k when margins exceed quantization error") {
+    import spark.implicits._
+    val F = graft.functions.EmbeddingFunctions
+    // corpus at well-separated angles; quantization error (<= scale/2 per
+    // coordinate) cannot flip any pairwise order here
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)), // query
+      (10L, Seq(0.9, 0.1, 0.0)), // nearest
+      (11L, Seq(0.5, 0.5, 0.0)),
+      (12L, Seq(0.0, 1.0, 0.0)), // orthogonal
+      (13L, Seq(-1.0, 0.0, 0.0)) // opposite
+    ).toDF("vec_id", "embedding")
+    val e = vecs.select(col("vec_id"), F.quantizeInt8(col("embedding")).as("qv"))
+    val got = graft.operators.SimilaritySearch
+      .bruteForceTopKInt8(e.where(col("vec_id") === 0), e.where(col("vec_id") >= 10), "vec_id", "qv", 4)
+      .orderBy("rk")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 10L), (2L, 11L), (3L, 12L), (4L, 13L)), got.mkString(","))
+    // the zero vector neither crashes nor ranks above anything real
+    val z = Seq((0L, Seq(1.0, 0.0)), (10L, Seq(0.0, 0.0)), (11L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), F.quantizeInt8(col("embedding")).as("qv"))
+    val zr = graft.operators.SimilaritySearch
+      .bruteForceTopKInt8(z.where(col("vec_id") === 0), z.where(col("vec_id") >= 10), "vec_id", "qv", 2)
+      .orderBy("rk")
+      .collect()
+      .map(_.getLong(2))
+    assert(zr.toSeq == Seq(11L, 10L))
+  }
+
   test("winnow: the MOSS guarantees on hand-built documents") {
     import spark.implicits._
     val k = 4
