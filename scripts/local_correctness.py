@@ -2,35 +2,33 @@
 """Local replica of the driver's DuckDB correctness compare.
 
 Usage: python3 scripts/local_correctness.py /tmp/verify_out /root/testdata/sf0.01
-Compares each <out>/<query> parquet against oracle_sql.json run in DuckDB:
-row count, sorted column names, and a hash of the value matrix (columns
-sorted by name, rows sorted lexicographically, floats rounded to 9 sig figs).
+
+Compares each <out>/<query> parquet against oracle_sql.json run in DuckDB.
+This replica reproduces the DRIVER's compare path (the round-4 lesson:
+a friendlier local path masked four driver-red rows):
+  * both sides go through pandas DataFrames;
+  * rows are sorted with df.sort_values over ALL columns (so a bare
+    array-typed output column raises the driver's exact
+    "unhashable type: 'numpy.ndarray'" error);
+  * values are rendered with plain str() — NO float rounding — so a
+    DuckDB HUGEINT that pandas renders as float64 ("531.0") mismatches a
+    Spark BIGINT ("531") here exactly as it does in the driver;
+  * per-query exceptions are caught into an "err" field, like the driver.
 """
-import sys, os, json, hashlib, math
+import sys, os, json, hashlib, traceback
 import duckdb
+import pandas as pd
 import pyarrow.parquet as pq
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def norm(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
-    if isinstance(v, bytes):
-        return v.hex()
-    return str(v)
-
-
-def table_hash(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    mat = sorted(tuple(norm(r[i]) for i in order) for r in rows)
+def df_hash(df: pd.DataFrame) -> str:
+    cols = sorted(df.columns)
+    df = df[cols].sort_values(by=cols).reset_index(drop=True)
     h = hashlib.sha256()
-    for row in mat:
-        h.update("\x1f".join(row).encode())
+    for row in df.itertuples(index=False, name=None):
+        h.update("\x1f".join(str(v) for v in row).encode())
         h.update(b"\x1e")
     return h.hexdigest()
 
@@ -45,28 +43,25 @@ def main(out_dir, sf_dir):
     results = {}
     names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
     for name in names:
-        spark_t = pq.read_table(f"{out_dir}/{name}")
-        s_cols = list(spark_t.schema.names)
-        s_rows = [tuple(r[c] for c in s_cols) for r in spark_t.to_pylist()]
-        if name not in oracles:
-            results[name] = {"err": "no_oracle", "spark_rows": len(s_rows)}
-            continue
+        res = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None}
         try:
-            cur = con.execute(oracles[name])
-            o_cols = [d[0] for d in cur.description]
-            o_rows = cur.fetchall()
-        except Exception as e:
-            results[name] = {"err": f"oracle_sql_error: {e}", "spark_rows": len(s_rows)}
-            continue
-        res = {
-            "rows_match": len(s_rows) == len(o_rows),
-            "schema_match": sorted(s_cols) == sorted(o_cols),
-            "hash_match": table_hash(s_cols, s_rows) == table_hash(o_cols, o_rows),
-            "spark_rows": len(s_rows),
-            "oracle_rows": len(o_rows),
-        }
+            spark_df = pq.read_table(f"{out_dir}/{name}").to_pandas()
+            res["spark_rows"] = len(spark_df)
+            if name not in oracles:
+                res["err"] = "no_oracle"
+                results[name] = res
+                continue
+            oracle_df = con.execute(oracles[name]).df()
+            res["oracle_rows"] = len(oracle_df)
+            res["rows_match"] = len(spark_df) == len(oracle_df)
+            res["schema_match"] = sorted(spark_df.columns) == sorted(oracle_df.columns)
+            res["hash_match"] = df_hash(spark_df) == df_hash(oracle_df)
+        except Exception:
+            res["err"] = traceback.format_exc()[-2000:]
         results[name] = res
-    bad = {k: v for k, v in results.items() if v.get("err") or not (v["rows_match"] and v["schema_match"] and v["hash_match"])}
+    bad = {k: v for k, v in results.items()
+           if v.get("err") or not (v["rows_match"] and v["schema_match"] and v["hash_match"])}
     print(json.dumps(results, indent=1))
     print(f"\n{len(results) - len(bad)}/{len(results)} green")
     if bad:

@@ -860,7 +860,10 @@ object SparkEntry {
         .select(
           col("vec_id"),
           col("qv.scale").as("scale"),
-          col("qv.q").as("q"),
+          // codes travel the battery as a canonical comma-join (the driver's
+          // pandas compare errors on bare array columns); the library keeps
+          // the int8 array form
+          array_join(transform(col("qv.q"), x => x.cast("string")), ",").as("q"),
           aggregate(
             zip_with(
               F.dequantizeInt8(col("qv")),
@@ -1066,6 +1069,10 @@ object SparkEntry {
           maxTopBigramFrac = 0.1,
           maxDupTrigramFrac = 0.2
         )
+        // battery output: reason order is pinned by the gate, so the
+        // comma-join is canonical; the driver's pandas compare cannot sort
+        // a bare array column (r4 red), and the library API keeps the array
+        .withColumn("reasons", concat_ws(",", col("reasons")))
         .orderBy("doc_id")
     }),
     "q_cur_mix_weights" -> ((s, dir) => {
@@ -1125,9 +1132,16 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(
           col("doc_id"),
-          SF.winnow(split(col("text"), " "), 4, 5).as("fingerprints")
+          SF.winnow(split(col("text"), " "), 4, 5).as("fp")
         )
-        .select(col("doc_id"), col("fingerprints"), size(col("fingerprints")).cast("long").as("n_fp"))
+        // fingerprints are already distinct-sorted, so the comma-join is a
+        // canonical string (the driver's pandas compare errors on bare
+        // array columns); the library API keeps the array form
+        .select(
+          col("doc_id"),
+          array_join(transform(col("fp"), x => x.cast("string")), ",").as("fingerprints"),
+          size(col("fp")).cast("long").as("n_fp")
+        )
         .orderBy("doc_id")),
     "q_txt_langid" -> ((s, dir) => {
       // stopword-vote language id heuristic (here: english function words)
@@ -1600,7 +1614,7 @@ object SparkEntry {
         |           concat_ws('|', 't', array_to_string((string_split(text, ' '))[1:2], ' ')) AS key
         |    FROM documents)),
         |blocks AS (SELECT key, count(*) AS n FROM keys GROUP BY key),
-        |cand AS (SELECT coalesce(sum(n * (n - 1) // 2), 0) AS candidates FROM blocks),
+        |cand AS (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT) AS candidates FROM blocks),
         |nd AS (SELECT count(DISTINCT url) AS n_docs FROM keys),
         |gold AS (
         |  SELECT a.doc_id AS url_a, b.doc_id AS url_b
@@ -1927,7 +1941,9 @@ object SparkEntry {
         |    list_max(list_transform(range(1, len(q) + 1),
         |      i -> abs(q[i]::DOUBLE * scale - v[i]))) AS max_err
         |  FROM q)
-        |SELECT vec_id, scale, q, max_err, max_err <= scale / 2 AS ok
+        |SELECT vec_id, scale,
+        |       array_to_string(list_transform(q, x -> x::VARCHAR), ',') AS q,
+        |       max_err, max_err <= scale / 2 AS ok
         |FROM d ORDER BY vec_id""".stripMargin,
     "q_dd_resolve" ->
       """WITH RECURSIVE pages AS (
@@ -2129,7 +2145,7 @@ object SparkEntry {
         |    ], x -> x IS NOT NULL) AS reasons
         |  FROM m)
         |SELECT doc_id, n_tokens, distinct_ratio, top_bigram_frac, dup_trigram_frac,
-        |       reasons, len(reasons) = 0 AS keep
+        |       coalesce(array_to_string(reasons, ','), '') AS reasons, len(reasons) = 0 AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
     "q_cur_mix_weights" ->
       """WITH s AS (
@@ -2208,7 +2224,10 @@ object SparkEntry {
         |         WHEN len(hs) <= 5 THEN [list_min(hs)]
         |         ELSE list_transform(range(1, len(hs) - 3), q -> list_min(hs[q:q+4])) END AS sel
         |  FROM hs)
-        |SELECT doc_id, list_sort(list_distinct(sel)) AS fingerprints,
+        |SELECT doc_id,
+        |       coalesce(
+        |         array_to_string(list_transform(list_sort(list_distinct(sel)), x -> x::VARCHAR), ','),
+        |         '') AS fingerprints,
         |       CAST(len(list_distinct(sel)) AS BIGINT) AS n_fp
         |FROM sel ORDER BY doc_id""".stripMargin,
     "q_txt_langid" ->
