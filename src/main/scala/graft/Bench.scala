@@ -213,12 +213,36 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } finally spark.stop()
     }
+    // round-4 lesson: this pair had NO plausibility gate — the driver's
+    // window recorded 1.51x while three builder windows recorded 0.95-0.97x
+    // (a co-tenant burst landing on the durable leg inflates the ratio
+    // unboundedly). Same treatment as the scaling estimator: if the first
+    // round's overhead is outside a plausibility band, run up to two more
+    // interleaved rounds and publish the MEDIAN per-round overhead; every
+    // raw wall ships in the JSON so the estimate is auditable.
     var durPlain, durCk = -1.0
+    var durRuns = Vector.empty[(Double, Double)]
     if (!skipScaling && !sys.env.contains("SPARK_GRAFT_BENCH_SKIP_DURABLE")) {
-      val ckDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench-ck-${System.nanoTime()}"
-      durPlain = timeDurableOnce(LinkagePipeline.Config(), "plain")
-      durCk = timeDurableOnce(LinkagePipeline.Config(checkpointDir = Some(ckDir)), "ck")
-      err(f"durable-cc: plain=$durPlain%.2f s, durable=$durCk%.2f s, overhead=${durCk / durPlain}%.2fx")
+      val durLo = sys.env.getOrElse("SPARK_GRAFT_BENCH_DURABLE_LO", "0.8").toDouble
+      val durHi = sys.env.getOrElse("SPARK_GRAFT_BENCH_DURABLE_HI", "1.2").toDouble
+      var round = 0
+      var done = false
+      while (!done && round < 3) {
+        round += 1
+        val ckDir = s"${System.getProperty("java.io.tmpdir")}/graft-bench-ck-${System.nanoTime()}"
+        val p = timeDurableOnce(LinkagePipeline.Config(), s"plain$round")
+        val c = timeDurableOnce(LinkagePipeline.Config(checkpointDir = Some(ckDir)), s"ck$round")
+        durRuns :+= ((p, c))
+        val over = c / p
+        err(f"durable-cc round $round: plain=$p%.2f s, durable=$c%.2f s, overhead=$over%.2fx")
+        if (round == 1 && over >= durLo && over <= durHi) done = true
+      }
+      // median per-round overhead; ship the pair that produced it
+      val byOver = durRuns.sortBy { case (p, c) => c / p }
+      val med = byOver(byOver.size / 2)
+      durPlain = med._1
+      durCk = med._2
+      err(f"durable-cc: plain=$durPlain%.2f s, durable=$durCk%.2f s, overhead=${durCk / durPlain}%.2fx (median of ${durRuns.size})")
     }
 
     // ---- part 2: per-query timings on the sf dir ----
@@ -271,7 +295,10 @@ object Bench {
           s""""noise_retries":$retries,""" +
           s""""durable_cc_plain_sec":${if (durPlain > 0) "%.2f".format(durPlain) else "null"},""" +
           s""""durable_cc_wall_sec":${if (durCk > 0) "%.2f".format(durCk) else "null"},""" +
-          s""""durable_cc_overhead":${if (durPlain > 0 && durCk > 0) "%.3f".format(durCk / durPlain) else "null"}}"""
+          s""""durable_cc_overhead":${if (durPlain > 0 && durCk > 0) "%.3f".format(durCk / durPlain) else "null"},""" +
+          s""""durable_cc_runs":${durRuns
+              .map { case (p, c) => s"""{"plain":${"%.2f".format(p)},"durable":${"%.2f".format(c)}}""" }
+              .mkString("[", ",", "]")}}"""
     val metricValue = if (skipScaling) "null" else "%.1f".format(tput4N)
     val json =
       s"""{"metric":"docs_per_sec_4n_executors","value":$metricValue,"unit":"docs/sec",""" +

@@ -2195,6 +2195,12 @@ object SparkEntry {
         |SELECT doc_id, text_extracted,
         |       text_extracted = (text || ' A & B <ok>') AS ok
         |FROM x ORDER BY doc_id""".stripMargin,
+    // ORACLE SCOPE NOTE: this replay folds FNV-1a over CODE POINTS
+    // (ord(substr(t,i,1))) while the engine's SimKernels.fnv64 folds UTF-8
+    // BYTES — identical iff every token is ASCII (code point == byte).
+    // The synthetic documents table is ASCII by construction, so the oracle
+    // is exact here; it is NOT a general non-ASCII replay (DuckDB has no
+    // per-byte iteration primitive to express one).
     "q_txt_winnow" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |th AS (

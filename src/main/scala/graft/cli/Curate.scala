@@ -52,10 +52,14 @@ object Curate {
       res.cleaned.write.mode("overwrite").parquet(output)
       res.release()
       val secs = (System.nanoTime() - t0) / 1e9
+      // the output path is interpolated into the stats JSON: escape the two
+      // characters that can break the string literal (same failure class the
+      // incremental index's meta.json guards against)
+      val outJson = output.replace("\\", "\\\\").replace("\"", "\\\"")
       println(
         s"""{"docs_in":${res.docsIn},"kept":${res.kept},"canonical":${res.canonical},""" +
           s""""removed_words":${res.removedWords},"seconds":${"%.2f".format(secs)},""" +
-          s""""docs_per_sec":${"%.1f".format(res.docsIn / secs)},"output":"$output"}"""
+          s""""docs_per_sec":${"%.1f".format(res.docsIn / secs)},"output":"$outJson"}"""
       )
     } finally spark.stop()
   }

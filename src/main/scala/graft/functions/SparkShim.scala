@@ -12,7 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
-  def observationGetOrEmpty(obs: Observation): Map[String, Any] = obs.getOrEmpty
+  /** `getOrEmpty`'s no-row fallback is `Row.empty`, whose `schema` is null,
+    * so before the listener bus delivers the metrics it throws NPE instead
+    * of returning the empty map its name promises. Treat that window as
+    * "no metrics yet" so pollers can retry.
+    */
+  def observationGetOrEmpty(obs: Observation): Map[String, Any] =
+    try obs.getOrEmpty
+    catch { case _: NullPointerException => Map.empty }
 
   /** Block until every queued SparkListener event has been delivered. */
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =

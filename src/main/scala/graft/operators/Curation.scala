@@ -118,6 +118,15 @@ object Curation {
     require(buckets >= splits.size, s"need at least one bucket per split (got $buckets)")
     val bucket = pmod(xxhash64(col(keyCol)), lit(buckets))
     val bounds = splits.scanLeft(0.0)(_ + _._2).tail.map(c => math.round(c * buckets))
+    // rounding to integer bucket cuts can collapse a split the caller
+    // explicitly asked for (e.g. weight 1e-5 with buckets=10000 rounds to a
+    // zero-width range): fail loudly instead of silently emitting an empty
+    // eval set
+    require(
+      bounds.head > 0 && bounds.iterator.sliding(2).withPartial(false).forall(w => w(0) < w(1)),
+      s"split weights $splits are not representable with $buckets buckets " +
+        s"(bucket bounds $bounds must be strictly increasing and start > 0); raise `buckets`"
+    )
     val label = splits.zip(bounds).init.foldRight(lit(splits.last._1): Column) {
       case (((name, _), bound), rest) => when(bucket < bound, name).otherwise(rest)
     }

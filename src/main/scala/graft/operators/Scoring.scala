@@ -56,18 +56,31 @@ object PairScorer {
     val spark = pages.sparkSession
     import spark.implicits._
     val toks = Normalize.tokensOf(col("text"))
-    val tf = pages
-      .select(SimilarityFunctions.term_freqs(toks, TfBuckets).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val nDocs = tf.count()
+    val tf = pages.select(SimilarityFunctions.term_freqs(toks, TfBuckets).as("tf"))
+    // one action: the doc count rides the df aggregation as an observation
+    // (attached before the explode), so the corpus is scanned exactly once
+    // and the pass needs no persist at all
+    val obs = org.apache.spark.sql.Observation()
     val rows = tf
+      .observe(obs, count(lit(1)).as("n_docs"))
       .select(explode(col("tf.ts")).as("t"))
       .groupBy("t")
       .agg(count(lit(1)).as("df"))
       .collect() // bounded by TfBuckets
       .map(r => (r.getLong(0), r.getLong(1)))
       .toSeq
-    tf.unpersist(false)
+    // zero buckets -> the corpus was empty or all-blank, and on an empty
+    // relation the optimizer prunes the CollectMetrics node so the
+    // observation NEVER fires: skip the poll and count the (empty) frame
+    // directly instead of burning the full poll budget
+    val nDocs =
+      if (rows.isEmpty) tf.count()
+      else
+        graft.util.Observations
+          .getWithin(obs)
+          .get("n_docs")
+          .map(_.asInstanceOf[Long])
+          .getOrElse(tf.count())
     (rows.toDF("t", "df"), nDocs)
   }
 
@@ -137,16 +150,29 @@ object PairScorer {
     // output is bounded by TfBuckets -> collected + broadcast. df counts
     // DOCUMENTS per bucket (tf entries are already distinct per doc).
     val spark = pages.sparkSession
-    // count the just-persisted feature frame, not the raw input: same
-    // number, but this materializes the cache the IDF pass needs anyway
-    // instead of paying one extra full corpus scan (text column included)
-    // purely for a row count
-    val nDocs = base.count().toDouble
+    // ONE action builds the whole artifact set: the IDF aggregation's map
+    // stage materializes the tokenize+hash cache, and the document count
+    // rides the same job as an observation (attached BEFORE the explode, so
+    // each doc is counted once) — previously a separate base.count() paid a
+    // full extra pass over the cached corpus just for the row count
+    val obs = org.apache.spark.sql.Observation()
     val idfRows = base
+      .observe(obs, count(lit(1)).as("n_docs"))
       .select(explode(col("tf.ts")).as("t"))
       .groupBy(col("t"))
       .agg(count(lit(1)).cast("double").as("df"))
       .collect()
+    // zero buckets -> empty/all-blank corpus; the optimizer prunes the
+    // CollectMetrics node on an empty relation so the observation never
+    // fires — count the cached (empty) frame directly, no poll budget spent
+    val nDocs =
+      if (idfRows.isEmpty) base.count().toDouble
+      else
+        graft.util.Observations
+          .getWithin(obs)
+          .get("n_docs")
+          .map(_.asInstanceOf[Long].toDouble)
+          .getOrElse(base.count().toDouble) // defensive fallback; cache is hot
     val idfMap = new java.util.HashMap[java.lang.Long, java.lang.Double](idfRows.length * 2)
     idfRows.foreach { r =>
       idfMap.put(r.getLong(0), math.log((nDocs + 1.0) / (r.getDouble(1) + 1.0)) + 1.0)

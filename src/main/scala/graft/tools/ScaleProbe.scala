@@ -48,7 +48,10 @@ object ScaleProbe {
       )
     }
 
-    // SPARK_GRAFT_PROBE_ONLY=span (etc.) restricts to one family (dev loop)
+    // SPARK_GRAFT_PROBE_ONLY=er|simhash|emb|span restricts the probe to one
+    // family (dev loop); unset runs all of them. Every family carries its
+    // own fam(...) gate — an unknown value runs nothing rather than
+    // silently running the wrong families.
     val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
     def fam(name: String): Boolean = only.forall(_ == name)
 
@@ -87,20 +90,23 @@ object ScaleProbe {
             f"dupWindows=$dup%12d dupShare=${dup.toDouble / windows}%.4f"
         )
       }
-      if (!only.contains("span")) {
-
       // family 1-3: the ER blocking strategies
-      strategies.foreach { s =>
-        blockStats(s.name, docs, s.keys(pages).select("url", "key").distinct())
+      if (fam("er")) {
+        strategies.foreach { s =>
+          blockStats(s.name, docs, s.keys(pages).select("url", "key").distinct())
+        }
+        val allPairs = Blocker.pairs(Blocker.allKeys(pages, strategies), 1000).count()
+        println(f"[scale] n=$docs%8d TOTAL salted+deduped pairs=$allPairs%12d ratio=${allPairs.toDouble / docs}%.1f")
       }
-      val allPairs = Blocker.pairs(Blocker.allKeys(pages, strategies), 1000).count()
-      println(f"[scale] n=$docs%8d TOTAL salted+deduped pairs=$allPairs%12d ratio=${allPairs.toDouble / docs}%.1f")
 
       // family 4: SimHash chunk-combination keys (near-dup d<=3)
-      blockStats("simhash_c3", docs, Dedup.simHashKeys(pages, "url", maxHamming = 3), cap = 10000)
-      val shPairs = Dedup.simHashPairs(pages, "url", maxHamming = 3).count()
-      println(f"[scale] n=$docs%8d simhash verified pairs=$shPairs%12d ratio=${shPairs.toDouble / docs}%.2f")
+      if (fam("simhash")) {
+        blockStats("simhash_c3", docs, Dedup.simHashKeys(pages, "url", maxHamming = 3), cap = 10000)
+        val shPairs = Dedup.simHashPairs(pages, "url", maxHamming = 3).count()
+        println(f"[scale] n=$docs%8d simhash verified pairs=$shPairs%12d ratio=${shPairs.toDouble / docs}%.2f")
+      }
 
+      if (fam("emb")) {
       // family 5: embedding sign-LSH at the lshPlan-derived (bits, tables)
       // — synthetic 16-dim vectors, deterministic per id. Raw bucket-join
       // volume (sum n*(n-1)/2 over (table, bucket) blocks) is computed from
