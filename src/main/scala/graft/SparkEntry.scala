@@ -564,6 +564,41 @@ object SparkEntry {
       finally q.stop()
       s.read.parquet(s"$outDir/out").select("url", "key", "canonical", "is_first").orderBy("url")
     }),
+    "q_stream_link_finalize" -> ((s, dir) => {
+      // StreamingLinkage end-to-end in the battery: 150 documents replayed
+      // as a TWO-micro-batch file stream (two part files +
+      // maxFilesPerTrigger=1), bootstrap v0 + O(delta) increment v1, then
+      // the W5 FINALIZE pass stamps the deterministic seq onto the
+      // committed snapshot. Linkage preserves the input row set regardless
+      // of what clusters form, so (url, seq) is fully symbolic: seq must
+      // equal row_number over url order of the streamed-in urls.
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .where(col("doc_id") < 150)
+        .select(lpad(col("doc_id").cast("string"), 6, "0").as("url"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-qslink").toString
+      // two appends of one part file each -> two micro-batches
+      docs.where(col("url") < "000075").coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      docs.where(col("url") >= "000075").coalesce(1).write.mode("append").parquet(s"$tmp/in")
+      val src = s.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tmp/in")
+      val q = graft.streaming.StreamingLinkage.run(
+        src,
+        s"$tmp/store",
+        s"$tmp/ckpt",
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow()
+      )
+      try require(q.awaitTermination(300000), "q_stream_link_finalize: stream did not finish within 300s")
+      finally q.stop()
+      require(
+        graft.streaming.StreamingLinkage.currentVersion(s, s"$tmp/store").contains(1),
+        "expected bootstrap + one increment (two micro-batches)"
+      )
+      val finalDir = graft.streaming.StreamingLinkage.finalizeSeq(s, s"$tmp/store")
+      s.read.parquet(finalDir).select("url", "seq").orderBy("url")
+    }),
     "q_er_pipeline" -> ((s, dir) => {
       // full linkage pipeline over documents-derived pages (rows-only check)
       val pages = t(s, dir, "documents").select(
@@ -1654,6 +1689,15 @@ object SparkEntry {
         |c AS (SELECT key, list(url ORDER BY ts, url)[1] AS canonical FROM k GROUP BY key)
         |SELECT k.url, k.key, c.canonical, (k.url = c.canonical) AS is_first
         |FROM k JOIN c ON c.key = k.key ORDER BY k.url""".stripMargin,
+    // linkage preserves the input row set, and the W5 finalize orders by
+    // url — so the stamped seq over ANY committed store is exactly the
+    // dense row_number over the streamed-in urls, engine-free
+    "q_stream_link_finalize" ->
+      """WITH u AS (
+        |  SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS url
+        |  FROM documents WHERE doc_id < 150)
+        |SELECT url, CAST(row_number() OVER (ORDER BY url) AS BIGINT) AS seq
+        |FROM u ORDER BY url""".stripMargin,
     "q_er_exact_dedup" ->
       """SELECT dup_key, count(*) AS n, min(doc_id) AS canonical FROM (
         |  SELECT doc_id, array_to_string((string_split(text, ' '))[1:5], ' ') AS dup_key FROM documents)

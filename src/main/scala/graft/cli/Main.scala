@@ -31,6 +31,8 @@ import graft.synth.WebCorpus
   *                           the WRITE side O(delta) too
   *     [--window-key <expr>] add a sorted-neighborhood pass: candidates from
   *     [--window N]          a size-N window (default 10) over the corpus
+  *     [--window-refresh true] with --base + --window-key: re-rank the union
+  *                           corpus so the increment honors window passes
   *                           sorted by the SQL expression (url/text columns)
   */
 object Main {
@@ -381,7 +383,18 @@ object Main {
         // place, never rewritten; at corpus scale this is the only mode
         // whose write cost is O(delta), and it skips the O(n) reseq too
         val emitChanged = opts.get("emit").contains("changed")
-        val r = IncrementalLinkage.link(pages, basePred, index, cfg, reseq = !emitChanged)
+        // --window-refresh: allow sorted-neighborhood passes on an
+        // increment by re-ranking the UNION corpus (one O((n+delta) log)
+        // sort per pass; old-old pairs never rescore — see
+        // IncrementalLinkage.link's contract note)
+        val r = IncrementalLinkage.link(
+          pages,
+          basePred,
+          index,
+          cfg,
+          reseq = !emitChanged,
+          windowRefresh = opts.get("window-refresh").contains("true")
+        )
         // chained index write: O(delta) — only the delta's keys are
         // written, the base's stay where they are (parent pointer); pass
         // --index-compact true to rewrite the full union instead (chain

@@ -282,16 +282,30 @@ object IncrementalLinkage {
       basePredictions: DataFrame,
       index: Index,
       cfg: LinkagePipeline.Config = LinkagePipeline.Config(),
-      reseq: Boolean = true
+      reseq: Boolean = true,
+      windowRefresh: Boolean = false
   ): Result = {
     // sorted-neighborhood passes violate contract condition 1 (a doc's
-    // window membership depends on the GLOBAL rank, not the row), so an
-    // increment cannot honor them — fail loudly instead of silently
-    // dropping window candidates the base run had
+    // window membership depends on the GLOBAL rank, not the row), so a
+    // plain increment cannot honor them — fail loudly instead of silently
+    // dropping window candidates the base run had. `windowRefresh` is the
+    // supported composition: re-rank the UNION corpus per pass (the one
+    // O((n+delta) log) sort — no old-old pair ever rescores) and keep the
+    // window pairs touching a delta doc. Old-old adjacency can only
+    // SHRINK when docs are added, so every surviving old-old union window
+    // pair was already scored by the base run; the result equals the full
+    // rerun with window passes EXACTLY when no base-accepted old-old
+    // window edge dropped out of the union window — guaranteed under
+    // append-ordered window keys (delta sorts at/after the base's max
+    // key, e.g. crawl timestamps), the shape IncrementalLinkSpec pins.
+    // Under arbitrary keys the refresh is monotone-candidate: it never
+    // drops a link the base run made, and may keep old-old window edges a
+    // fresh rerun would no longer propose.
     require(
-      cfg.windowPasses.isEmpty,
+      cfg.windowPasses.isEmpty || windowRefresh,
       "incremental linkage cannot honor sorted-neighborhood window passes " +
-        "(window membership is rank-dependent, not per-document) — rerun in full"
+        "(window membership is rank-dependent, not per-document) — pass " +
+        "windowRefresh (CLI --window-refresh) to re-rank the union, or rerun in full"
     )
     val delta = deltaPages
       .select("url", "text")
@@ -305,7 +319,43 @@ object IncrementalLinkage {
     // (O(delta)), so AQE broadcasts it and the index scan stays map-side
     val hotKeys = deltaKeys.select("key").distinct()
     val oldHot = index.keys.join(hotKeys, Seq("key"), "left_semi")
-    val oldHotUrls = oldHot.select("url").distinct()
+    val oldHotUrls0 = oldHot.select("url").distinct()
+
+    // window-refresh pairs: union ranks per pass, delta-touching only
+    // (pseudo-keys "sn:<i>:w<N>" exactly as the full pipeline assigns, so
+    // per-key thresholds and min-key dedup behave identically)
+    val windowPairs: Option[DataFrame] =
+      if (cfg.windowPasses.isEmpty) None
+      else {
+        val unionCorpus = basePredictions.select("url", "text").unionByName(delta)
+        val dUrls = delta.select("url").distinct()
+        val passes = cfg.windowPasses.zipWithIndex.map { case ((sortExpr, w), i) =>
+          SortedNeighborhood
+            .pairs(unionCorpus, expr(sortExpr), w)
+            .withColumn("key", lit(s"sn:$i:w$w"))
+        }
+        Some(
+          passes
+            .reduce(_ unionByName _)
+            // dUrls is O(delta) small -> both probes stay broadcast joins
+            .join(dUrls.select(col("url").as("urlA"), lit(true).as("_na")), Seq("urlA"), "left")
+            .join(dUrls.select(col("url").as("urlB"), lit(true).as("_nb")), Seq("urlB"), "left")
+            .where(col("_na").isNotNull || col("_nb").isNotNull)
+            .select("urlA", "urlB", "key")
+        )
+      }
+    // old urls reachable ONLY through a window pair still need features and
+    // a contracted node id — fold them into the affected-old-url set
+    val oldHotUrls = windowPairs match {
+      case None => oldHotUrls0
+      case Some(wp) =>
+        val wOld = wp
+          .select(col("urlA").as("url"))
+          .unionByName(wp.select(col("urlB").as("url")))
+          .distinct()
+          .join(delta.select("url"), Seq("url"), "left_anti")
+        oldHotUrls0.unionByName(wOld).distinct()
+    }
     val oldTexts = basePredictions.select("url", "text").join(oldHotUrls, Seq("url"), "left_semi")
 
     // union-exact IDF: base artifact + delta stats (additive df)
@@ -313,7 +363,15 @@ object IncrementalLinkage {
     val (feats, releaseFeats) =
       PairScorer.featuresWithIdf(delta.unionByName(oldTexts), Seq((index.idfDf, index.idfDocs), (deltaIdfDf, deltaN)))
 
-    val pairs = candidatePairs(deltaKeys, oldHot, cfg.maxBlockSize)
+    val keyPairs = candidatePairs(deltaKeys, oldHot, cfg.maxBlockSize)
+    val pairs = windowPairs match {
+      case None => keyPairs
+      case Some(wp) =>
+        // min-key dedup across sources, mirroring the full pipeline's
+        // candidatePairs (a pair found by a key block AND a window scores
+        // once, under its deterministic min key)
+        keyPairs.unionByName(wp).groupBy("urlA", "urlB").agg(min("key").as("key"))
+    }
     val scored = PairScorer.score(pairs, feats, cfg.weights)
     val accepted = PairScorer.threshold(scored, cfg.weights, cfg.perKeyThresholds)
     val edgeSnapshot: DataFrame => DataFrame =

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
@@ -79,6 +79,75 @@ object Multimodal {
         greatest(floor(col("height") * col("scale")), lit(1L)).cast("int").as("out_h"),
         col("scale")
       )
+
+  /** THE drop-in boundary, stated as a type: a real media decoder is ONE
+    * function `Array[Byte] => MediaMeta` — nothing else in the dataflow
+    * changes. `decodeMetaWith` runs it partition-batched and produces a
+    * `meta` struct with the EXACT schema of the stub path
+    * (graft.functions.MediaKernels.metaType), so `resizePlan`,
+    * `frameSamplePlan` and every other meta consumer compose unchanged
+    * over either path (MultimodalContractSpec pins both facts).
+    */
+  type Decoder = Array[Byte] => MediaMeta
+
+  /** Decoded metadata as a plain value — the return type of the drop-in
+    * decoder. Field names/types mirror `MediaKernels.metaType` 1:1.
+    */
+  final case class MediaMeta(
+      nBytes: Long,
+      magic: String,
+      kind: String,
+      width: Int,
+      height: Int,
+      durationMs: Long
+  )
+
+  /** `decodeMeta` with a caller-supplied REAL decoder: the same contract
+    * (null payload decodes like empty, all input columns carried through,
+    * identical `meta` schema) executed as a partition-batched transform —
+    * a JNI/ffi codec context initializes once per partition inside the
+    * `mapPartitions` closure, amortized over the partition's rows. Use the
+    * default `decodeMeta` for the codegen'd stub; use this when an actual
+    * codec is on the classpath.
+    */
+  def decodeMetaWith(df: DataFrame, payloadCol: String, decoder: Decoder): DataFrame = {
+    val idx = df.schema.fieldIndex(payloadCol)
+    val outSchema = df.schema.add("meta", graft.functions.MediaKernels.metaType, nullable = false)
+    df.mapPartitions { it =>
+      // a real decoder's expensive init (codec tables, native context)
+      // belongs HERE — once per partition, not per row
+      it.map { r =>
+        val payload = r.get(idx) match {
+          case b: Array[Byte] => b
+          case _ => Array.emptyByteArray
+        }
+        val m = decoder(payload)
+        Row.fromSeq(r.toSeq :+ Row(m.nBytes, m.magic, m.kind, m.width, m.height, m.durationMs))
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** A REAL (if minimal) metadata decoder — pure-JVM parsing of public
+    * container headers, no codec libraries: PNG IHDR (big-endian w/h at
+    * bytes 16..23), GIF logical screen descriptor (little-endian w/h at
+    * bytes 6..9). Anything else sniffs kind from magic bytes with zero
+    * dimensions. Exists to PROVE the drop-in boundary with an actual
+    * decoder in the spec — and is usable as-is for PNG/GIF corpora.
+    */
+  val headerDecoder: Decoder = { payload =>
+    if (payload == null || payload.isEmpty) MediaMeta(0L, "", "unknown", 0, 0, 0L)
+    else {
+      val magic = payload.take(4).map("%02x".format(_)).mkString
+      def u8(i: Int): Int = payload(i) & 0xff
+      def be32(i: Int): Int = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      if (magic.startsWith("8950") && payload.length >= 24)
+        MediaMeta(payload.length.toLong, magic, "image", be32(16), be32(20), 0L)
+      else if (magic.startsWith("4749") && payload.length >= 10)
+        MediaMeta(payload.length.toLong, magic, "image", le16(6), le16(8), 0L)
+      else MediaMeta(payload.length.toLong, magic, "unknown", 0, 0, 0L)
+    }
+  }
 
   /** STUB feature extraction: fixed-width deterministic feature vector per
     * payload (a real model runs here, batch-shaped exactly the same).

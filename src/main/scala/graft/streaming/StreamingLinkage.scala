@@ -142,6 +142,31 @@ object StreamingLinkage {
     }
   }
 
+  /** W5 finalize: stamp the deterministic sequence onto the latest
+    * committed snapshot. Streaming deliberately leaves `seq` null (a
+    * per-batch reseq would be an O(n) range exchange — antithetical to
+    * O(delta) micro-batches); this is the batch job that closes that gap
+    * when a consumer needs the total order: ONE range-partitioned
+    * two-phase seq pass ([[graft.util.DeterministicSeq]], ordered by url
+    * exactly like [[LinkagePipeline.run]]), over a snapshot that is — by
+    * the streaming equivalence contract — the batch rerun's row set. So
+    * the finalized frame equals the full batch pipeline output INCLUDING
+    * seq (StreamingLinkageSpec pins this byte-identically). Writes to
+    * `outDir` (default `predictions_v<N>_final` beside the snapshot; the
+    * un-stamped snapshot stays LATEST — finalize is a read-side export,
+    * not a store version: later micro-batches keep incrementing from
+    * v<N> unaffected) and returns the written path.
+    */
+  def finalizeSeq(spark: SparkSession, storeDir: String, outDir: Option[String] = None): String = {
+    val v = currentVersion(spark, storeDir)
+      .getOrElse(sys.error(s"no committed store at $storeDir"))
+    val snap = spark.read.parquet(s"$storeDir/predictions_v$v")
+    val stamped = LinkagePipeline.withDeterministicSeq(snap.drop("seq"), "url")
+    val dst = outDir.getOrElse(s"$storeDir/predictions_v${v}_final")
+    stamped.write.mode("overwrite").parquet(dst)
+    dst
+  }
+
   /** Garbage-collect superseded store versions — on a long-running stream
     * the version history grows one prediction snapshot + one index link
     * per micro-batch, which is unbounded disk. Deletes prediction

@@ -120,6 +120,61 @@ class IncrementalLinkSpec extends SparkSpec {
     assert(oldChanged.where(col("text").isNotNull).count() == 0, "old upsert rows must not carry text")
   }
 
+  test("window-refresh: increment with sorted-neighborhood passes == full rerun under append-ordered keys") {
+    // Corpus built so window passes are the ONLY link source: blocking is
+    // canonical-url alone (every url its own block -> zero key pairs) and
+    // the near-matches sort adjacently by url. Append-ordered window key:
+    // every delta url ("d…") sorts after every base url ("b…"), the
+    // exactness condition of the windowRefresh contract — old ranks are
+    // unchanged, so old-old window adjacency is identical in base and
+    // union, and every window candidate a full rerun would propose either
+    // existed in the base run or touches a delta doc.
+    def words(seed: Int): String =
+      (0 until 60).map(i => f"w${(seed * 31 + i * 7) % 9973}%04d").mkString(" ")
+    def tweak(t: String): String = t.replaceFirst("w0", "x0")
+    val simA = words(1000)
+    val simB = words(2000)
+    val simC = words(3000)
+    val baseDocs = (0 until 17).map(i => (f"b$i%02d", words(i))) ++
+      Seq("b17" -> simA, "b18" -> tweak(simA), "b19" -> simB) // old-old window pair + boundary doc
+    val deltaDocs = Seq("d00" -> tweak(simB), "d01" -> simC, "d02" -> tweak(simC)) ++ // new-old + new-new pairs
+      (3 until 10).map(i => (f"d$i%02d", words(100 + i)))
+    val base = baseDocs.toDF("url", "text").cache()
+    val delta = deltaDocs.toDF("url", "text").cache()
+    val union = (baseDocs ++ deltaDocs).toDF("url", "text")
+
+    val pipeCfg = LinkagePipeline.Config(
+      strategies = Seq(graft.operators.CanonicalUrlBlocking),
+      windowPasses = Seq(("url", 3))
+    )
+    val full = LinkagePipeline.run(union, pipeCfg)
+    val basePred = LinkagePipeline.run(base, pipeCfg).cache()
+    val index = IncrementalLinkage.buildIndex(base, pipeCfg)
+
+    // without the flag the composition still refuses loudly
+    intercept[IllegalArgumentException](
+      IncrementalLinkage.link(delta, basePred, index, pipeCfg)
+    )
+    val inc = IncrementalLinkage.link(delta, basePred, index, pipeCfg, windowRefresh = true)
+
+    val cols = Seq("url", "cluster_id", "status", "seq")
+    val f = full.select(cols.map(col): _*).orderBy("url").collect()
+    val i = inc.predictions.select(cols.map(col): _*).orderBy("url").collect()
+    assert(f.length == i.length, s"row counts differ: full=${f.length} inc=${i.length}")
+    f.zip(i).foreach { case (a, b) => assert(a == b, s"row differs:\n full=$a\n inc =$b") }
+
+    // the window path must actually contribute all three regimes: an
+    // old-old pair carried from the base run, a new-old boundary pair,
+    // and a new-new pair — with single-url blocks, windows are the ONLY
+    // possible link source
+    val byUrl = i.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byUrl("b17") == byUrl("b18"), "old-old window link (from the base run) lost")
+    assert(byUrl("b19") == byUrl("d00"), "new-old boundary window link missing")
+    assert(byUrl("d01") == byUrl("d02"), "new-new window link missing")
+    assert(byUrl("b00") != byUrl("b01"), "unrelated neighbors must not link")
+    inc.release()
+  }
+
   test("re-delivered urls are dropped; empty effective delta is a no-op") {
     val base = pages.limit(50).cache()
     val basePred = LinkagePipeline.run(base).cache()

@@ -75,6 +75,25 @@ class StreamingLinkageSpec extends SparkSpec {
     StreamingLinkage.linkBatch(waves.last.toDF("url", "text"), store, cfg)
     assert(StreamingLinkage.currentVersion(spark, store).contains(3))
     assert(snapshot(store) == before, "re-delivered batch must be a no-op")
+
+    // W5 finalize: one batch seq pass over the committed snapshot must
+    // reproduce the FULL batch pipeline output — every column INCLUDING
+    // seq, byte-identically (the one reference semantic the streaming
+    // surface leaves null)
+    val finalDir = StreamingLinkage.finalizeSeq(spark, store)
+    // score excluded: incremental linkage freezes old-url scores at
+    // base-time IDF (contract condition 3) — same exclusion as the prefix
+    // comparison above; everything else, seq INCLUDED, is byte-identical
+    val cols = Seq("url", "cluster_id", "status", "text", "seq")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.select(cols.map(col): _*).collect().map(_.toSeq).toSeq.sortBy(_.head.asInstanceOf[String])
+    val got = rows(spark.read.parquet(finalDir))
+    val want = rows(LinkagePipeline.run(all.toDF("url", "text"), cfg))
+    assert(got.size == want.size, s"finalized ${got.size} rows vs batch ${want.size}")
+    assert(got == want, "finalized store must equal the batch pipeline output incl. seq")
+    // finalize is a read-side export: LATEST still points at the
+    // un-stamped v3 and the store keeps incrementing from it
+    assert(StreamingLinkage.currentVersion(spark, store).contains(3))
   }
 
   test("gc keeps the live store loadable and drops superseded versions") {
