@@ -33,6 +33,15 @@ object ConnectedComponents {
     * every strictly-larger neighbor to m = min(N(u) ∪ {u}).
     */
   private[operators] def largeStar(edges: DataFrame): DataFrame = {
+    // NOT a shared explicit repartition: forcing the aggregation and the
+    // join probe onto one repartition(col("src")) exchange was measured
+    // 16% faster on a deep skewless chain (one fewer stage barrier per
+    // round; BENCH.md R5.1) — but REPARTITION_BY_COL exchanges are
+    // ineligible for AQE's skew-join split (ENSURE_REQUIREMENTS only),
+    // and the giant-component hub is EXACTLY the hot key that split
+    // exists for. A barrier saved on chains is not worth a one-task
+    // serialization point on web-scale components; the second exchange
+    // here is partial-aggregated (≈|V| rows, not |E|) and cheap.
     val sym = edges
       .select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
@@ -58,6 +67,9 @@ object ConnectedComponents {
       greatest(col("src"), col("dst")).as("u"),
       least(col("src"), col("dst")).as("v")
     )
+    // no shared repartition here either: a high-id hub is hot on the u
+    // side (it collects one row per neighbor), so the join needs its
+    // skew-split eligibility — see largeStar's note
     val mins = oriented.groupBy("u").agg(min(col("v")).as("m"))
     val relink = oriented
       .join(mins, "u")
