@@ -32,11 +32,11 @@ object ConnectedComponents {
   /** One large-star round: for every node u (over symmetrized edges), link
     * every strictly-larger neighbor to m = min(N(u) ∪ {u}).
     */
-  private[operators] def largeStar(edges: DataFrame): DataFrame = {
+  private[graft] def largeStar(edges: DataFrame): DataFrame = {
     // NOT a shared explicit repartition: forcing the aggregation and the
     // join probe onto one repartition(col("src")) exchange was measured
     // 16% faster on a deep skewless chain (one fewer stage barrier per
-    // round; BENCH.md R5.1) — but REPARTITION_BY_COL exchanges are
+    // round; BENCH.md R5.0) — but REPARTITION_BY_COL exchanges are
     // ineligible for AQE's skew-join split (ENSURE_REQUIREMENTS only),
     // and the giant-component hub is EXACTLY the hot key that split
     // exists for. A barrier saved on chains is not worth a one-task
@@ -62,7 +62,7 @@ object ConnectedComponents {
   /** One small-star round: orient edges (big -> small); for every node u
     * link all smaller neighbors and u itself to m = min of them.
     */
-  private[operators] def smallStar(edges: DataFrame): DataFrame = {
+  private[graft] def smallStar(edges: DataFrame): DataFrame = {
     val oriented = edges.select(
       greatest(col("src"), col("dst")).as("u"),
       least(col("src"), col("dst")).as("v")
