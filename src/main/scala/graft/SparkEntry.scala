@@ -1128,6 +1128,38 @@ object SparkEntry {
       )
       graft.operators.Curation.redactPii(d).orderBy("doc_id")
     }),
+    "q_cur_pack" -> ((s, dir) => {
+      // GPT-style concat-and-chop sequence packing: deterministic
+      // pseudo-shuffle order (xxhash64 of doc_id, id tie-break), global
+      // token-stream positions from the two-phase range-partition cumsum
+      // (no global window), 2048-token packs. The oracle replays the hash,
+      // the order, the running sum and the pack cuts engine-free.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.operators.Curation
+        .packSequences(
+          docs,
+          "doc_id",
+          xxhash64(col("doc_id")),
+          size(split(col("text"), " ")).cast("long"),
+          budget = 2048
+        )
+        .select(col("doc_id"), col("n_tokens"), col("start_pos"), col("pack_id"), col("pack_offset"), col("pack_id_end"))
+        .orderBy("doc_id")
+    }),
+    "q_txt_unigram_lp" -> ((s, dir) => {
+      // unigram-LM quality scoring (the KenLM-perplexity stand-in): model
+      // = one bounded hashed-bucket aggregation (collected + broadcast),
+      // scoring = row-local codegen kernel. The oracle rebuilds the model
+      // and every doc's count-weighted mean log p(bucket) from the same
+      // FNV fold the engine uses (ASCII corpus — same scope note as
+      // q_txt_winnow).
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val (model, total) = graft.operators.TextAnalysis.unigramModel(docs, buckets = 4096)
+      graft.operators.TextAnalysis
+        .unigramLogProb(docs, model, total, buckets = 4096)
+        .select(col("doc_id"), round(col("lp_mean"), 6).as("lp_mean"))
+        .orderBy("doc_id")
+    }),
 
     "q_html_extract" -> ((s, dir) => {
       // north-rule html:binary -> text extraction: each doc's text is
@@ -1969,6 +2001,48 @@ object SparkEntry {
          |       ELSE 'test' END AS split,
          |  c.n_words, c.n_removed, sha256(c.text_clean) AS sha
          |FROM clean c JOIN b ON b.id = c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // replay: token count -> xxhash64(doc_id) order (id tie-break) ->
+    // running token sum -> 2048-token pack cuts. The window sum is HUGEINT
+    // in DuckDB -> CAST; `//` on non-negative BIGINTs == Spark's `div`.
+    "q_cur_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n, doc_id AS id
+         |  FROM documents),
+         |${xxhash64Cte("id", "d")},
+         |o AS (
+         |  SELECT d.doc_id, d.n, h.h AS k
+         |  FROM d JOIN hashes h ON h.id = d.doc_id),
+         |c AS (
+         |  SELECT doc_id, n,
+         |    CAST(coalesce(sum(n) OVER (ORDER BY k, CAST(doc_id AS VARCHAR)
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+         |  FROM o)
+         |SELECT doc_id, n AS n_tokens, start AS start_pos,
+         |  start // 2048 AS pack_id, start % 2048 AS pack_offset,
+         |  greatest(start // 2048, (start + n - 1) // 2048) AS pack_id_end
+         |FROM c ORDER BY doc_id""".stripMargin,
+    // rebuild the hashed-unigram model (per-token FNV fold over code
+    // points — exact on the ASCII corpus, same scope note as q_txt_winnow;
+    // bucket = (h >>> 1) % 4096 == unsigned-HUGEINT // 2 % 4096), then
+    // each doc's mean log p(bucket) with add-one smoothing over buckets
+    "q_txt_unigram_lp" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(1, length(t) + 1), i -> ord(substr(t, i, 1))::HUGEINT)),
+        |      (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS th
+        |  FROM tok),
+        |bk AS (SELECT doc_id, CAST((th // 2) % 4096 AS BIGINT) AS b FROM th),
+        |m AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM m),
+        |lp AS (SELECT m.b, ln((m.c + 1.0) / (tot.total + 4096.0)) AS lp FROM m, tot)
+        |SELECT d.doc_id, round(coalesce(avg(lp.lp), 0.0), 6) AS lp_mean
+        |FROM documents d
+        |LEFT JOIN bk ON bk.doc_id = d.doc_id
+        |LEFT JOIN lp ON lp.b = bk.b
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "q_emb_quantize" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),

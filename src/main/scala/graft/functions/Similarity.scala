@@ -171,6 +171,31 @@ object SimKernels {
     * weights (vector sparsification: shrinks the pair-join shuffle), and
     * L2-normalize — all in-row.
     */
+  /** See [[graft.functions.UnigramScore]]: count-weighted mean of the
+    * broadcast per-bucket log-probabilities over a term_freqs struct.
+    */
+  def unigramScore(
+      vec: org.apache.spark.sql.catalyst.InternalRow,
+      lp: org.apache.spark.broadcast.Broadcast[java.util.HashMap[java.lang.Long, java.lang.Double]],
+      defaultLp: Double
+  ): Double = {
+    val m = lp.value
+    val ts = vec.getArray(0)
+    val ws = vec.getArray(1)
+    val n = ts.numElements()
+    var sum = 0.0
+    var cnt = 0.0
+    var i = 0
+    while (i < n) {
+      val v = m.get(ts.getLong(i))
+      val w = ws.getDouble(i)
+      sum += w * (if (v == null) defaultLp else v.doubleValue())
+      cnt += w
+      i += 1
+    }
+    if (cnt == 0.0) 0.0 else sum / cnt
+  }
+
   def tfidfWeight(
       vec: org.apache.spark.sql.catalyst.InternalRow,
       idf: org.apache.spark.broadcast.Broadcast[java.util.HashMap[java.lang.Long, java.lang.Double]],
@@ -702,6 +727,30 @@ case class TfIdfWeight(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Mean log-probability per token under a broadcast hashed-unigram model:
+  * sum(ws_i * logp(ts_i)) / sum(ws_i) over a `term_freqs` struct, with
+  * `defaultLp` for buckets absent from the model (scoring docs the model
+  * never saw). Row-local, codegen'd — the model map is bounded by the
+  * bucket count, so it broadcasts at any corpus size. Empty docs score
+  * 0.0 by convention (no tokens to average; gate those on token count).
+  */
+case class UnigramScore(
+    child: Expression,
+    lpBc: org.apache.spark.broadcast.Broadcast[java.util.HashMap[java.lang.Long, java.lang.Double]],
+    defaultLp: Double
+) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unigram_score"
+  override protected def nullSafeEval(v: Any): Any =
+    SimKernels.unigramScore(v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow], lpBc, defaultLp)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lpBc", lpBc, classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, a => s"graft.functions.SimKernels.unigramScore($a, $ref, ${defaultLp}d)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Sign-LSH (random-hyperplane) bucket id of an array<double> column. */
 case class SignLsh(child: Expression, bits: Int, seed: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -787,6 +836,12 @@ object SimilarityFunctions {
       tf: Column,
       idfBc: org.apache.spark.broadcast.Broadcast[java.util.HashMap[java.lang.Long, java.lang.Double]]
   ): Column = GraftShim.column(TfIdfWeight(e(tf), idfBc))
+
+  def unigram_score(
+      tf: Column,
+      lpBc: org.apache.spark.broadcast.Broadcast[java.util.HashMap[java.lang.Long, java.lang.Double]],
+      defaultLp: Double
+  ): Column = GraftShim.column(UnigramScore(e(tf), lpBc, defaultLp))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =

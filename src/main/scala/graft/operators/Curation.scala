@@ -224,6 +224,79 @@ object Curation {
       )
   }
 
+  /** GPT-style sequence packing (concat-and-chop): lay the corpus out as
+    * one deterministic token stream and cut it into fixed-`budget`
+    * training sequences. Each doc gets its global `start_pos` in the
+    * stream, the `pack_id` its first token lands in, the `pack_offset`
+    * within that pack, and `pack_id_end` (docs longer than the budget
+    * span packs — the concat-and-chop contract; trainers mask across doc
+    * boundaries, packers don't split on them).
+    *
+    * Deterministic and Spark-first: the stream order is
+    * (orderExpr, idCol) — pass e.g. `xxhash64(col(id))` for a stable
+    * pseudo-shuffle — and the global running token count is the same
+    * two-phase range-partition machinery as the W5 seq (rank within each
+    * range partition + driver-collected per-partition token totals,
+    * <= `rangePartitions` rows): NO global single-partition window at any
+    * scale, and the result is independent of the sampled range boundaries
+    * (moving a boundary moves rows between partitions, never reorders the
+    * stream). The ranged frame is materialized before the two passes for
+    * the same reason DeterministicSeq materializes (repartitionByRange
+    * samples per job).
+    */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      orderExpr: Column,
+      nTokensExpr: Column,
+      budget: Long,
+      rangePartitions: Int = 0
+  ): DataFrame = {
+    require(budget >= 1, s"pack budget must be >= 1 token (got $budget)")
+    val spark = docs.sparkSession
+    val nParts =
+      if (rangePartitions > 0) rangePartitions
+      else
+        math.max(
+          spark.sparkContext.defaultParallelism,
+          spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+        )
+    val keyed = docs.select(
+      col("*"),
+      struct(orderExpr.as("k"), col(idCol).cast("string").as("u")).as("_ord"),
+      nTokensExpr.cast("long").as("_n")
+    )
+    val ranged = graft.util.Checkpoints.serializedLocal(
+      keyed.repartitionByRange(nParts, col("_ord")).withColumn("_pid", spark_partition_id())
+    )
+    val parts = ranged.groupBy("_pid").agg(sum(col("_n")).as("_s")).orderBy("_pid").collect()
+    var acc = 0L
+    val offsets = parts.map { r =>
+      val o = (r.getInt(0), acc)
+      acc += (if (r.isNullAt(1)) 0L else r.getLong(1))
+      o
+    }.toSeq
+    import spark.implicits._
+    val offsetDf = offsets.toDF("_pid", "_off")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("_pid").orderBy("_ord")
+    ranged
+      .join(broadcast(offsetDf), "_pid")
+      .withColumn("start_pos", col("_off") + sum(col("_n")).over(w) - col("_n"))
+      .withColumn("n_tokens", col("_n"))
+      // `div` (integral divide), not floor(double division): exact at any
+      // stream length, no 2^53 cliff
+      .withColumn("pack_id", expr(s"start_pos div ${budget}L"))
+      .withColumn("pack_offset", col("start_pos") % budget)
+      // zero-token docs occupy no stream positions: they "land" at
+      // start_pos but end before it — pin their end pack to their start
+      // pack instead of pack_id - 1
+      .withColumn(
+        "pack_id_end",
+        greatest(col("pack_id"), expr(s"(start_pos + n_tokens - 1) div ${budget}L"))
+      )
+      .drop("_pid", "_off", "_ord", "_n")
+  }
+
   /** PII redaction: email addresses and long digit runs (phone-shaped)
     * replaced with typed placeholders. Row-local regexp projections —
     * zero exchanges, stays in whole-stage codegen. Patterns are

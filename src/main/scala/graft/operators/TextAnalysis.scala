@@ -175,6 +175,75 @@ object TextAnalysis {
     trim(regexp_replace(e, "\\s+", " "))
   }
 
+  /** Unigram language-model quality scoring — the in-engine stand-in for
+    * KenLM-style perplexity filtering (CCNet/RefinedWeb corpus builds rank
+    * documents by LM log-probability; a hashed-unigram model is the
+    * cheapest member of that family and already separates prose from
+    * gibberish/boilerplate). Two passes, both scale-shaped:
+    *
+    *   1. model build: ONE bounded aggregation over hashed token buckets
+    *      (`term_freqs`, <= `buckets` output rows) collected + broadcast —
+    *      the vocabulary never shuffles and the model is O(buckets)
+    *      regardless of corpus size;
+    *   2. scoring: a row-local codegen'd kernel ([[graft.functions
+    *      .UnigramScore]]) computes each doc's count-weighted mean
+    *      log p(bucket) against the broadcast map — zero exchanges.
+    *
+    * Add-one smoothing over buckets: logp(b) = ln((c_b + 1) / (total +
+    * buckets)); tokens hashing to an unseen bucket (possible when scoring
+    * docs outside the model corpus) get ln(1 / (total + buckets)).
+    * Tokens are the RAW whitespace split (oracle-replayable; empty docs
+    * score 0.0 — gate those on token count, not logprob).
+    *
+    * Returns (model, score): `model` is the broadcastable (t, c) frame —
+    * persist it to score future deltas against a FROZEN model, the same
+    * artifact pattern as [[PairScorer.idfArtifact]]; `score(docs)` adds
+    * `lp_mean` to any frame with `textCol`.
+    */
+  def unigramModel(
+      docs: DataFrame,
+      textCol: String = "text",
+      buckets: Int = 1 << 18
+  ): (DataFrame, Long) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tf = graft.functions.SimilarityFunctions.term_freqs(split(col(textCol), " "), buckets)
+    val rows = docs
+      .select(tf.as("_tf"))
+      .select(explode(arrays_zip(col("_tf.ts"), col("_tf.ws"))).as("_z"))
+      .select(col("_z.ts").as("t"), col("_z.ws").as("w"))
+      .groupBy("t")
+      .agg(sum(col("w")).cast("long").as("c"))
+      .collect() // bounded by `buckets`
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq
+    (rows.toDF("t", "c"), rows.map(_._2).sum)
+  }
+
+  /** Score `docs` against a unigram model built by [[unigramModel]] (or
+    * loaded from its persisted (t, c) frame + total). Row-local.
+    */
+  def unigramLogProb(
+      docs: DataFrame,
+      model: DataFrame,
+      totalTokens: Long,
+      textCol: String = "text",
+      buckets: Int = 1 << 18
+  ): DataFrame = {
+    val spark = docs.sparkSession
+    val denom = totalTokens.toDouble + buckets.toDouble
+    val m = new java.util.HashMap[java.lang.Long, java.lang.Double]()
+    model.select(col("t").cast("long"), col("c").cast("long")).collect().foreach { r =>
+      m.put(r.getLong(0), math.log((r.getLong(1) + 1.0) / denom))
+    }
+    val lpBc = spark.sparkContext.broadcast(m)
+    val tf = graft.functions.SimilarityFunctions.term_freqs(split(col(textCol), " "), buckets)
+    docs.withColumn(
+      "lp_mean",
+      graft.functions.SimilarityFunctions.unigram_score(tf, lpBc, math.log(1.0 / denom))
+    )
+  }
+
   /** Convenience: annotate a documents frame (expects a `text` column). */
   def annotate(docs: DataFrame): DataFrame =
     docs

@@ -159,4 +159,39 @@ class CurationSpec extends SparkSpec {
     assert(!got(1L).contains("example.co.uk") && !got(1L).contains("567890"), got(1L))
     assert(got(2L) == "no pii here just words and the number 42")
   }
+
+  test("packSequences: closed-form stream positions, span packs, zero-token docs, partition-invariance") {
+    // order by id itself -> stream order d0,d1,... and positions are the
+    // hand-computable prefix sums of the token counts
+    val docs = Seq(
+      ("d0", 3L),
+      ("d1", 7L), // ends at 10 = exactly one 10-token pack
+      ("d2", 25L), // spans packs 1..3 (starts at 10, ends at 34)
+      ("d3", 0L), // zero tokens: occupies no stream positions
+      ("d4", 5L)
+    ).toDF("id", "n")
+    def run(parts: Int) =
+      Curation
+        .packSequences(docs.repartition(parts), "id", col("id"), col("n"), budget = 10L, rangePartitions = 3)
+        .select("id", "n_tokens", "start_pos", "pack_id", "pack_offset", "pack_id_end")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+        .toMap
+    val got = run(1)
+    assert(got("d0") == ((3L, 0L, 0L, 0L, 0L)))
+    assert(got("d1") == ((7L, 3L, 0L, 3L, 0L)), got("d1").toString) // ends exactly at the pack cut
+    assert(got("d2") == ((25L, 10L, 1L, 0L, 3L)), got("d2").toString) // spans packs 1..3
+    assert(got("d3") == ((0L, 35L, 3L, 5L, 3L)), got("d3").toString) // zero-token: end pack == start pack
+    assert(got("d4") == ((5L, 35L, 3L, 5L, 3L)))
+    // the layout is a function of (order key, counts) alone — not of the
+    // input partitioning or the range-partition count
+    assert(run(7) == got, "packing must be partition-invariant")
+    val wide = Curation
+      .packSequences(docs.repartition(5), "id", col("id"), col("n"), budget = 10L, rangePartitions = 11)
+      .select("id", "start_pos")
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    assert(wide == got.view.mapValues(_._2).toMap, "range-partition count must not change positions")
+  }
 }

@@ -513,4 +513,44 @@ class OperatorsSpec extends SparkSpec {
     val t9 = Multimodal.resizePlan(tiny, "id", 100, 100).collect()(0)
     assert(t9.getAs[Int]("out_w") == 3 && t9.getAs[Int]("out_h") == 7 && t9.getAs[Double]("scale") == 1.0)
   }
+
+  test("unigram LM scoring: closed-form log-probs, prose beats gibberish, frozen-model deltas") {
+    import spark.implicits._
+    // 3 docs over a tiny vocab; buckets large enough that distinct words
+    // land in distinct buckets (closed form stays hand-computable)
+    val docs = Seq(
+      (1L, "aa aa bb"),
+      (2L, "aa bb cc"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val buckets = 1 << 16
+    val (model, total) = TextAnalysis.unigramModel(docs, buckets = buckets)
+    // counts: aa=3, bb=2, cc=1, ""=1 (empty doc splits to one empty token)
+    assert(total == 7L, s"total=$total")
+    assert(model.count() == 4L)
+    val scored = TextAnalysis
+      .unigramLogProb(docs, model, total, buckets = buckets)
+      .select("doc_id", "lp_mean")
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    val denom = total + buckets.toDouble
+    def lp(c: Long) = math.log((c + 1.0) / denom)
+    assert(math.abs(scored(1L) - (2 * lp(3) + lp(2)) / 3.0) < 1e-12, scored(1L).toString)
+    assert(math.abs(scored(2L) - (lp(3) + lp(2) + lp(1)) / 3.0) < 1e-12)
+    // doc 3: one empty-string token, corpus count 1
+    assert(math.abs(scored(3L) - lp(1)) < 1e-12)
+
+    // repeated common words score above unseen-by-the-model gibberish —
+    // the filtering signal; gibberish hits the default (unseen) logprob
+    val frozen = Seq((9L, "aa aa bb"), (10L, "zz qq xx")).toDF("doc_id", "text")
+    val f = TextAnalysis
+      .unigramLogProb(frozen, model, total, buckets = buckets)
+      .select("doc_id", "lp_mean")
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    assert(f(9L) > f(10L), s"prose ${f(9L)} must outscore gibberish ${f(10L)}")
+    assert(math.abs(f(10L) - math.log(1.0 / denom)) < 1e-12, "unseen words take the default logprob")
+  }
 }
