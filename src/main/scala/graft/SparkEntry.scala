@@ -17,6 +17,72 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Two-family symbolic blocking keys over documents — the meta-blocking
+    * battery rows' shared input (same scheme as q_er_blocking_eval):
+    * a coarse (lang, n_chars/5) band key and a first-2-tokens content key.
+    * Output: (url = doc_id, key).
+    */
+  private def metablockKeys(s: SparkSession, dir: String, withP: Boolean = false): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    val two = d
+      .select(
+        col("doc_id").as("url"),
+        concat_ws("|", lit("b"), col("lang"), floor(col("n_chars") / 5).cast("long")).as("key")
+      )
+      .unionAll(
+        d.select(
+          col("doc_id").as("url"),
+          concat_ws("|", lit("t"), array_join(slice(split(col("text"), " "), 1, 2), " ")).as("key")
+        )
+      )
+    if (!withP) two
+    else
+      two.unionAll(
+        d.select(
+          col("doc_id").as("url"),
+          concat_ws("|", lit("p"), pmod(col("doc_id"), lit(7)).cast("long")).as("key")
+        )
+      )
+  }
+
+  /** Oracle-side mirror of [[metablockKeys]] + purge — shared CTE prefix of
+    * the meta-blocking oracles (keys, post-purge kept set, block counts per
+    * doc, total block count).
+    */
+  private def metablockCte(cap: Int, withP: Boolean = false): String = {
+    val pFam =
+      if (!withP) ""
+      else
+        """
+          |    UNION ALL
+          |    SELECT doc_id AS url, concat_ws('|', 'p', CAST(doc_id % 7 AS BIGINT)) AS key
+          |    FROM documents""".stripMargin
+    s"""WITH keys AS (
+       |  SELECT DISTINCT url, key FROM (
+       |    SELECT doc_id AS url,
+       |           concat_ws('|', 'b', lang, CAST(floor(n_chars / 5) AS BIGINT)) AS key
+       |    FROM documents
+       |    UNION ALL
+       |    SELECT doc_id AS url,
+       |           concat_ws('|', 't', array_to_string((string_split(text, ' '))[1:2], ' ')) AS key
+       |    FROM documents$pFam)),
+       |sizes AS (SELECT key, count(*) AS block_n FROM keys GROUP BY key),
+       |kept AS (SELECT k.url, k.key FROM keys k JOIN sizes s ON s.key = k.key
+       |         WHERE s.block_n <= $cap),
+       |nb AS (SELECT url, count(*) AS nb FROM kept GROUP BY url),
+       |tot AS (SELECT count(DISTINCT key) AS n_total FROM kept),
+       |edges AS (
+       |  SELECT a.url AS url_a, b.url AS url_b, count(*) AS cbs
+       |  FROM kept a JOIN kept b ON a.key = b.key AND a.url < b.url
+       |  GROUP BY 1, 2),
+       |we AS (
+       |  SELECT e.url_a, e.url_b, CAST(e.cbs AS BIGINT) AS cbs,
+       |         e.cbs::DOUBLE / (na.nb + nbb.nb - e.cbs) AS js
+       |  FROM edges e
+       |  JOIN nb na ON na.url = e.url_a
+       |  JOIN nb nbb ON nbb.url = e.url_b) """.stripMargin
+  }
+
   /** Answer-format literal shared by the template-rendering queries and
     * their oracles (the reference takes answer_format from the caller —
     * generator.py:119,155 — so any fixed literal is faithful).
@@ -448,6 +514,47 @@ object SparkEntry {
         .where(col("url_a") < col("url_b"))
         .select("url_a", "url_b")
       graft.eval.BlockingEval.metricsDf(keys, gold)
+    }),
+
+    "q_er_metablock_wep" -> ((s, dir) => {
+      // meta-blocking weighted-edge pruning: the two-family key scheme's
+      // blocking graph, edges weighted by common-block count, pruned at the
+      // global mean (Papadakis TKDE'14). Weight column is cbs (INTEGER) so
+      // the mean is an exact integer-sum division — bit-identical in both
+      // engines; js rides along rounded as a diagnostic. Three key families
+      // (the id-mod partition family makes 2-block co-occurrence common, so
+      // the mean threshold prunes a rich graph, not a degenerate one).
+      val e = graft.operators.MetaBlocking.edges(
+        graft.operators.MetaBlocking.purge(metablockKeys(s, dir, withP = true), 80)
+      )
+      graft.operators.MetaBlocking
+        .wep(e, "cbs")
+        .select(col("url_a"), col("url_b"), col("cbs"), round(col("js"), 6).as("js"))
+        .orderBy("url_a", "url_b")
+    }),
+    "q_er_metablock_cnp" -> ((s, dir) => {
+      // cardinality node pruning: each node keeps its top-2 edges by
+      // (js desc, neighbor asc); an edge survives on either endpoint's vote.
+      // js values are exact small-denominator rationals (identical IEEE
+      // doubles in Spark and DuckDB), so ranks and ties replay exactly.
+      val e = graft.operators.MetaBlocking.edges(
+        graft.operators.MetaBlocking.purge(metablockKeys(s, dir), 60)
+      )
+      graft.operators.MetaBlocking
+        .cnp(e, 2, "js")
+        .select(col("url_a"), col("url_b"), col("cbs"), round(col("js"), 6).as("js"))
+        .orderBy("url_a", "url_b")
+    }),
+    "q_er_metablock_filter" -> ((s, dir) => {
+      // block filtering (EDBT'16): three key families, purge at 100, each
+      // doc keeps its ceil(0.5 * nBlocks) smallest blocks (size asc, key
+      // asc). Fully discrete output; the oracle replays the ranking.
+      graft.operators.MetaBlocking
+        .filterBlocks(
+          graft.operators.MetaBlocking.purge(metablockKeys(s, dir, withP = true), 100),
+          0.5
+        )
+        .orderBy("url", "key")
     }),
 
     // ---- ER core (J7, J8 / north rule) ----
@@ -1703,6 +1810,54 @@ object SparkEntry {
         |  CASE WHEN candidates = 0 THEN 1.0
         |       ELSE round(covered::DOUBLE / candidates, 6) END AS pairs_quality
         |FROM cand, nd, gc, cov""".stripMargin,
+    // meta-blocking: shared CTE rebuilds keys -> purge -> weighted edges
+    // engine-free; WEP threshold is an exact integer-sum mean (cbs), CNP
+    // ranks js (small-denominator rationals — identical IEEE doubles).
+    "q_er_metablock_wep" ->
+      (metablockCte(80, withP = true) +
+        """, m AS (SELECT avg(cbs) AS w_mean FROM we)
+          |SELECT url_a, url_b, cbs, round(js, 6) AS js
+          |FROM we, m WHERE cbs >= w_mean ORDER BY url_a, url_b""".stripMargin),
+    "q_er_metablock_cnp" ->
+      (metablockCte(60) +
+        """, incid AS (
+          |  SELECT url_a AS node, url_b AS other, js FROM we
+          |  UNION ALL
+          |  SELECT url_b AS node, url_a AS other, js FROM we),
+          |topk AS (
+          |  SELECT least(node, other) AS url_a, greatest(node, other) AS url_b
+          |  FROM (SELECT node, other, js,
+          |          row_number() OVER (PARTITION BY node ORDER BY js DESC, other ASC) AS rk
+          |        FROM incid)
+          |  WHERE rk <= 2)
+          |SELECT e.url_a, e.url_b, e.cbs, round(e.js, 6) AS js
+          |FROM we e
+          |WHERE EXISTS (SELECT 1 FROM topk t WHERE t.url_a = e.url_a AND t.url_b = e.url_b)
+          |ORDER BY url_a, url_b""".stripMargin),
+    "q_er_metablock_filter" ->
+      """WITH keys AS (
+        |  SELECT DISTINCT url, key FROM (
+        |    SELECT doc_id AS url,
+        |           concat_ws('|', 'b', lang, CAST(floor(n_chars / 5) AS BIGINT)) AS key
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT doc_id AS url,
+        |           concat_ws('|', 't', array_to_string((string_split(text, ' '))[1:2], ' ')) AS key
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT doc_id AS url, concat_ws('|', 'p', CAST(doc_id % 7 AS BIGINT)) AS key
+        |    FROM documents)),
+        |sizes AS (SELECT key, count(*) AS block_n FROM keys GROUP BY key),
+        |kept AS (SELECT k.url, k.key, s.block_n FROM keys k JOIN sizes s ON s.key = k.key
+        |         WHERE s.block_n <= 100),
+        |rk AS (
+        |  SELECT url, key,
+        |         row_number() OVER (PARTITION BY url ORDER BY block_n ASC, key ASC) AS rk,
+        |         count(*) OVER (PARTITION BY url) AS n_blocks
+        |  FROM kept)
+        |SELECT url, key FROM rk
+        |WHERE rk <= greatest(1, CAST(ceil(0.5::DOUBLE * n_blocks) AS BIGINT))
+        |ORDER BY url, key""".stripMargin,
     "q_er_block_pairs" ->
       """SELECT key, count(*) AS n_pairs FROM (
         |  SELECT a.key
