@@ -1235,6 +1235,36 @@ object SparkEntry {
       )
       graft.operators.Curation.redactPii(d).orderBy("doc_id")
     }),
+    "q_cur_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weighting (Xie et al. 2023): raw corpus = all
+      // documents, target = the src0/src1 slice; logw = n_tok *
+      // (lp_mean_target - lp_mean_raw) over hashed-unigram models. The
+      // oracle rebuilds BOTH models and every mean from the same FNV fold
+      // (ASCII corpus — same scope note as q_txt_winnow).
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      graft.operators.DataSelection
+        .importanceWeights(docs, docs.where(col("source").isin("src0", "src1")), buckets = 4096)
+        .select(
+          col("doc_id"),
+          col("n_tok"),
+          round(col("lp_target"), 6).as("lp_target"),
+          round(col("lp_raw"), 6).as("lp_raw"),
+          round(col("logw"), 6).as("logw")
+        )
+        .orderBy("doc_id")
+    }),
+    "q_cur_dsir_sample" -> ((s, dir) => {
+      // Gumbel top-k importance resampling, seed 7: the oracle replays the
+      // unigram models, the xxhash64(doc_id + 7) noise fold, u = ((h >>> 11)
+      // + 0.5) / 2^53, g = -ln(-ln u), and the top-50 cut engine-free.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val w = graft.operators.DataSelection
+        .importanceWeights(docs, docs.where(col("source").isin("src0", "src1")), buckets = 4096)
+      graft.operators.DataSelection
+        .gumbelTopK(w, "doc_id", 50, seed = 7L)
+        .select(col("doc_id"), round(col("logw"), 6).as("logw"), round(col("gumbel_key"), 6).as("gumbel_key"))
+        .orderBy("doc_id")
+    }),
     "q_cur_pack" -> ((s, dir) => {
       // GPT-style concat-and-chop sequence packing: deterministic
       // pseudo-shuffle order (xxhash64 of doc_id, id tie-break), global
@@ -1538,6 +1568,38 @@ object SparkEntry {
     * q_ann_ivf / q_er_pipeline_sym / q_cur_quota_sample oracles inline;
     * new oracles that replay hash-derived bucketing use this builder.
     */
+  /** Shared DSIR oracle prefix: both hashed-unigram models (target =
+    * src0/src1 slice, raw = all documents, 4096 buckets) and the per-doc
+    * weight frame `w(doc_id, n_tok, lp_target, lp_raw, logw)`, rebuilt from
+    * the same FNV token fold the engine's TermFreqs kernel uses.
+    */
+  private val dsirCte: String =
+    """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t FROM documents),
+      |th AS (
+      |  SELECT doc_id, source,
+      |    list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        list_transform(range(1, length(t) + 1), i -> ord(substr(t, i, 1))::HUGEINT)),
+      |      (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS th
+      |  FROM tok),
+      |bk AS (SELECT doc_id, source, CAST((th // 2) % 4096 AS BIGINT) AS b FROM th),
+      |mt AS (SELECT b, count(*) AS c FROM bk WHERE source IN ('src0', 'src1') GROUP BY b),
+      |tt AS (SELECT sum(c) AS total FROM mt),
+      |mr AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+      |tr AS (SELECT sum(c) AS total FROM mr),
+      |sc AS (
+      |  SELECT bk.doc_id,
+      |    ln((coalesce(mt.c, 0) + 1.0) / (tt.total + 4096.0)) AS lpt,
+      |    ln((mr.c + 1.0) / (tr.total + 4096.0)) AS lpr
+      |  FROM bk
+      |  LEFT JOIN mt ON mt.b = bk.b
+      |  JOIN mr ON mr.b = bk.b, tt, tr),
+      |w AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+      |         avg(lpt) AS lp_target, avg(lpr) AS lp_raw,
+      |         count(*) * (avg(lpt) - avg(lpr)) AS logw
+      |  FROM sc GROUP BY doc_id) """.stripMargin
+
   private def xxhash64Cte(id: String, from: String): String =
     s"""hx0 AS (
        |  SELECT $id,
@@ -2159,6 +2221,28 @@ object SparkEntry {
     // replay: token count -> xxhash64(doc_id) order (id tie-break) ->
     // running token sum -> 2048-token pack cuts. The window sum is HUGEINT
     // in DuckDB -> CAST; `//` on non-negative BIGINTs == Spark's `div`.
+    "q_cur_dsir_weights" ->
+      (dsirCte +
+        """SELECT doc_id, n_tok, round(lp_target, 6) AS lp_target,
+          |       round(lp_raw, 6) AS lp_raw, round(logw, 6) AS logw
+          |FROM w ORDER BY doc_id""".stripMargin),
+    "q_cur_dsir_sample" ->
+      (dsirCte +
+        s""", ids AS (SELECT doc_id, doc_id + 7 AS id FROM documents),
+           |${xxhash64Cte("id", "ids")},
+           |g AS (
+           |  SELECT i.doc_id,
+           |    -ln(-ln((((CASE WHEN hh.h < 0
+           |                    THEN hh.h::HUGEINT + 18446744073709551616::HUGEINT
+           |                    ELSE hh.h::HUGEINT END) // 2048)::DOUBLE + 0.5)
+           |             / 9007199254740992.0)) AS gum
+           |  FROM hashes hh JOIN ids i ON i.id = hh.id),
+           |k AS (
+           |  SELECT w.doc_id, w.logw, w.logw + g.gum AS gumbel_key,
+           |         row_number() OVER (ORDER BY (w.logw + g.gum) DESC, w.doc_id ASC) AS rk
+           |  FROM w JOIN g ON g.doc_id = w.doc_id)
+           |SELECT doc_id, round(logw, 6) AS logw, round(gumbel_key, 6) AS gumbel_key
+           |FROM k WHERE rk <= 50 ORDER BY doc_id""".stripMargin),
     "q_cur_pack" ->
       s"""WITH d AS (
          |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n, doc_id AS id

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DataSelection, TextAnalysis}
+
+class DataSelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // raw corpus: 6 docs — 3 written in the target's vocabulary, 3 not
+  private def raw = Seq(
+    (1L, "cat dog cat dog"),
+    (2L, "cat cat cat dog"),
+    (3L, "dog cat dog dog"),
+    (4L, "xy zq xy zq"),
+    (5L, "zq zq xy xy"),
+    (6L, "xy xy xy zq")
+  ).toDF("doc_id", "text")
+
+  private def target = Seq(
+    (100L, "cat dog cat"),
+    (101L, "dog cat dog cat")
+  ).toDF("doc_id", "text")
+
+  test("importanceWeights: logw = n_tok * (lp_target - lp_raw), target-like docs win") {
+    val w = DataSelection.importanceWeights(raw, target, buckets = 4096)
+    val rows = w
+      .select($"doc_id", $"n_tok", $"lp_target", $"lp_raw", $"logw")
+      .as[(Long, Long, Double, Double, Double)]
+      .collect()
+      .map(r => r._1 -> r)
+      .toMap
+    rows.values.foreach { case (_, n, lpt, lpr, logw) =>
+      assert(math.abs(logw - n * (lpt - lpr)) < 1e-12)
+      assert(n === 4L)
+    }
+    // every target-vocabulary doc outweighs every out-of-vocabulary doc
+    val inVocab = Seq(1L, 2L, 3L).map(rows(_)._5)
+    val outVocab = Seq(4L, 5L, 6L).map(rows(_)._5)
+    assert(inVocab.min > outVocab.max)
+    // out-of-vocab docs: every token unseen by the target model, so
+    // lp_target is the default ln(1/(total+buckets)) exactly
+    val (_, _, lpt4, _, _) = rows(4L)
+    assert(math.abs(lpt4 - math.log(1.0 / (7 + 4096))) < 1e-12)
+  }
+
+  test("weighted scores against frozen persisted models identically") {
+    val (mt, tt) = TextAnalysis.unigramModel(target, buckets = 4096)
+    val (mr, tr) = TextAnalysis.unigramModel(raw, buckets = 4096)
+    val a = DataSelection
+      .importanceWeights(raw, target, buckets = 4096)
+      .select("doc_id", "logw")
+      .as[(Long, Double)]
+      .collect()
+      .toMap
+    val b = DataSelection
+      .weighted(raw, mt, tt, mr, tr, buckets = 4096)
+      .select("doc_id", "logw")
+      .as[(Long, Double)]
+      .collect()
+      .toMap
+    assert(a === b)
+  }
+
+  test("gumbelTopK is seed-deterministic and partitioning-invariant") {
+    val w = DataSelection.importanceWeights(raw, target, buckets = 4096)
+    val s1 = DataSelection.gumbelTopK(w, "doc_id", 3, seed = 7L).select("doc_id").as[Long].collect().toSet
+    val s2 = DataSelection
+      .gumbelTopK(w.repartition(7), "doc_id", 3, seed = 7L)
+      .select("doc_id")
+      .as[Long]
+      .collect()
+      .toSet
+    assert(s1 === s2 && s1.size === 3)
+    // noise actually varies with the seed (keys differ, not necessarily sets)
+    val k7 = DataSelection.gumbelTopK(w, "doc_id", 6, 7L).select("doc_id", "gumbel_key").as[(Long, Double)].collect().toMap
+    val k8 = DataSelection.gumbelTopK(w, "doc_id", 6, 8L).select("doc_id", "gumbel_key").as[(Long, Double)].collect().toMap
+    assert(k7 !== k8)
+  }
+
+  test("gumbelTopK: dominant weights override the noise; topK is the hard cut") {
+    val w = raw
+      .withColumn("logw", when($"doc_id" <= 3, lit(1000.0)).otherwise(lit(-1000.0)))
+    assert(
+      DataSelection.gumbelTopK(w, "doc_id", 3, 42L).select("doc_id").as[Long].collect().toSet ===
+        Set(1L, 2L, 3L)
+    )
+    val hard = DataSelection.topK(w.withColumn("logw", $"logw" + $"doc_id"), "doc_id", 2)
+    assert(hard.select("doc_id").as[Long].collect().toSet === Set(2L, 3L))
+  }
+
+  test("k must be positive") {
+    val w = raw.withColumn("logw", lit(0.0))
+    intercept[IllegalArgumentException](DataSelection.gumbelTopK(w, "doc_id", 0))
+    intercept[IllegalArgumentException](DataSelection.topK(w, "doc_id", 0))
+  }
+}
