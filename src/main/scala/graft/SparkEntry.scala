@@ -1283,6 +1283,22 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("start_pos"), col("pack_id"), col("pack_offset"), col("pack_id_end"))
         .orderBy("doc_id")
     }),
+    "q_cur_token_budget" -> ((s, dir) => {
+      // token-budget prefix cut over the same pseudo-shuffled stream as
+      // q_cur_pack: keep docs fitting entirely inside the first 10000
+      // tokens. The oracle replays hash order, running sum, and the cut.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.operators.Curation
+        .takeTokenBudget(
+          docs,
+          "doc_id",
+          xxhash64(col("doc_id")),
+          size(split(col("text"), " ")).cast("long"),
+          budget = 10000
+        )
+        .select(col("doc_id"), col("n_tokens"), col("start_pos"))
+        .orderBy("doc_id")
+    }),
     "q_txt_unigram_lp" -> ((s, dir) => {
       // unigram-LM quality scoring (the KenLM-perplexity stand-in): model
       // = one bounded hashed-bucket aggregation (collected + broadcast),
@@ -2260,6 +2276,21 @@ object SparkEntry {
          |  start // 2048 AS pack_id, start % 2048 AS pack_offset,
          |  greatest(start // 2048, (start + n - 1) // 2048) AS pack_id_end
          |FROM c ORDER BY doc_id""".stripMargin,
+    "q_cur_token_budget" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n, doc_id AS id
+         |  FROM documents),
+         |${xxhash64Cte("id", "d")},
+         |o AS (
+         |  SELECT d.doc_id, d.n, h.h AS k
+         |  FROM d JOIN hashes h ON h.id = d.doc_id),
+         |c AS (
+         |  SELECT doc_id, n,
+         |    CAST(coalesce(sum(n) OVER (ORDER BY k, CAST(doc_id AS VARCHAR)
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+         |  FROM o)
+         |SELECT doc_id, n AS n_tokens, start AS start_pos
+         |FROM c WHERE start + n <= 10000 ORDER BY doc_id""".stripMargin,
     // rebuild the hashed-unigram model (per-token FNV fold over code
     // points — exact on the ASCII corpus, same scope note as q_txt_winnow;
     // bucket = (h >>> 1) % 4096 == unsigned-HUGEINT // 2 % 4096), then

@@ -297,6 +297,30 @@ object Curation {
       .drop("_pid", "_off", "_ord", "_n")
   }
 
+  /** Token-budget corpus cut: keep the PREFIX of the (orderExpr, idCol)
+    * stream whose documents fit entirely inside `budget` tokens — the
+    * "sample a 50B-token corpus in quality order" operation. Prefix
+    * semantics, not knapsack: once the running total crosses the budget,
+    * every later doc is dropped even if it would individually fit (the cut
+    * is a deterministic stream position, so reruns and resumes agree).
+    * Zero-token docs sitting exactly at the boundary are kept (they occupy
+    * no positions). Reuses [[packSequences]]'s two-phase range-partition
+    * running sum — no global window; output adds `start_pos`/`n_tokens`.
+    */
+  def takeTokenBudget(
+      docs: DataFrame,
+      idCol: String,
+      orderExpr: Column,
+      nTokensExpr: Column,
+      budget: Long,
+      rangePartitions: Int = 0
+  ): DataFrame = {
+    require(budget >= 1, s"token budget must be >= 1 (got $budget)")
+    packSequences(docs, idCol, orderExpr, nTokensExpr, budget, rangePartitions)
+      .where(col("start_pos") + col("n_tokens") <= budget)
+      .drop("pack_id", "pack_offset", "pack_id_end")
+  }
+
   /** PII redaction: email addresses and long digit runs (phone-shaped)
     * replaced with typed placeholders. Row-local regexp projections —
     * zero exchanges, stays in whole-stage codegen. Patterns are

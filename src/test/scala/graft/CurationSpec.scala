@@ -194,4 +194,35 @@ class CurationSpec extends SparkSpec {
       .toMap
     assert(wide == got.view.mapValues(_._2).toMap, "range-partition count must not change positions")
   }
+
+  test("takeTokenBudget: prefix cut at the stream position, boundary kept, no knapsack") {
+    val docs = Seq(
+      ("d0", 3L),
+      ("d1", 7L), // ends exactly at 10 -> kept at budget 10
+      ("d2", 25L), // crosses -> dropped
+      ("d3", 0L), // zero-token doc AFTER the crossing doc: still dropped (prefix, except...)
+      ("d4", 2L) // would fit on its own: still dropped (prefix, not knapsack)
+    ).toDF("id", "n")
+    def ids(budget: Long, parts: Int = 3) =
+      Curation
+        .takeTokenBudget(docs.repartition(parts), "id", col("id"), col("n"), budget, rangePartitions = 3)
+        .select("id")
+        .collect()
+        .map(_.getString(0))
+        .toSet
+    assert(ids(10L) === Set("d0", "d1"))
+    assert(ids(9L) === Set("d0")) // d1 no longer fits entirely
+    assert(ids(37L) === Set("d0", "d1", "d2", "d3", "d4")) // exact total fit
+    assert(ids(35L) === Set("d0", "d1", "d2", "d3")) // zero-token d3 sits exactly at the cut: kept
+    assert(ids(10L, parts = 7) === Set("d0", "d1"), "cut must be partition-invariant")
+    // output schema: pack columns are gone, start_pos/n_tokens remain
+    val cols = Curation
+      .takeTokenBudget(docs, "id", col("id"), col("n"), 10L, rangePartitions = 3)
+      .columns
+      .toSet
+    assert(cols === Set("id", "n", "n_tokens", "start_pos"))
+    intercept[IllegalArgumentException](
+      Curation.takeTokenBudget(docs, "id", col("id"), col("n"), 0L)
+    )
+  }
 }
