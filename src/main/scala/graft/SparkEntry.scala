@@ -569,6 +569,48 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("key")
     }),
+    "q_er_fs_score" -> ((s, dir) => {
+      // Fellegi-Sunter pair scoring with term-frequency adjustment: pairs
+      // from the (lang, n_chars/50) block key; fields lang/source/band with
+      // literal m-probabilities, u from value frequencies. The oracle
+      // replays frequencies, TF tables, both likelihood branches, and the
+      // posterior sigmoid engine-free.
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        col("lang"),
+        col("source"),
+        floor(col("n_chars") / 20).cast("long").as("band"),
+        concat_ws("|", col("lang"), floor(col("n_chars") / 50).cast("long")).as("key")
+      )
+      val pairs = d
+        .select(col("doc_id").as("id_a"), col("key"))
+        .join(d.select(col("doc_id").as("id_b"), col("key")), Seq("key"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      import graft.operators.FellegiSunter
+      FellegiSunter
+        .scorePairs(
+          pairs,
+          d.select("doc_id", "lang", "source", "band"),
+          "doc_id",
+          Seq(
+            FellegiSunter.FieldParams("lang", 0.95),
+            FellegiSunter.FieldParams("source", 0.6),
+            FellegiSunter.FieldParams("band", 0.85)
+          ),
+          prior = 0.3
+        )
+        .select(
+          col("id_a"),
+          col("id_b"),
+          round(col("w_lang"), 6).as("w_lang"),
+          round(col("w_source"), 6).as("w_source"),
+          round(col("w_band"), 6).as("w_band"),
+          round(col("match_weight"), 6).as("match_weight"),
+          round(col("match_p"), 6).as("match_p")
+        )
+        .orderBy("id_a", "id_b")
+    }),
     "q_er_sorted_neighborhood" -> ((s, dir) => {
       // sorted-neighborhood blocking: window 4 over the first-20-chars sort
       // key; the oracle recomputes rank (row_number over the same composite
@@ -1936,6 +1978,48 @@ object SparkEntry {
         |SELECT url, key FROM rk
         |WHERE rk <= greatest(1, CAST(ceil(0.5::DOUBLE * n_blocks) AS BIGINT))
         |ORDER BY url, key""".stripMargin,
+    "q_er_fs_score" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, CAST(floor(n_chars / 20) AS BIGINT) AS band,
+        |         concat_ws('|', lang, CAST(floor(n_chars / 50) AS BIGINT)) AS key
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM d a JOIN d b ON a.key = b.key AND a.doc_id < b.doc_id),
+        |ul AS (SELECT sum(n*n)::DOUBLE / (sum(n)::DOUBLE * sum(n)) AS u
+        |       FROM (SELECT count(*) AS n FROM d WHERE lang IS NOT NULL GROUP BY lang)),
+        |us AS (SELECT sum(n*n)::DOUBLE / (sum(n)::DOUBLE * sum(n)) AS u
+        |       FROM (SELECT count(*) AS n FROM d WHERE source IS NOT NULL GROUP BY source)),
+        |ub AS (SELECT sum(n*n)::DOUBLE / (sum(n)::DOUBLE * sum(n)) AS u
+        |       FROM (SELECT count(*) AS n FROM d WHERE band IS NOT NULL GROUP BY band)),
+        |tl AS (SELECT lang AS v, count(*)::DOUBLE / (SELECT count(*) FROM d WHERE lang IS NOT NULL) AS u
+        |       FROM d WHERE lang IS NOT NULL GROUP BY lang),
+        |ts AS (SELECT source AS v, count(*)::DOUBLE / (SELECT count(*) FROM d WHERE source IS NOT NULL) AS u
+        |       FROM d WHERE source IS NOT NULL GROUP BY source),
+        |tb AS (SELECT band AS v, count(*)::DOUBLE / (SELECT count(*) FROM d WHERE band IS NOT NULL) AS u
+        |       FROM d WHERE band IS NOT NULL GROUP BY band),
+        |w AS (
+        |  SELECT p.id_a, p.id_b,
+        |    CASE WHEN a.lang IS NULL OR b.lang IS NULL THEN 0.0
+        |         WHEN a.lang = b.lang THEN ln(0.95::DOUBLE / tl.u)
+        |         ELSE ln((1.0 - 0.95::DOUBLE) / (1.0 - ul.u)) END AS w_lang,
+        |    CASE WHEN a.source IS NULL OR b.source IS NULL THEN 0.0
+        |         WHEN a.source = b.source THEN ln(0.6::DOUBLE / ts.u)
+        |         ELSE ln((1.0 - 0.6::DOUBLE) / (1.0 - us.u)) END AS w_source,
+        |    CASE WHEN a.band IS NULL OR b.band IS NULL THEN 0.0
+        |         WHEN a.band = b.band THEN ln(0.85::DOUBLE / tb.u)
+        |         ELSE ln((1.0 - 0.85::DOUBLE) / (1.0 - ub.u)) END AS w_band
+        |  FROM p
+        |  JOIN d a ON a.doc_id = p.id_a
+        |  JOIN d b ON b.doc_id = p.id_b
+        |  LEFT JOIN tl ON tl.v = a.lang
+        |  LEFT JOIN ts ON ts.v = a.source
+        |  LEFT JOIN tb ON tb.v = a.band, ul, us, ub)
+        |SELECT id_a, id_b, round(w_lang, 6) AS w_lang, round(w_source, 6) AS w_source,
+        |  round(w_band, 6) AS w_band,
+        |  round(w_lang + w_source + w_band, 6) AS match_weight,
+        |  round(1.0 / (1.0 + exp(-(ln(0.3::DOUBLE / (1.0 - 0.3::DOUBLE))
+        |    + (w_lang + w_source + w_band)))), 6) AS match_p
+        |FROM w ORDER BY id_a, id_b""".stripMargin,
     "q_er_block_pairs" ->
       """SELECT key, count(*) AS n_pairs FROM (
         |  SELECT a.key

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fellegi–Sunter probabilistic record linkage (Fellegi & Sunter, JASA
+  * 1969) — the classical model behind Splink/FEBRL-style linkers, scoring a
+  * candidate pair by the log-likelihood ratio of its per-field agreement
+  * pattern:
+  *
+  *   match_weight = Σ_f  [ γ_f = agree ] · ln(m_f / u_f)
+  *                     + [ γ_f = disagree ] · ln((1 − m_f) / (1 − u_f))
+  *
+  * with m_f = P(field f agrees | match), u_f = P(field f agrees |
+  * non-match). The reference's LLM decides "same entity?" from a rendered
+  * prompt (lion_linker/generator.py); this operator is the published
+  * deterministic replacement: evidence-weighted field agreement with
+  * term-frequency adjustment (agreeing on a RARE value is stronger evidence
+  * than agreeing on a common one — Splink's `tf_adjustment`).
+  *
+  * Scale shape: u-probabilities are one aggregation each (Σ (n_v/N)² — the
+  * chance two random docs agree); TF tables are value-keyed aggregations
+  * joined to the pair frame on the agreed value (a keyed equi-join — value
+  * tables are NOT collected, they can be arbitrarily large); the pair frame
+  * itself joins doc fields through two keyed id joins. Missing values carry
+  * zero evidence (weight 0) rather than counting as disagreement. EM
+  * parameter estimation works on the agreement-PATTERN count frame (≤ 2^F
+  * rows, collected) — the corpus-sized pair set is aggregated once, and the
+  * EM iterations are driver-side arithmetic on that tiny table, the same
+  * bounded-collect pattern as the IVF codebook trainer.
+  */
+object FellegiSunter {
+
+  /** Field spec: `field` must exist on the docs frame; `m` is the assumed
+    * (or EM-estimated) P(agree | match).
+    */
+  final case class FieldParams(field: String, m: Double) {
+    require(m > 0.0 && m < 1.0, s"m must be in (0,1), got $m for $field")
+  }
+
+  /** EM output: per-field (m, u) plus the match prior λ. */
+  final case class EmParams(lambda: Double, fields: Map[String, (Double, Double)])
+
+  /** Global u-probability for a field: the probability two random docs
+    * agree on it, Σ_v (n_v / N)². Nulls are excluded from both n_v and N
+    * (a null never "agrees"). Exact integer sums, one division.
+    */
+  def uProbability(docs: DataFrame, field: String): Double = {
+    val row = docs
+      .where(col(field).isNotNull)
+      .groupBy(field)
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n")).as("s2"), sum(col("n")).as("n"))
+      .collect()(0)
+    if (row.isNullAt(1) || row.getLong(1) == 0L) 0.0
+    else row.getLong(0).toDouble / (row.getLong(1).toDouble * row.getLong(1).toDouble)
+  }
+
+  /** Term-frequency table for a field: (value, u_v = n_v / N). Joined, not
+    * collected — value cardinality is unbounded at corpus scale.
+    */
+  def uTable(docs: DataFrame, field: String): DataFrame = {
+    val nn = docs.where(col(field).isNotNull)
+    val total = nn.count().toDouble
+    nn.groupBy(col(field).as("value"))
+      .agg((count(lit(1)) / lit(total)).as("u"))
+  }
+
+  /** Score candidate pairs (id_a, id_b) against docs' fields. Adds, per
+    * field, `w_<field>` (the log-likelihood-ratio contribution), plus
+    * `match_weight` (their sum) and `match_p` (posterior under prior λ =
+    * `prior`). With `tfAdjust` the agreement branch uses the agreed VALUE's
+    * u_v instead of the field's global u (rare values score higher);
+    * disagreement always uses the global u. Null on either side → weight 0.
+    */
+  def scorePairs(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      fields: Seq[FieldParams],
+      prior: Double = 0.5,
+      tfAdjust: Boolean = true
+  ): DataFrame = {
+    require(prior > 0.0 && prior < 1.0, s"prior must be in (0,1), got $prior")
+    require(fields.nonEmpty, "at least one field required")
+    val fieldCols = fields.map(f => f.field)
+    val a = docs.select(
+      (col(idCol).as("id_a") +: fieldCols.map(f => col(f).as(s"${f}_a"))): _*
+    )
+    val b = docs.select(
+      (col(idCol).as("id_b") +: fieldCols.map(f => col(f).as(s"${f}_b"))): _*
+    )
+    var out = pairs.join(a, "id_a").join(b, "id_b")
+    val weightCols = fields.map { fp =>
+      val f = fp.field
+      val u = uProbability(docs, f)
+      require(u > 0.0 && u < 1.0, s"degenerate u=$u for field $f (constant or all-null column)")
+      val fa = col(s"${f}_a")
+      val fb = col(s"${f}_b")
+      val agree = fa.isNotNull && fb.isNotNull && (fa === fb)
+      val missing = fa.isNull || fb.isNull
+      val agreeU: Column =
+        if (!tfAdjust) lit(u)
+        else {
+          val tf = uTable(docs, f).select(col("value").as(s"${f}_a"), col("u").as(s"_u_$f"))
+          out = out.join(tf, Seq(s"${f}_a"), "left")
+          coalesce(col(s"_u_$f"), lit(u))
+        }
+      val w = when(missing, lit(0.0))
+        .when(agree, log(lit(fp.m) / agreeU))
+        .otherwise(log(lit(1.0 - fp.m) / lit(1.0 - u)))
+      (s"w_$f", w)
+    }
+    weightCols.foreach { case (name, c) => out = out.withColumn(name, c) }
+    val mw = weightCols.map(w => col(w._1)).reduce(_ + _)
+    out
+      .withColumn("match_weight", mw)
+      .withColumn(
+        "match_p",
+        lit(1.0) / (lit(1.0) + exp(-(lit(math.log(prior / (1.0 - prior))) + col("match_weight"))))
+      )
+      .drop(fields.filter(_ => tfAdjust).map(f => s"_u_${f.field}"): _*)
+  }
+
+  /** EM estimation of (λ, m_f, u_f) from the binary agreement patterns of a
+    * candidate-pair frame. Nulls count as disagreement here (the 2-state
+    * EM; fields where that misfits should be scored with weight-0 nulls at
+    * scoring time, this is only the estimator). One Spark aggregation
+    * builds the pattern-count table (≤ 2^F rows, collected); iterations are
+    * driver-side and deterministic. Parameters are clamped to
+    * [1e-6, 1 − 1e-6] so a degenerate pattern table cannot produce NaN.
+    */
+  def emEstimate(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      fieldNames: Seq[String],
+      iters: Int = 25,
+      initLambda: Double = 0.1,
+      initM: Double = 0.9,
+      initU: Double = 0.1
+  ): EmParams = {
+    require(fieldNames.nonEmpty && iters >= 1)
+    val a = docs.select((col(idCol).as("id_a") +: fieldNames.map(f => col(f).as(s"${f}_a"))): _*)
+    val b = docs.select((col(idCol).as("id_b") +: fieldNames.map(f => col(f).as(s"${f}_b"))): _*)
+    val gammaCols = fieldNames.map { f =>
+      (col(s"${f}_a").isNotNull && col(s"${f}_b").isNotNull &&
+        (col(s"${f}_a") === col(s"${f}_b"))).cast("int").as(s"g_$f")
+    }
+    val patterns = pairs
+      .join(a, "id_a")
+      .join(b, "id_b")
+      .select(gammaCols: _*)
+      .groupBy(fieldNames.map(f => col(s"g_$f")): _*)
+      .agg(count(lit(1)).as("c"))
+      .collect() // bounded by 2^F patterns
+      .map(r => (fieldNames.indices.map(i => r.getInt(i)).toArray, r.getLong(fieldNames.length)))
+    val eps = 1e-6
+    def clamp(x: Double) = math.min(1.0 - eps, math.max(eps, x))
+    var lambda = clamp(initLambda)
+    var m = Array.fill(fieldNames.length)(clamp(initM))
+    var u = Array.fill(fieldNames.length)(clamp(initU))
+    var it = 0
+    while (it < iters) {
+      var sumW = 0.0; var sumC = 0.0
+      val mNum = Array.fill(fieldNames.length)(0.0)
+      val uNum = Array.fill(fieldNames.length)(0.0)
+      var sum1mW = 0.0
+      patterns.foreach { case (g, c) =>
+        var pm = lambda; var pu = 1.0 - lambda
+        var i = 0
+        while (i < g.length) {
+          pm *= (if (g(i) == 1) m(i) else 1.0 - m(i))
+          pu *= (if (g(i) == 1) u(i) else 1.0 - u(i))
+          i += 1
+        }
+        val w = pm / (pm + pu)
+        sumW += c * w; sum1mW += c * (1.0 - w); sumC += c.toDouble
+        i = 0
+        while (i < g.length) {
+          if (g(i) == 1) { mNum(i) += c * w; uNum(i) += c * (1.0 - w) }
+          i += 1
+        }
+      }
+      lambda = clamp(sumW / sumC)
+      m = mNum.map(x => clamp(x / sumW))
+      u = uNum.map(x => clamp(x / sum1mW))
+      it += 1
+    }
+    EmParams(lambda, fieldNames.zipWithIndex.map { case (f, i) => f -> ((m(i), u(i))) }.toMap)
+  }
+}
