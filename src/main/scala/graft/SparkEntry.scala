@@ -569,6 +569,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("key")
     }),
+    "q_er_cluster_eval" -> ((s, dir) => {
+      // cluster-level evaluation (B-cubed + V-measure) of a symbolic
+      // predicted clustering (first-2-tokens key) against a band-rule gold
+      // — all contingency-cell algebra, replayed engine-free by the oracle.
+      val d = t(s, dir, "documents")
+      val pred = d.select(
+        col("doc_id").as("url"),
+        array_join(slice(split(col("text"), " "), 1, 2), " ").as("cluster_id")
+      )
+      val gold = d.select(
+        col("doc_id").as("url"),
+        concat_ws("|", col("lang"), floor(col("n_chars") / 10).cast("long")).as("gold_id")
+      )
+      graft.eval.ClusterEval.metricsDf(pred, gold)
+    }),
     "q_er_fs_score" -> ((s, dir) => {
       // Fellegi-Sunter pair scoring with term-frequency adjustment: pairs
       // from the (lang, n_chars/50) block key; fields lang/source/band with
@@ -1978,6 +1993,45 @@ object SparkEntry {
         |SELECT url, key FROM rk
         |WHERE rk <= greatest(1, CAST(ceil(0.5::DOUBLE * n_blocks) AS BIGINT))
         |ORDER BY url, key""".stripMargin,
+    "q_er_cluster_eval" ->
+      """WITH d AS (
+        |  SELECT doc_id AS url,
+        |         array_to_string((string_split(text, ' '))[1:2], ' ') AS cluster_id,
+        |         concat_ws('|', lang, CAST(floor(n_chars / 10) AS BIGINT)) AS gold_id
+        |  FROM documents),
+        |cell AS (SELECT cluster_id, gold_id, count(*) AS n_cg FROM d GROUP BY 1, 2),
+        |cs AS (SELECT cluster_id, sum(n_cg) AS n_c FROM cell GROUP BY 1),
+        |gs AS (SELECT gold_id, sum(n_cg) AS n_g FROM cell GROUP BY 1),
+        |a AS (
+        |  SELECT sum(cell.n_cg) AS n,
+        |         sum(cell.n_cg * cell.n_cg / cs.n_c) AS p_sum,
+        |         sum(cell.n_cg * cell.n_cg / gs.n_g) AS r_sum,
+        |         -sum(cell.n_cg * ln(cell.n_cg / cs.n_c)) AS hgc_n,
+        |         -sum(cell.n_cg * ln(cell.n_cg / gs.n_g)) AS hcg_n
+        |  FROM cell
+        |  JOIN cs ON cs.cluster_id = cell.cluster_id
+        |  JOIN gs ON gs.gold_id = cell.gold_id),
+        |hc AS (SELECT -sum(n_c * ln(n_c)) AS hc_part FROM cs),
+        |hg AS (SELECT -sum(n_g * ln(n_g)) AS hg_part FROM gs),
+        |m AS (
+        |  SELECT CAST(a.n AS BIGINT) AS n_docs,
+        |         a.p_sum / a.n AS p, a.r_sum / a.n AS r,
+        |         a.hgc_n / a.n AS hgc, a.hcg_n / a.n AS hcg,
+        |         (hc.hc_part + a.n * ln(a.n)) / a.n AS hcx,
+        |         (hg.hg_part + a.n * ln(a.n)) / a.n AS hgx
+        |  FROM a, hc, hg),
+        |m2 AS (
+        |  SELECT n_docs, p, r,
+        |         CASE WHEN p + r = 0.0 THEN 0.0 ELSE 2.0 * p * r / (p + r) END AS f1,
+        |         CASE WHEN hgx <= 0.0 THEN 1.0 ELSE 1.0 - hgc / hgx END AS hom,
+        |         CASE WHEN hcx <= 0.0 THEN 1.0 ELSE 1.0 - hcg / hcx END AS com
+        |  FROM m)
+        |SELECT n_docs, round(p, 6) AS b3_precision, round(r, 6) AS b3_recall,
+        |       round(f1, 6) AS b3_f1, round(hom, 6) AS homogeneity,
+        |       round(com, 6) AS completeness,
+        |       round(CASE WHEN hom + com = 0.0 THEN 0.0
+        |                  ELSE 2.0 * hom * com / (hom + com) END, 6) AS v_measure
+        |FROM m2""".stripMargin,
     "q_er_fs_score" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source, CAST(floor(n_chars / 20) AS BIGINT) AS band,

@@ -1,0 +1,56 @@
+package graft
+
+import graft.eval.ClusterEval
+
+class ClusterEvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def metrics(
+      pred: Seq[(String, String)],
+      gold: Seq[(String, String)]
+  ): (Long, Double, Double, Double, Double, Double, Double) =
+    ClusterEval
+      .metricsDf(pred.toDF("url", "cluster_id"), gold.toDF("url", "gold_id"))
+      .as[(Long, Double, Double, Double, Double, Double, Double)]
+      .collect()(0)
+
+  test("hand-computed contingency: B3 = 11/15, V-measure from entropies") {
+    // pred c1={1,2,3}, c2={4,5}; gold g1={1,2}, g2={3,4,5}
+    val pred = Seq("1" -> "c1", "2" -> "c1", "3" -> "c1", "4" -> "c2", "5" -> "c2")
+    val gold = Seq("1" -> "g1", "2" -> "g1", "3" -> "g2", "4" -> "g2", "5" -> "g2")
+    val (n, p, r, f1, hom, com, v) = metrics(pred, gold)
+    assert(n === 5L)
+    assert(math.abs(p - 11.0 / 15) < 1e-6 && math.abs(r - 11.0 / 15) < 1e-6)
+    assert(math.abs(f1 - 11.0 / 15) < 1e-6)
+    val hG = -(0.4 * math.log(0.4) + 0.6 * math.log(0.6))
+    val hGC = -(0.4 * math.log(2.0 / 3) + 0.2 * math.log(1.0 / 3) + 0.4 * math.log(1.0))
+    val expectedHom = 1.0 - hGC / hG
+    assert(math.abs(hom - expectedHom) < 1e-6, s"hom=$hom vs $expectedHom")
+    assert(math.abs(com - expectedHom) < 1e-6) // symmetric in this example
+    assert(math.abs(v - expectedHom) < 1e-6)
+  }
+
+  test("perfect clustering scores 1.0 everywhere; label names don't matter") {
+    val pred = Seq("1" -> "a", "2" -> "a", "3" -> "b", "4" -> "b")
+    val gold = Seq("1" -> "X", "2" -> "X", "3" -> "Y", "4" -> "Y")
+    val (_, p, r, f1, hom, com, v) = metrics(pred, gold)
+    assert(Seq(p, r, f1, hom, com, v).forall(_ === 1.0))
+  }
+
+  test("degenerate entropies follow the published convention") {
+    // one gold class, two pred clusters: homogeneity 1 (nothing to violate),
+    // completeness 0 (the class is fully split), v 0
+    val pred = Seq("1" -> "a", "2" -> "a", "3" -> "b", "4" -> "b")
+    val gold = Seq("1" -> "G", "2" -> "G", "3" -> "G", "4" -> "G")
+    val (_, p, r, _, hom, com, v) = metrics(pred, gold)
+    assert(hom === 1.0 && com === 0.0 && v === 0.0)
+    assert(p === 1.0 && r === 0.5) // B3: pure clusters, each doc sees half its class
+  }
+
+  test("docs missing a gold label are excluded") {
+    val pred = Seq("1" -> "a", "2" -> "a", "9" -> "zz")
+    val gold = Seq("1" -> "X", "2" -> "X", "8" -> "Q")
+    val (n, p, r, _, _, _, _) = metrics(pred, gold)
+    assert(n === 2L && p === 1.0 && r === 1.0)
+  }
+}
