@@ -49,7 +49,8 @@ object SparkEntry {
     * the meta-blocking oracles (keys, post-purge kept set, block counts per
     * doc, total block count).
     */
-  private def metablockCte(cap: Int, withP: Boolean = false): String = {
+  private def metablockCte(cap: Int, withP: Boolean = false, recursive: Boolean = false): String = {
+    val with0 = if (recursive) "WITH RECURSIVE" else "WITH"
     val pFam =
       if (!withP) ""
       else
@@ -57,7 +58,7 @@ object SparkEntry {
           |    UNION ALL
           |    SELECT doc_id AS url, concat_ws('|', 'p', CAST(doc_id % 7 AS BIGINT)) AS key
           |    FROM documents""".stripMargin
-    s"""WITH keys AS (
+    s"""$with0 keys AS (
        |  SELECT DISTINCT url, key FROM (
        |    SELECT doc_id AS url,
        |           concat_ws('|', 'b', lang, CAST(floor(n_chars / 5) AS BIGINT)) AS key
@@ -568,6 +569,47 @@ object SparkEntry {
         .groupBy("key")
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("key")
+    }),
+    "q_er_fs_pipeline" -> ((s, dir) => {
+      // the round-5 operators composed end-to-end: meta-blocking (purge ->
+      // weighted edges -> CNP prune) feeds Fellegi-Sunter TF-adjusted
+      // scoring, matches at posterior >= 0.8 become edges, connected
+      // components assign clusters, singletons backfill. Every stage is
+      // replayed engine-free by the oracle (CC as a recursive CTE).
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        col("lang"),
+        col("source"),
+        floor(col("n_chars") / 20).cast("long").as("band")
+      )
+      import graft.operators.{FellegiSunter, MetaBlocking}
+      val pruned = MetaBlocking.cnp(
+        MetaBlocking.edges(MetaBlocking.purge(metablockKeys(s, dir), 60)),
+        2,
+        "js"
+      )
+      val scored = FellegiSunter.scorePairs(
+        pruned.select(col("url_a").as("id_a"), col("url_b").as("id_b")),
+        d,
+        "doc_id",
+        Seq(
+          FellegiSunter.FieldParams("lang", 0.95),
+          FellegiSunter.FieldParams("source", 0.6),
+          FellegiSunter.FieldParams("band", 0.85)
+        ),
+        prior = 0.3
+      )
+      val edges = scored
+        .where(col("match_p") >= 0.8)
+        .select(
+          lpad(col("id_a").cast("string"), 6, "0").as("src"),
+          lpad(col("id_b").cast("string"), 6, "0").as("dst")
+        )
+      val assign = graft.operators.ConnectedComponents.run(edges)
+      d.select(lpad(col("doc_id").cast("string"), 6, "0").as("url"))
+        .join(assign, Seq("url"), "left")
+        .select(col("url"), coalesce(col("cluster_id"), col("url")).as("cluster_id"))
+        .orderBy("url")
     }),
     "q_er_cluster_eval" -> ((s, dir) => {
       // cluster-level evaluation (B-cubed + V-measure) of a symbolic
@@ -1993,6 +2035,69 @@ object SparkEntry {
         |SELECT url, key FROM rk
         |WHERE rk <= greatest(1, CAST(ceil(0.5::DOUBLE * n_blocks) AS BIGINT))
         |ORDER BY url, key""".stripMargin,
+    // the composition flagship replayed engine-free end-to-end: two-family
+    // keys -> purge -> weighted edges -> CNP(k=2, js) -> Fellegi-Sunter
+    // TF-adjusted weights -> posterior >= 0.8 edges -> transitive closure
+    // (recursive CTE) -> min-label clusters with singleton backfill
+    "q_er_fs_pipeline" ->
+      (metablockCte(60, recursive = true) +
+        """, incid AS (
+          |  SELECT url_a AS node, url_b AS other, js FROM we
+          |  UNION ALL
+          |  SELECT url_b AS node, url_a AS other, js FROM we),
+          |topk AS (
+          |  SELECT least(node, other) AS url_a, greatest(node, other) AS url_b
+          |  FROM (SELECT node, other, js,
+          |          row_number() OVER (PARTITION BY node ORDER BY js DESC, other ASC) AS rk
+          |        FROM incid)
+          |  WHERE rk <= 2),
+          |pr AS (
+          |  SELECT e.url_a AS id_a, e.url_b AS id_b FROM we e
+          |  WHERE EXISTS (SELECT 1 FROM topk t WHERE t.url_a = e.url_a AND t.url_b = e.url_b)),
+          |dd AS (SELECT doc_id, lang, source, CAST(floor(n_chars / 20) AS BIGINT) AS band
+          |       FROM documents),
+          |ul AS (SELECT sum(n*n)::DOUBLE / (sum(n)::DOUBLE * sum(n)) AS u
+          |       FROM (SELECT count(*) AS n FROM dd WHERE lang IS NOT NULL GROUP BY lang)),
+          |us AS (SELECT sum(n*n)::DOUBLE / (sum(n)::DOUBLE * sum(n)) AS u
+          |       FROM (SELECT count(*) AS n FROM dd WHERE source IS NOT NULL GROUP BY source)),
+          |ub AS (SELECT sum(n*n)::DOUBLE / (sum(n)::DOUBLE * sum(n)) AS u
+          |       FROM (SELECT count(*) AS n FROM dd WHERE band IS NOT NULL GROUP BY band)),
+          |tl AS (SELECT lang AS v, count(*)::DOUBLE / (SELECT count(*) FROM dd WHERE lang IS NOT NULL) AS u
+          |       FROM dd WHERE lang IS NOT NULL GROUP BY lang),
+          |ts AS (SELECT source AS v, count(*)::DOUBLE / (SELECT count(*) FROM dd WHERE source IS NOT NULL) AS u
+          |       FROM dd WHERE source IS NOT NULL GROUP BY source),
+          |tb AS (SELECT band AS v, count(*)::DOUBLE / (SELECT count(*) FROM dd WHERE band IS NOT NULL) AS u
+          |       FROM dd WHERE band IS NOT NULL GROUP BY band),
+          |wts AS (
+          |  SELECT p.id_a, p.id_b,
+          |    CASE WHEN a.lang IS NULL OR b.lang IS NULL THEN 0.0
+          |         WHEN a.lang = b.lang THEN ln(0.95::DOUBLE / tl.u)
+          |         ELSE ln((1.0 - 0.95::DOUBLE) / (1.0 - ul.u)) END AS w_lang,
+          |    CASE WHEN a.source IS NULL OR b.source IS NULL THEN 0.0
+          |         WHEN a.source = b.source THEN ln(0.6::DOUBLE / ts.u)
+          |         ELSE ln((1.0 - 0.6::DOUBLE) / (1.0 - us.u)) END AS w_source,
+          |    CASE WHEN a.band IS NULL OR b.band IS NULL THEN 0.0
+          |         WHEN a.band = b.band THEN ln(0.85::DOUBLE / tb.u)
+          |         ELSE ln((1.0 - 0.85::DOUBLE) / (1.0 - ub.u)) END AS w_band
+          |  FROM pr p
+          |  JOIN dd a ON a.doc_id = p.id_a
+          |  JOIN dd b ON b.doc_id = p.id_b
+          |  LEFT JOIN tl ON tl.v = a.lang
+          |  LEFT JOIN ts ON ts.v = a.source
+          |  LEFT JOIN tb ON tb.v = a.band, ul, us, ub),
+          |me AS (
+          |  SELECT lpad(CAST(id_a AS VARCHAR), 6, '0') AS src,
+          |         lpad(CAST(id_b AS VARCHAR), 6, '0') AS dst
+          |  FROM wts
+          |  WHERE 1.0 / (1.0 + exp(-(ln(0.3::DOUBLE / (1.0 - 0.3::DOUBLE))
+          |        + (w_lang + w_source + w_band)))) >= 0.8),
+          |e2 AS (SELECT src, dst FROM me UNION SELECT dst, src FROM me),
+          |nodes AS (SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id FROM documents),
+          |reach(src, dst) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT r.src, e2.dst FROM reach r JOIN e2 ON r.dst = e2.src)
+          |SELECT src AS url, min(dst) AS cluster_id FROM reach GROUP BY src ORDER BY src""".stripMargin),
     "q_er_cluster_eval" ->
       """WITH d AS (
         |  SELECT doc_id AS url,
