@@ -1364,6 +1364,16 @@ object SparkEntry {
         .select(col("doc_id"), round(col("logw"), 6).as("logw"), round(col("gumbel_key"), 6).as("gumbel_key"))
         .orderBy("doc_id")
     }),
+    "q_cur_dsir_bigram" -> ((s, dir) => {
+      // DSIR over the paper's hashed-BIGRAM feature space: same target
+      // slice, adjacent-pair features "t1 t2". The oracle rebuilds the
+      // bigram arrays, both models and the weights engine-free.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      graft.operators.DataSelection
+        .importanceWeightsBigram(docs, docs.where(col("source").isin("src0", "src1")), buckets = 4096)
+        .select(col("doc_id"), col("n_tok"), round(col("logw"), 6).as("logw"))
+        .orderBy("doc_id")
+    }),
     "q_cur_pack" -> ((s, dir) => {
       // GPT-style concat-and-chop sequence packing: deterministic
       // pseudo-shuffle order (xxhash64 of doc_id, id tie-break), global
@@ -2502,6 +2512,39 @@ object SparkEntry {
            |  FROM w JOIN g ON g.doc_id = w.doc_id)
            |SELECT doc_id, round(logw, 6) AS logw, round(gumbel_key, 6) AS gumbel_key
            |FROM k WHERE rk <= 50 ORDER BY doc_id""".stripMargin),
+    "q_cur_dsir_bigram" ->
+      """WITH tks AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
+        |tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(CASE WHEN len(tk) < 2 THEN CAST([] AS VARCHAR[])
+        |                ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1]) END) AS t
+        |  FROM tks),
+        |th AS (
+        |  SELECT doc_id, source,
+        |    list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(1, length(t) + 1), i -> ord(substr(t, i, 1))::HUGEINT)),
+        |      (h, c) -> (xor(h, c) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT) AS th
+        |  FROM tok),
+        |bk AS (SELECT doc_id, source, CAST((th // 2) % 4096 AS BIGINT) AS b FROM th),
+        |mt AS (SELECT b, count(*) AS c FROM bk WHERE source IN ('src0', 'src1') GROUP BY b),
+        |tt AS (SELECT sum(c) AS total FROM mt),
+        |mr AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+        |tr AS (SELECT sum(c) AS total FROM mr),
+        |sc AS (
+        |  SELECT bk.doc_id,
+        |    ln((coalesce(mt.c, 0) + 1.0) / (tt.total + 4096.0)) AS lpt,
+        |    ln((mr.c + 1.0) / (tr.total + 4096.0)) AS lpr
+        |  FROM bk
+        |  LEFT JOIN mt ON mt.b = bk.b
+        |  JOIN mr ON mr.b = bk.b, tt, tr),
+        |ag AS (
+        |  SELECT doc_id, count(*) AS n_tok,
+        |         count(*) * (avg(lpt) - avg(lpr)) AS logw
+        |  FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(ag.n_tok, 0) AS BIGINT) AS n_tok,
+        |       round(coalesce(ag.logw, 0.0), 6) AS logw
+        |FROM documents d LEFT JOIN ag USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "q_cur_pack" ->
       s"""WITH d AS (
          |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n, doc_id AS id

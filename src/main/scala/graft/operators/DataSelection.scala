@@ -60,17 +60,47 @@ object DataSelection {
       rawTotal: Long,
       textCol: String = "text",
       buckets: Int = 1 << 18
+  ): DataFrame =
+    weightedNgram(raw, targetModel, targetTotal, rawModel, rawTotal, split(col(textCol), " "), buckets)
+
+  /** The paper's hashed-BIGRAM feature space: identical machinery over
+    * adjacent-pair features ([[TextAnalysis.bigramsOf]]). Bigrams carry
+    * word-order evidence unigrams can't (DSIR's reported configuration).
+    */
+  def importanceWeightsBigram(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String = "text",
+      buckets: Int = 1 << 18
+  ): DataFrame = {
+    val toks = TextAnalysis.bigramsOf(split(col(textCol), " "))
+    val (mt, tt) = TextAnalysis.ngramModel(target, toks, buckets)
+    val (mr, tr) = TextAnalysis.ngramModel(raw, toks, buckets)
+    weightedNgram(raw, mt, tt, mr, tr, toks, buckets)
+  }
+
+  /** Core weighting over an arbitrary token-array expression — must match
+    * the expression both models were built with.
+    */
+  def weightedNgram(
+      raw: DataFrame,
+      targetModel: DataFrame,
+      targetTotal: Long,
+      rawModel: DataFrame,
+      rawTotal: Long,
+      tokens: Column,
+      buckets: Int = 1 << 18
   ): DataFrame = {
     val st = TextAnalysis
-      .unigramLogProb(raw, targetModel, targetTotal, textCol, buckets)
+      .ngramLogProb(raw, targetModel, targetTotal, tokens, buckets)
       .withColumnRenamed("lp_mean", "lp_target")
     TextAnalysis
-      .unigramLogProb(st, rawModel, rawTotal, textCol, buckets)
+      .ngramLogProb(st, rawModel, rawTotal, tokens, buckets)
       .withColumnRenamed("lp_mean", "lp_raw")
-      // size(split) counts every array element, empty tokens included —
-      // exactly the TermFreqs kernel's count weight, so logw is the true
-      // sum over features (not an approximation with a different n).
-      .withColumn("n_tok", size(split(col(textCol), " ")).cast("long"))
+      // size(tokens) counts every array element (the arrays carry no
+      // nulls) — exactly the TermFreqs kernel's count weight, so logw is
+      // the true sum over features (not an approximation with another n).
+      .withColumn("n_tok", size(tokens).cast("long"))
       .withColumn("logw", col("n_tok") * (col("lp_target") - col("lp_raw")))
   }
 

@@ -204,10 +204,35 @@ object TextAnalysis {
       docs: DataFrame,
       textCol: String = "text",
       buckets: Int = 1 << 18
+  ): (DataFrame, Long) =
+    ngramModel(docs, split(col(textCol), " "), buckets)
+
+  /** Adjacent-pair features as "t1 t2" strings — the hashed-BIGRAM feature
+    * space of DSIR-style selection (one joined string per adjacent pair, so
+    * the same FNV fold / bucket machinery applies unchanged). Row-local;
+    * docs with fewer than two tokens get an empty feature array.
+    */
+  def bigramsOf(tokens: Column): Column =
+    when(size(tokens) < 2, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(tokens) - 1),
+          i => concat(element_at(tokens, i), lit(" "), element_at(tokens, i + 1))
+        )
+      )
+
+  /** [[unigramModel]] over an arbitrary token-array expression (raw
+    * whitespace tokens, [[bigramsOf]] pairs, shingles, ...). Same bounded
+    * shape: ONE hashed-bucket aggregation, <= `buckets` output rows.
+    */
+  def ngramModel(
+      docs: DataFrame,
+      tokens: Column,
+      buckets: Int = 1 << 18
   ): (DataFrame, Long) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val tf = graft.functions.SimilarityFunctions.term_freqs(split(col(textCol), " "), buckets)
+    val tf = graft.functions.SimilarityFunctions.term_freqs(tokens, buckets)
     val rows = docs
       .select(tf.as("_tf"))
       .select(explode(arrays_zip(col("_tf.ts"), col("_tf.ws"))).as("_z"))
@@ -229,6 +254,18 @@ object TextAnalysis {
       totalTokens: Long,
       textCol: String = "text",
       buckets: Int = 1 << 18
+  ): DataFrame =
+    ngramLogProb(docs, model, totalTokens, split(col(textCol), " "), buckets)
+
+  /** [[unigramLogProb]] over an arbitrary token-array expression — must be
+    * the SAME expression the model was built with ([[ngramModel]]).
+    */
+  def ngramLogProb(
+      docs: DataFrame,
+      model: DataFrame,
+      totalTokens: Long,
+      tokens: Column,
+      buckets: Int = 1 << 18
   ): DataFrame = {
     val spark = docs.sparkSession
     val denom = totalTokens.toDouble + buckets.toDouble
@@ -237,7 +274,7 @@ object TextAnalysis {
       m.put(r.getLong(0), math.log((r.getLong(1) + 1.0) / denom))
     }
     val lpBc = spark.sparkContext.broadcast(m)
-    val tf = graft.functions.SimilarityFunctions.term_freqs(split(col(textCol), " "), buckets)
+    val tf = graft.functions.SimilarityFunctions.term_freqs(tokens, buckets)
     docs.withColumn(
       "lp_mean",
       graft.functions.SimilarityFunctions.unigram_score(tf, lpBc, math.log(1.0 / denom))

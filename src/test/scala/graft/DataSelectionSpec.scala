@@ -89,6 +89,34 @@ class DataSelectionSpec extends SparkSpec {
     assert(hard.select("doc_id").as[Long].collect().toSet === Set(2L, 3L))
   }
 
+  test("bigram features separate word order that unigrams cannot see") {
+    // same unigram multiset, different order: "cat dog cat dog" vs
+    // "dog dog cat cat" — the target is pure cat-dog alternation
+    val rawDocs = Seq((1L, "cat dog cat dog"), (2L, "dog dog cat cat")).toDF("doc_id", "text")
+    val tgt = Seq((9L, "cat dog cat dog cat dog")).toDF("doc_id", "text")
+    val uni = DataSelection
+      .importanceWeights(rawDocs, tgt, buckets = 4096)
+      .select("doc_id", "logw")
+      .as[(Long, Double)]
+      .collect()
+      .toMap
+    assert(math.abs(uni(1L) - uni(2L)) < 1e-12, "unigram view must tie the two orders")
+    val bi = DataSelection
+      .importanceWeightsBigram(rawDocs, tgt, buckets = 4096)
+      .select("doc_id", "logw")
+      .as[(Long, Double)]
+      .collect()
+      .toMap
+    assert(bi(1L) > bi(2L), s"alternating order must win under bigrams: $bi")
+    // single-token doc: zero bigram features, zero weight
+    val one = DataSelection
+      .importanceWeightsBigram(Seq((5L, "cat")).toDF("doc_id", "text"), tgt, buckets = 4096)
+      .select("n_tok", "logw")
+      .as[(Long, Double)]
+      .collect()(0)
+    assert(one === ((0L, 0.0)))
+  }
+
   test("k must be positive") {
     val w = raw.withColumn("logw", lit(0.0))
     intercept[IllegalArgumentException](DataSelection.gumbelTopK(w, "doc_id", 0))
