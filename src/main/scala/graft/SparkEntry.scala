@@ -546,6 +546,29 @@ object SparkEntry {
         .select(col("url_a"), col("url_b"), col("cbs"), round(col("js"), 6).as("js"))
         .orderBy("url_a", "url_b")
     }),
+    "q_er_progressive" -> ((s, dir) => {
+      // pay-as-you-go resolution: rank the weighted blocking-graph edges
+      // best-evidence-first (two-phase seq, no global window) and report
+      // gold recall at comparison budgets. Oracle replays the rank
+      // (row_number over js desc, cbs desc, pair id) and every budget sum.
+      val e = graft.operators.MetaBlocking.edges(
+        graft.operators.MetaBlocking.purge(metablockKeys(s, dir), 60)
+      )
+      val d = t(s, dir, "documents")
+      val g = d.select(col("doc_id").as("u"), col("lang"), floor(col("n_chars") / 10).as("band"))
+      val gold = g
+        .select(col("u").as("url_a"), col("lang"), col("band"))
+        .join(g.select(col("u").as("url_b"), col("lang"), col("band")), Seq("lang", "band"))
+        .where(col("url_a") < col("url_b"))
+        .select("url_a", "url_b")
+      graft.operators.MetaBlocking
+        .progressiveRecall(
+          graft.operators.MetaBlocking.progressive(e, "js"),
+          gold,
+          Seq(100L, 500L, 2000L, 100000L)
+        )
+        .orderBy("budget")
+    }),
     "q_er_metablock_filter" -> ((s, dir) => {
       // block filtering (EDBT'16): three key families, purge at 100, each
       // doc keeps its ceil(0.5 * nBlocks) smallest blocks (size asc, key
@@ -2021,6 +2044,24 @@ object SparkEntry {
           |FROM we e
           |WHERE EXISTS (SELECT 1 FROM topk t WHERE t.url_a = e.url_a AND t.url_b = e.url_b)
           |ORDER BY url_a, url_b""".stripMargin),
+    "q_er_progressive" ->
+      (metablockCte(60) +
+        """, rk AS (
+          |  SELECT url_a, url_b,
+          |         row_number() OVER (ORDER BY js DESC, cbs DESC, url_a, url_b) AS rank
+          |  FROM we),
+          |gold AS (
+          |  SELECT a.doc_id AS url_a, b.doc_id AS url_b
+          |  FROM documents a JOIN documents b
+          |    ON a.lang = b.lang AND floor(a.n_chars / 10) = floor(b.n_chars / 10)
+          |   AND a.doc_id < b.doc_id),
+          |gt AS (SELECT greatest(count(*), 1) AS total FROM gold),
+          |hits AS (SELECT rk.rank FROM rk JOIN gold g ON g.url_a = rk.url_a AND g.url_b = rk.url_b),
+          |budgets(budget) AS (VALUES (100), (500), (2000), (100000))
+          |SELECT CAST(b.budget AS BIGINT) AS budget,
+          |       CAST((SELECT count(*) FROM hits h WHERE h.rank <= b.budget) AS BIGINT) AS gold_hits,
+          |       round((SELECT count(*) FROM hits h WHERE h.rank <= b.budget)::DOUBLE / gt.total, 6) AS recall
+          |FROM budgets b, gt ORDER BY budget""".stripMargin),
     "q_er_metablock_filter" ->
       """WITH keys AS (
         |  SELECT DISTINCT url, key FROM (

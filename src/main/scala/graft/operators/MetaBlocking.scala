@@ -136,6 +136,56 @@ object MetaBlocking {
       .drop("mean_a", "mean_b")
   }
 
+  /** Progressive (pay-as-you-go) resolution order (Whang et al., "Pay-As-
+    * You-Go Entity Resolution", TKDE 2013): a deterministic global rank
+    * over the weighted edges, best-evidence-first — (weight desc, cbs
+    * desc, pair id) — so a downstream scorer processing pairs in `rank`
+    * order maximizes early recall under any comparison budget. The rank is
+    * the W5 two-phase range-partition sequence, NOT a global window (a
+    * single-partition row_number over the pair set is a scale-killer).
+    */
+  def progressive(edges: DataFrame, weightCol: String = "js"): DataFrame =
+    graft.util.DeterministicSeq
+      .assign(
+        edges.withColumn(
+          "_ord",
+          struct((-col(weightCol)).as("w"), (-col("cbs")).as("c"), col("url_a"), col("url_b"))
+        ),
+        "_ord"
+      )
+      .withColumnRenamed("seq", "rank")
+      .drop("_ord")
+
+  /** Recall@budget curve for a [[progressive]] order against a gold pair
+    * set (oriented url_a < url_b): one row per budget with the gold pairs
+    * reached within it. One aggregation over the ranked frame computes
+    * every budget's hit count (conditional sums), then a `stack` unpivots —
+    * nothing corpus-sized is collected; the only driver action is the gold
+    * count (the recall denominator).
+    */
+  def progressiveRecall(ranked: DataFrame, gold: DataFrame, budgets: Seq[Long]): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ >= 1), s"budgets must be >= 1: $budgets")
+    val goldTotal = math.max(gold.count(), 1L)
+    val g = gold.select(col("url_a"), col("url_b"), lit(1L).as("_g"))
+    val j = ranked.join(g, Seq("url_a", "url_b"), "left")
+    val sums = budgets.map(b =>
+      sum(when(col("rank") <= b && col("_g").isNotNull, 1L).otherwise(0L)).as(s"h$b")
+    )
+    j.agg(sums.head, sums.tail: _*)
+      .select(
+        expr(
+          s"stack(${budgets.size}, " +
+            budgets.map(b => s"CAST($b AS BIGINT), h$b").mkString(", ") +
+            ") AS (budget, gold_hits)"
+        )
+      )
+      .select(
+        col("budget"),
+        col("gold_hits"),
+        round(col("gold_hits") / lit(goldTotal.toDouble), 6).as("recall")
+      )
+  }
+
   /** Cardinality Node Pruning: each node retains its top-`k` edges by
     * (weight desc, neighbor asc — deterministic tie-break); an edge survives
     * if either endpoint retains it. The per-node window's group size is the

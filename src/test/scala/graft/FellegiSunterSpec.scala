@@ -106,5 +106,23 @@ class FellegiSunterSpec extends SparkSpec {
     // deterministic: the pattern table is partitioning-invariant
     val em2 = FellegiSunter.emEstimate(pairs.repartition(13), d.repartition(7), "id", Seq("city", "name"), iters = 30)
     assert(em === em2)
+
+    // the closed loop: EM-estimated m feeds scorePairs, learned prior =
+    // lambda; matched pairs must score near 1, unmatched near 0
+    val scored = FellegiSunter
+      .scorePairs(
+        pairs,
+        d,
+        "id",
+        Seq(FieldParams("city", em.fields("city")._1), FieldParams("name", em.fields("name")._1)),
+        prior = em.lambda,
+        tfAdjust = false
+      )
+      .select($"id_a", $"match_p")
+      .as[(Long, Double)]
+      .collect()
+    val (matchedP, unmatchedP) = scored.partition(_._1 < 3000L)
+    assert(matchedP.map(_._2).min > 0.99, s"min matched p = ${matchedP.map(_._2).min}")
+    assert(unmatchedP.map(_._2).max < 0.01, s"max unmatched p = ${unmatchedP.map(_._2).max}")
   }
 }

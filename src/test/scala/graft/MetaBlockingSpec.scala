@@ -92,6 +92,32 @@ class MetaBlockingSpec extends SparkSpec {
     assert(byUrl("d5") === Set("k4") && byUrl("d6") === Set("k4"))
   }
 
+  test("progressive: best-evidence-first rank, partitioning-invariant; recall@budget curve") {
+    val e = MetaBlocking.edges(MetaBlocking.purge(keysDf, 4))
+    def ranks(parts: Int) = MetaBlocking
+      .progressive(e.repartition(parts), "js")
+      .select("url_a", "url_b", "rank")
+      .as[(String, String, Long)]
+      .collect()
+      .map(r => (r._1, r._2) -> r._3)
+      .toMap
+    val got = ranks(1)
+    // js=1.0 edges first (cbs desc then id breaks the tie), then the 1/3 tier by id
+    assert(got("d1" -> "d2") === 1L && got("d5" -> "d6") === 2L)
+    assert(got("d1" -> "d3") === 3L && got("d2" -> "d3") === 4L && got("d3" -> "d4") === 5L)
+    assert(ranks(7) === got, "progressive rank must be partitioning-invariant")
+    val gold = Seq("d1" -> "d2", "d3" -> "d4", "d9" -> "d10").toDF("url_a", "url_b")
+    val curve = MetaBlocking
+      .progressiveRecall(MetaBlocking.progressive(e, "js"), gold, Seq(1L, 4L, 10L))
+      .as[(Long, Long, Double)]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(curve(1L) === ((1L, 0.333333))) // budget 1 reaches (d1,d2) only
+    assert(curve(4L) === ((1L, 0.333333))) // (d3,d4) is rank 5
+    assert(curve(10L) === ((2L, 0.666667))) // (d9,d10) is never reachable
+  }
+
   test("filterBlocks rejects a ratio outside (0,1]") {
     intercept[IllegalArgumentException](MetaBlocking.filterBlocks(keysDf, 0.0))
     intercept[IllegalArgumentException](MetaBlocking.filterBlocks(keysDf, 1.5))

@@ -80,6 +80,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("meta-blocking / Fellegi-Sunter plans: keyed joins, nested-loop only for 1-row scalar frames") {
+    // these queries deliberately crossJoin(broadcast(<1-row aggregate>))
+    // (WEP mean, |B| total, FS u-probability constants, ClusterEval
+    // entropy scalars), which plans as BroadcastNestedLoopJoin. That is
+    // fine at any scale. What must NEVER appear: a CartesianProduct, or a
+    // nested-loop join with a CONDITION (the theta-join shape a broken
+    // equi-join degrades to — that one is quadratic).
+    val sf = "/root/testdata/sf0.001"
+    for (
+      name <- Seq(
+        "q_er_metablock_wep",
+        "q_er_metablock_cnp",
+        "q_er_fs_score",
+        "q_er_fs_pipeline",
+        "q_er_cluster_eval",
+        "q_cur_dsir_sample"
+      )
+    ) {
+      val q = graft.SparkEntry.queries(name)(spark, sf)
+      q.collect() // finalize AQE before reading the executed plan
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+        assert(
+          l.contains("Cross") && !l.contains("condition"),
+          s"$name has a conditioned nested-loop join (quadratic):\n$l"
+        )
+      }
+    }
+  }
+
   test("row-local operators execute with ZERO exchanges") {
     // these must all run inside the scan projection — one Exchange node in
     // any of them is a 100 TB shuffle bill for row-local work
