@@ -691,6 +691,71 @@ object SparkEntry {
         )
         .orderBy("id_a", "id_b")
     }),
+    "q_er_pr_curve" -> ((s, dir) => {
+      // threshold-sweep PR curve over lev-ratio-scored consecutive-id pairs;
+      // gold = same lang. Scores are exact rationals (1 - lev/maxlen), so
+      // floor(score*100) buckets are bit-identical engine and oracle.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), substring(col("text"), 1, 40).as("frag"))
+      val a = d.select(col("doc_id").as("id_a"), col("lang").as("lang_a"), col("frag").as("frag_a"))
+      val b = d.select(
+        (col("doc_id") - 1).as("id_a"),
+        col("lang").as("lang_b"),
+        col("frag").as("frag_b")
+      )
+      val scored = a
+        .join(b, "id_a")
+        .select(
+          Normalize.levRatio(col("frag_a"), col("frag_b")).as("score"),
+          when(col("lang_a") === col("lang_b"), true).otherwise(false).as("label")
+        )
+      graft.eval.PrCurve.sweep(scored, "score", "label", 100).orderBy(col("thr_bucket").desc)
+    }),
+    "q_er_active" -> ((s, dir) => {
+      // active-learning uncertainty batch over blocked pairs scored by an
+      // exact-rational agreement fraction (agreeing fields / 3) — the rank
+      // key |p - 0.5| is the same IEEE double on both sides, and ids break
+      // the plateau ties, so the top-k cut replays engine-free.
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        col("lang"),
+        col("source"),
+        floor(col("n_chars") / 20).cast("long").as("band"),
+        concat_ws("|", col("lang"), floor(col("n_chars") / 50).cast("long")).as("key")
+      )
+      val pairs = d
+        .select(
+          col("doc_id").as("id_a"),
+          col("lang").as("lang_a"),
+          col("source").as("source_a"),
+          col("band").as("band_a"),
+          col("key")
+        )
+        .join(
+          d.select(
+            col("doc_id").as("id_b"),
+            col("lang").as("lang_b"),
+            col("source").as("source_b"),
+            col("band").as("band_b"),
+            col("key")
+          ),
+          Seq("key")
+        )
+        .where(col("id_a") < col("id_b"))
+      val agree = Seq(("lang_a", "lang_b"), ("source_a", "source_b"), ("band_a", "band_b"))
+        .map { case (x, y) => when(col(x) === col(y), 1).otherwise(0) }
+        .reduce(_ + _)
+      val scored = pairs.select(col("id_a"), col("id_b"), (agree.cast("double") / 3.0).as("p"))
+      graft.operators.ActiveLearning
+        .uncertaintyBatch(scored, "p", 200)
+        .select(
+          col("id_a"),
+          col("id_b"),
+          round(col("p"), 6).as("p"),
+          round(col("uncertainty"), 6).as("uncertainty")
+        )
+        .orderBy("id_a", "id_b")
+    }),
     "q_er_sorted_neighborhood" -> ((s, dir) => {
       // sorted-neighborhood blocking: window 4 over the first-20-chars sort
       // key; the oracle recomputes rank (row_number over the same composite
@@ -2230,6 +2295,51 @@ object SparkEntry {
         |  round(1.0 / (1.0 + exp(-(ln(0.3::DOUBLE / (1.0 - 0.3::DOUBLE))
         |    + (w_lang + w_source + w_band)))), 6) AS match_p
         |FROM w ORDER BY id_a, id_b""".stripMargin,
+    // lev-ratio scores are exact rationals -> floor(score*100) buckets are
+    // bit-identical; cumulative sums replayed over the bounded bucket frame
+    "q_er_pr_curve" ->
+      """WITH p AS (
+        |  SELECT CASE WHEN greatest(length(substr(a.text,1,40)), length(substr(b.text,1,40))) = 0
+        |              THEN 1.0
+        |              ELSE 1.0 - levenshtein(substr(a.text,1,40), substr(b.text,1,40))::DOUBLE /
+        |                greatest(length(substr(a.text,1,40)), length(substr(b.text,1,40))) END AS score,
+        |         coalesce(a.lang = b.lang, false) AS label
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        |pb AS (
+        |  SELECT CAST(floor(score * 100) AS BIGINT) AS thr_bucket,
+        |         sum(CASE WHEN label THEN 1 ELSE 0 END) AS pos, count(*) AS n
+        |  FROM p WHERE score IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT thr_bucket,
+        |    sum(pos) OVER (ORDER BY thr_bucket DESC) AS tp,
+        |    sum(n - pos) OVER (ORDER BY thr_bucket DESC) AS fp,
+        |    sum(pos) OVER () AS total_pos
+        |  FROM pb)
+        |SELECT thr_bucket, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(total_pos - tp AS BIGINT) AS fn,
+        |  round(tp::DOUBLE / greatest(tp + fp, 1), 6) AS precision,
+        |  round(tp::DOUBLE / greatest(total_pos, 1), 6) AS recall,
+        |  round(2.0 * tp::DOUBLE / greatest(2 * tp + fp + (total_pos - tp), 1), 6) AS f1
+        |FROM c ORDER BY thr_bucket DESC""".stripMargin,
+    // the uncertainty rank key |p - 0.5| is an exact-rational-derived double
+    // (identical IEEE ops both sides); ids break the plateau ties
+    "q_er_active" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, CAST(floor(n_chars / 20) AS BIGINT) AS band,
+        |         concat_ws('|', lang, CAST(floor(n_chars / 50) AS BIGINT)) AS key
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    ((CASE WHEN a.lang = b.lang THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.source = b.source THEN 1 ELSE 0 END) +
+        |     (CASE WHEN a.band = b.band THEN 1 ELSE 0 END))::DOUBLE / 3.0 AS p
+        |  FROM d a JOIN d b ON a.key = b.key AND a.doc_id < b.doc_id),
+        |r AS (
+        |  SELECT id_a, id_b, p, abs(p - 0.5) AS u,
+        |    row_number() OVER (ORDER BY abs(p - 0.5) ASC, id_a ASC, id_b ASC) AS rk
+        |  FROM p)
+        |SELECT id_a, id_b, round(p, 6) AS p, round(u, 6) AS uncertainty
+        |FROM r WHERE rk <= 200 ORDER BY id_a, id_b""".stripMargin,
     "q_er_block_pairs" ->
       """SELECT key, count(*) AS n_pairs FROM (
         |  SELECT a.key
