@@ -820,6 +820,31 @@ object SparkEntry {
         .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
         .orderBy("id")
     }),
+    "q_er_ccpivot" -> ((s, dir) => {
+      // correlation clustering (parallel-pivot KwikCluster) over the SAME
+      // chain graph q_er_cc closes transitively — the hairball-guard
+      // alternative. Deterministic xxhash64 ranks; the oracle replays every
+      // peeling round engine-free (unrolled CTE stages + poison row).
+      val nodes = t(s, dir, "documents").select(col("doc_id").as("id"), col("lang"), col("n_chars"))
+      val a = nodes.select(col("id").as("src"), col("lang"), col("n_chars"))
+      val b = nodes
+        .select(col("id").as("dst"), col("lang").as("lang_b"), col("n_chars").as("nc_b"))
+        .select(
+          col("dst"),
+          col("lang_b"),
+          explode(array(col("nc_b") - 1, col("nc_b"), col("nc_b") + 1)).as("nc_key")
+        )
+      val edges = a
+        .join(
+          b,
+          col("lang") === col("lang_b") && col("n_chars") === col("nc_key") && col("src") =!= col("dst")
+        )
+        .select("src", "dst")
+      graft.operators.CorrelationClustering
+        .pivot(edges)
+        .select(col("id"), col("pivot").as("pivot_id"))
+        .orderBy("id")
+    }),
     "q_stream_dedup" -> ((s, dir) => {
       // Streaming incremental dedup driven END-TO-END inside the battery:
       // the documents table replayed as a file-source STREAM, keyed by the
@@ -1813,6 +1838,62 @@ object SparkEntry {
       |         count(*) * (avg(lpt) - avg(lpr)) AS logw
       |  FROM sc GROUP BY doc_id) """.stripMargin
 
+  /** Unrolled engine-free replay of CorrelationClustering.pivot (the
+    * min-neighbor-defers KwikCluster peeling) over the q_er_cc chain-graph
+    * edge rule: per round, the min-rank live neighbor per node (row_number
+    * over the re-derived xxhash64 ranks), new pivots (rank below min
+    * neighbor), claims (min neighbor is any pivot so far), then the live-
+    * edge shrink (decided a-side, clustered b-side). Rounds past
+    * convergence are empty no-ops; if the last stage still has live edges
+    * a poison row (-1, -count) mismatches loudly instead of silently
+    * truncating the peeling.
+    */
+  private def ccPivotOracle(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e0 AS MATERIALIZED (
+        |  SELECT a.doc_id AS a, b.doc_id AS b FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 1 AND a.doc_id <> b.doc_id),
+        |ids AS MATERIALIZED (SELECT DISTINCT a AS id FROM e0),
+        |""".stripMargin
+    )
+    sb.append(xxhash64Cte("id", "ids"))
+    // every round references the previous one three times — without
+    // MATERIALIZED hints DuckDB inlines the chain exponentially
+    sb.append(",\nhs AS MATERIALIZED (SELECT id, h FROM hashes)")
+    for (r <- 0 until rounds) {
+      val pallPrev = if (r > 0) s" UNION SELECT p FROM pall${r - 1}" else ""
+      sb.append(s""",
+        |mn$r AS MATERIALIZED (
+        |  SELECT a, ha, b AS mb, hb AS mh FROM (
+        |    SELECT e.a, ha.h AS ha, e.b, hb.h AS hb,
+        |           row_number() OVER (PARTITION BY e.a ORDER BY hb.h, e.b) AS rn
+        |    FROM e$r e JOIN hs ha ON ha.id = e.a JOIN hs hb ON hb.id = e.b)
+        |  WHERE rn = 1),
+        |piv$r AS MATERIALIZED (SELECT a AS p FROM mn$r WHERE ha < mh OR (ha = mh AND a < mb)),
+        |pall$r AS MATERIALIZED (SELECT p FROM piv$r$pallPrev),
+        |cl$r AS MATERIALIZED (SELECT m.a AS id, m.mb AS pivot_id FROM mn$r m JOIN pall$r p ON p.p = m.mb),
+        |asg$r AS MATERIALIZED (SELECT p AS id, p AS pivot_id FROM piv$r UNION ALL SELECT id, pivot_id FROM cl$r),
+        |e${r + 1} AS MATERIALIZED (
+        |  SELECT e.a, e.b FROM e$r e
+        |  WHERE NOT EXISTS (SELECT 1 FROM asg$r x WHERE x.id = e.a)
+        |    AND NOT EXISTS (SELECT 1 FROM cl$r y WHERE y.id = e.b))""".stripMargin)
+    }
+    val unionAll = (0 until rounds).map(r => s"SELECT id, pivot_id FROM asg$r").mkString(" UNION ALL ")
+    sb.append(s""",
+      |allasg AS ($unionAll),
+      |single AS (
+      |  SELECT id, id AS pivot_id FROM ids
+      |  WHERE NOT EXISTS (SELECT 1 FROM allasg w WHERE w.id = ids.id)),
+      |poison AS (
+      |  SELECT CAST(-1 AS BIGINT) AS id, -CAST(count(*) AS BIGINT) AS pivot_id
+      |  FROM e$rounds HAVING count(*) > 0)
+      |SELECT id, pivot_id FROM (
+      |  SELECT * FROM allasg UNION ALL SELECT * FROM single UNION ALL SELECT * FROM poison)
+      |ORDER BY id""".stripMargin)
+    sb.toString
+  }
+
   private def xxhash64Cte(id: String, from: String): String =
     s"""hx0 AS (
        |  SELECT $id,
@@ -2388,6 +2469,8 @@ object SparkEntry {
         |  UNION
         |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src)
         |SELECT src AS id, min(dst) AS cluster_id FROM reach GROUP BY src ORDER BY src""".stripMargin,
+    // every peeling round replayed engine-free (see ccPivotOracle)
+    "q_er_ccpivot" -> ccPivotOracle(25),
     // the whole pipeline recomputed engine-free: blocking-key union ->
     // per-block salting (pmod(xxhash64(url), ceil(n/cap)) sub-buckets, the
     // production Blocker.saltOversized formula — Spark's xxhash64(bigint) is

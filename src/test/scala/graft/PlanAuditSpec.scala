@@ -69,7 +69,10 @@ class PlanAuditSpec extends SparkSpec {
         "q_cur_quota_sample",
         "q_dd_span_dedup",
         "q_dd_resolve",
-        "q_corpus_build"
+        "q_corpus_build",
+        "q_er_ccpivot",
+        "q_er_pr_curve",
+        "q_er_active"
       )
     ) {
       val q = graft.SparkEntry.queries(name)(spark, sf)
