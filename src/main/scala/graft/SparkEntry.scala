@@ -766,6 +766,18 @@ object SparkEntry {
         .pairs(d, col("sk"), 4)
         .orderBy("urlA", "urlB")
     }),
+    "q_er_ppjoin" -> ((s, dir) => {
+      // prefix-filtered set-similarity join (SSJoin/PPJoin): candidates
+      // only from shared rare-prefix tokens, then exact-Jaccard verify.
+      // Prefix filtering is LOSSLESS, so the brute-force all-pairs oracle
+      // is an equality check of the whole operator, not an approximation.
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(slice(split(col("text"), " "), 1, 12)).as("toks"))
+      graft.operators.SimilarityJoin
+        .prefixJaccardJoin(d, "doc_id", "toks", 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
     "q_er_exact_dedup" -> ((s, dir) => {
       val keyed = t(s, dir, "documents")
         .select(col("doc_id"), array_join(slice(split(col("text"), " "), 1, 5), " ").as("dup_key"))
@@ -1285,6 +1297,29 @@ object SparkEntry {
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     }),
+    "q_dd_semdedup" -> ((s, dir) => {
+      // SemDeDup end-to-end: k-means cells (bit-stable trainer) -> within-
+      // cell cosine pairs -> resolve to a keep/drop list. EXACT copies are
+      // planted (vec_id + 1000000): an identical vector shares its
+      // original's cell under ANY codebook, cos = 1 >= 0.9, and max natural
+      // pair cosine at this sf is ~0.51 — so the pair set is exactly the
+      // planted copies and the oracle stays fully symbolic.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val planted = e
+        .where(col("vec_id") < 30)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("v"))
+      val corpus = e.unionAll(planted)
+      val pairs = Dedup.semDedupPairs(corpus, "vec_id", "v", tau = 0.9, nList = 16)
+      Dedup
+        .resolve(
+          corpus.select(col("vec_id"), lit("").as("text")),
+          pairs.select("id_a", "id_b"),
+          "vec_id",
+          "text"
+        )
+        .orderBy("vec_id")
+    }),
 
     // ---- similarity search ----
     "q_ann_topk_int8" -> ((s, dir) => {
@@ -1619,6 +1654,55 @@ object SparkEntry {
           r.getField("top_bigram_frac").as("top_bigram_frac"),
           r.getField("dup_trigram_frac").as("dup_trigram_frac")
         )
+        .orderBy("doc_id")
+    }),
+    "q_txt_gopher_rep" -> ((s, dir) => {
+      // Gopher duplicate-line filters over 2-token pseudo-lines (the
+      // corpus has no newlines); every 4th doc's text is doubled so the
+      // duplicate fractions are exercised away from zero. The oracle
+      // recomputes exact per-line occurrence counts via unnest + group by
+      // (sorted-predecessor repeats == sum(cnt - 1) per distinct line).
+      val txt = when(col("doc_id") % 4 === 0, concat(col("text"), lit(" "), col("text")))
+        .otherwise(col("text"))
+      val sig = graft.operators.TextAnalysis.duplicateLineSignals(
+        graft.operators.TextAnalysis.tokenChunks(split(txt, " "), 2)
+      )
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          sig.getField("n_lines").as("n_lines"),
+          sig.getField("dup_line_frac").as("dup_line_frac"),
+          sig.getField("dup_line_char_frac").as("dup_line_char_frac")
+        )
+        .orderBy("doc_id")
+    }),
+    "q_txt_url_canon" -> ((s, dir) => {
+      // RFC-3986-style URL normalization over six deterministic messy
+      // variants (case, default/explicit ports, tracking params, param
+      // order, fragments, bare host, non-URL passthrough); the oracle
+      // re-derives the whole rule chain in SQL string functions.
+      val v = col("doc_id") % 6
+      val id50 = col("doc_id") % 50
+      val url = when(
+        v === 0,
+        concat(
+          lit("HTTP://Example"),
+          id50,
+          lit(".COM:80/path/"),
+          col("doc_id"),
+          lit("?utm_source=x&b=2&a=1#frag")
+        )
+      )
+        .when(v === 1, concat(lit("https://CDN.Site"), id50, lit(".org:443/a/b")))
+        .when(
+          v === 2,
+          concat(lit("https://site"), id50, lit(".net:8443/x?gclid=1&z=9&y="), col("doc_id") % 7)
+        )
+        .when(v === 3, concat(lit("http://Host"), id50, lit(".com/x/y?fbclid=abc&utm_medium=m")))
+        .when(v === 4, concat(lit("http://Bare"), id50, lit(".com")))
+        .otherwise(concat(lit("plain-text no url "), col("doc_id")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), url.as("url"), Normalize.urlNormalize(url).as("canon"))
         .orderBy("doc_id")
     }),
     "q_txt_fingerprint" -> ((s, dir) =>
@@ -2448,6 +2532,19 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 150)
         |SELECT url, CAST(row_number() OVER (ORDER BY url) AS BIGINT) AS seq
         |FROM u ORDER BY url""".stripMargin,
+    // brute-force all-pairs Jaccard — an EQUALITY oracle for the prefix-
+    // filtered join (prefix filtering is lossless by the pigeonhole bound)
+    "q_er_ppjoin" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct((string_split(text, ' '))[1:12]) AS toks
+        |  FROM documents WHERE len(list_distinct((string_split(text, ' '))[1:12])) > 0),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.toks, b.toks))::DOUBLE /
+        |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+        |FROM p WHERE jaccard >= 0.6 ORDER BY id_a, id_b""".stripMargin,
     "q_er_exact_dedup" ->
       """SELECT dup_key, count(*) AS n, min(doc_id) AS canonical FROM (
         |  SELECT doc_id, array_to_string((string_split(text, ' '))[1:5], ' ') AS dup_key FROM documents)
@@ -2621,6 +2718,15 @@ object SparkEntry {
         |ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) > 0.95
         |ORDER BY id_a, id_b""".stripMargin,
+    // fully symbolic (see the query comment): the only cos >= 0.9 pairs are
+    // the planted exact copies, each sharing its original's k-means cell
+    // with certainty, so resolve keeps the original (min id, equal lengths)
+    "q_dd_semdedup" ->
+      """SELECT vec_id, cluster_id, canonical, keep FROM (
+        |  SELECT vec_id, vec_id AS cluster_id, vec_id AS canonical, true AS keep FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, vec_id, vec_id, false FROM embeddings WHERE vec_id < 30)
+        |ORDER BY vec_id""".stripMargin,
     "q_dd_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
@@ -3182,6 +3288,71 @@ object SparkEntry {
         |  round(coalesce(tdup.dup, 0)::DOUBLE / greatest(g.n_tri, 1), 6) AS dup_trigram_frac
         |FROM g LEFT JOIN btop ON btop.doc_id = g.doc_id LEFT JOIN tdup ON tdup.doc_id = g.doc_id
         |ORDER BY g.doc_id""".stripMargin,
+    // exact per-line occurrence counts (unnest + group by): repeats per
+    // distinct line = cnt - 1, chars likewise — recomputes the row-local
+    // sorted-predecessor kernel engine-free
+    "q_txt_gopher_rep" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(CASE WHEN doc_id % 4 = 0 THEN text || ' ' || text ELSE text END, ' ') AS tk
+        |  FROM documents),
+        |ln AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, CAST(ceil(len(tk) / 2.0) AS BIGINT)),
+        |      i -> array_to_string(tk[(i*2+1):(i*2+2)], ' '))) AS line
+        |  FROM t),
+        |g AS (SELECT doc_id, line, count(*) AS c, length(line) AS len FROM ln GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+        |    sum(c - 1) AS dup_cnt, sum((c - 1) * len) AS dup_chars, sum(c * len) AS tot_chars
+        |  FROM g GROUP BY doc_id)
+        |SELECT doc_id, n_lines,
+        |  round(dup_cnt::DOUBLE / greatest(n_lines, 1), 6) AS dup_line_frac,
+        |  round(dup_chars::DOUBLE / greatest(tot_chars, 1), 6) AS dup_line_char_frac
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // the whole normalization rule chain re-derived in SQL string functions
+    "q_txt_url_canon" ->
+      """WITH u0 AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN 'HTTP://Example' || (doc_id % 50) || '.COM:80/path/' || doc_id || '?utm_source=x&b=2&a=1#frag'
+        |      WHEN 1 THEN 'https://CDN.Site' || (doc_id % 50) || '.org:443/a/b'
+        |      WHEN 2 THEN 'https://site' || (doc_id % 50) || '.net:8443/x?gclid=1&z=9&y=' || (doc_id % 7)
+        |      WHEN 3 THEN 'http://Host' || (doc_id % 50) || '.com/x/y?fbclid=abc&utm_medium=m'
+        |      WHEN 4 THEN 'http://Bare' || (doc_id % 50) || '.com'
+        |      ELSE 'plain-text no url ' || doc_id END AS url
+        |  FROM documents),
+        |p1 AS (SELECT doc_id, url, split_part(url, '#', 1) AS nofrag FROM u0),
+        |p2 AS (
+        |  SELECT *, lower(split_part(nofrag, '://', 1)) AS scheme,
+        |    CASE WHEN strpos(nofrag, '://') > 0
+        |         THEN substr(nofrag, strpos(nofrag, '://') + 3) ELSE '' END AS rest
+        |  FROM p1),
+        |p3 AS (SELECT *, split_part(split_part(rest, '/', 1), '?', 1) AS hostport FROM p2),
+        |p4 AS (SELECT *, substr(rest, length(hostport) + 1) AS afterhost FROM p3),
+        |p5 AS (
+        |  SELECT *, split_part(afterhost, '?', 1) AS path,
+        |    CASE WHEN strpos(afterhost, '?') > 0
+        |         THEN substr(afterhost, strpos(afterhost, '?') + 1) ELSE '' END AS query,
+        |    lower(split_part(hostport, ':', 1)) AS host,
+        |    CASE WHEN strpos(hostport, ':') > 0
+        |         THEN substr(hostport, strpos(hostport, ':') + 1) ELSE '' END AS port
+        |  FROM p4),
+        |p6 AS (
+        |  SELECT *,
+        |    CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+        |                               OR (scheme = 'https' AND port = '443'))
+        |         THEN ':' || port ELSE '' END AS portpart,
+        |    coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      x -> x <> '' AND substr(split_part(x, '=', 1), 1, 4) <> 'utm_'
+        |           AND split_part(x, '=', 1) NOT IN ('gclid', 'fbclid', 'msclkid'))), '&'), '') AS sortedq,
+        |    CASE WHEN path = '' THEN '/' ELSE path END AS pathpart
+        |  FROM p5)
+        |SELECT doc_id, url,
+        |  CASE WHEN strpos(nofrag, '://') = 0 THEN trim(url)
+        |       ELSE scheme || '://' || host || portpart || pathpart ||
+        |            (CASE WHEN sortedq = '' THEN '' ELSE '?' || sortedq END) END AS canon
+        |FROM p6 ORDER BY doc_id""".stripMargin,
     "q_mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | upper(substr(hex(encode(text)), 1, 8)) AS magic

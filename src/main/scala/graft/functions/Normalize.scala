@@ -44,6 +44,48 @@ object Normalize {
     regexp_replace(noQuery, "/+$", "")
   }
 
+  /** RFC-3986-style URL normalization — the canonical form a crawl store
+    * KEEPS (vs [[canonicalUrl]], the aggressive dedup KEY that throws the
+    * query away). Rules, all semantics-preserving or tracking-only:
+    * fragment dropped; scheme and host lowercased; default port dropped
+    * (:80 on http, :443 on https — others kept); tracking params removed
+    * (key starts with "utm_", or key in {gclid, fbclid, msclkid}); the
+    * surviving query params sorted byte-wise and re-joined; empty path
+    * becomes "/". Inputs without "://" pass through trimmed. Row-local,
+    * all codegen'd builtins — zero exchanges at any scale. (Param sort is
+    * Java-string order; identical to byte order for ASCII params.)
+    */
+  def urlNormalize(url: Column): Column = {
+    val u = trim(url)
+    val noFrag = substring_index(u, "#", 1)
+    val scheme = lower(substring_index(noFrag, "://", 1))
+    val rest = noFrag.substr(instr(noFrag, "://") + 3, length(noFrag))
+    val hostport = substring_index(substring_index(rest, "/", 1), "?", 1)
+    val afterHost = rest.substr(length(hostport) + 1, length(rest))
+    val path = substring_index(afterHost, "?", 1)
+    val qpos = instr(afterHost, "?")
+    val query = when(qpos > 0, afterHost.substr(qpos + 1, length(afterHost))).otherwise(lit(""))
+    val host = lower(substring_index(hostport, ":", 1))
+    val cpos = instr(hostport, ":")
+    val port = when(cpos > 0, hostport.substr(cpos + 1, length(hostport))).otherwise(lit(""))
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") || (scheme === "https" && port === "443"))
+    val portPart = when(keepPort, concat(lit(":"), port)).otherwise(lit(""))
+    val kept = filter(
+      split(query, "&"),
+      p => {
+        val key = substring_index(p, "=", 1)
+        p =!= "" && substring(key, 1, 4) =!= "utm_" &&
+        !key.isin("gclid", "fbclid", "msclkid")
+      }
+    )
+    val sortedQ = array_join(array_sort(kept), "&")
+    val queryPart = when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ))
+    val pathPart = when(path === "", lit("/")).otherwise(path)
+    when(instr(u, "://") === 0, u)
+      .otherwise(concat(scheme, lit("://"), host, portPart, pathPart, queryPart))
+  }
+
   /** Lowercased whitespace tokens of a text column (empty array for blank). */
   def tokensOf(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)

@@ -336,6 +336,50 @@ object Dedup {
     (out, () => { e.unpersist(blocking = false); () })
   }
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): k-means-cluster the
+    * embedding space, then look for near-duplicates only WITHIN clusters —
+    * the published semantic-dedup recipe for web-scale corpora (LAION /
+    * C4 experiments). Uses the bit-stable spherical trainer
+    * ([[SimilaritySearch.trainIvf]]) so reruns and resumes assign boundary
+    * vectors identically. Returns candidate pairs (id_a, id_b, cell, cos)
+    * with cos >= tau; compose with [[resolve]] for the keep/drop list.
+    *
+    * Recall caveat (inherent to the method, documented in the paper): a
+    * near-dup pair split across two cells is missed — exact copies never
+    * are (identical vectors share a nearest centroid by determinism of the
+    * assignment kernel). Scale shape: the codebook is nList rows (driver +
+    * one broadcast); assignment is one row-local codegen pass; the
+    * self-join is a cell equi-join with cell sizes ~corpus/nList by
+    * construction (pick nList ~ n / targetCellRows), so the within-cell
+    * pair volume is bounded and the corpus-sized frame never cross-joins.
+    */
+  def semDedupPairs(
+      embeddings: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      tau: Double = 0.9,
+      nList: Int = 64,
+      maxIters: Int = 5
+  ): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0,1], got $tau")
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val codebook = SimilaritySearch.trainIvf(e, "id", "v", nList, maxIters)
+    val bc = e.sparkSession.sparkContext.broadcast(codebook)
+    val assigned = e
+      .where(col("v").isNotNull && size(col("v")) > 0)
+      .withColumn(
+        "cell",
+        element_at(graft.functions.SimilarityFunctions.nearest_centroids(col("v"), bc, 1), 1)
+      )
+    assigned
+      .select(col("id").as("id_a"), col("cell"), col("v").as("va"))
+      .join(assigned.select(col("id").as("id_b"), col("cell"), col("v").as("vb")), Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", SimilaritySearch.cosine(col("va"), col("vb")))
+      .where(col("cos") >= tau)
+      .select("id_a", "id_b", "cell", "cos")
+  }
+
   /** Near-dup RESOLUTION — the last mile of corpus dedup: turn verified
     * duplicate PAIRS (any family: MinHash, SimHash, embedding, span)
     * into a per-doc keep/drop decision. Pairs must close transitively

@@ -98,6 +98,60 @@ object TextAnalysis {
     )
   }
 
+  /** Gopher-style duplicate-line signals (Rae et al. 2021, Table A1):
+    * over a caller-supplied line array (newline split, sentence split,
+    * fixed token chunks — the caller decides what a "line" is), the
+    * fraction of line OCCURRENCES that repeat an earlier identical line
+    * and the fraction of CHARACTERS inside those repeat occurrences — the
+    * two standard boilerplate filters next to the n-gram repetition pair.
+    *
+    * Row-local single pass over builtins: sort the array once, a repeat
+    * occurrence is exactly "equals its predecessor in sorted order" (count
+    * per distinct value = cnt - 1), so no per-row quadratic scan and no
+    * explode + groupBy over per-line rows — at 100 TB this stays a
+    * projection on the scan. Returns struct(n_lines, dup_line_frac,
+    * dup_line_char_frac), fractions rounded to 6.
+    */
+  def duplicateLineSignals(lines: Column): Column = {
+    val n = size(lines)
+    val sorted = array_sort(lines)
+    val m = greatest(n - 1, lit(0))
+    val flagged = zip_with(
+      slice(sorted, lit(2), m),
+      slice(sorted, lit(1), m),
+      (cur, prev) => struct((cur === prev).as("d"), length(cur).as("len"))
+    )
+    val dupCount =
+      aggregate(flagged, lit(0L), (acc, s) => acc + when(s("d"), 1L).otherwise(0L))
+    val dupChars =
+      aggregate(
+        flagged,
+        lit(0L),
+        (acc, s) => acc + when(s("d"), s("len").cast("long")).otherwise(0L)
+      )
+    val totChars = aggregate(lines, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    struct(
+      n.cast("long").as("n_lines"),
+      round(dupCount.cast("double") / greatest(n, lit(1)).cast("double"), 6)
+        .as("dup_line_frac"),
+      round(dupChars.cast("double") / greatest(totChars, lit(1L)).cast("double"), 6)
+        .as("dup_line_char_frac")
+    )
+  }
+
+  /** Fixed-width token chunks as pseudo-lines — the standard stand-in when
+    * a corpus has no newlines (this repo's synthetic tables); also the
+    * deterministic paragraph splitter for [[duplicateLineSignals]].
+    */
+  def tokenChunks(tokens: Column, width: Int): Column = {
+    require(width > 0, s"width must be positive, got $width")
+    val nChunks = ceil(size(tokens).cast("double") / width).cast("int")
+    transform(
+      sequence(lit(0), greatest(nChunks - 1, lit(0))),
+      i => array_join(slice(tokens, i * width + 1, lit(width)), " ")
+    )
+  }
+
   /** Whitespace token count. */
   def tokenCountWs(text: Column): Column = size(Normalize.tokensOf(text)).cast("long")
 
