@@ -766,13 +766,54 @@ object SparkEntry {
         .pairs(d, col("sk"), 4)
         .orderBy("urlA", "urlB")
     }),
+    "q_er_canopy" -> ((s, dir) => {
+      // canopy clustering: T2 = same (lang, n_chars) — an equality rule, so
+      // the T2 graph is a disjoint union of CLIQUES and the greedy-MIS
+      // center set the engine's general peeling computes reduces to
+      // "min-(xxhash64,id) per (lang, n_chars) group" — which is exactly
+      // what the oracle recomputes engine-free (plus the T1 membership
+      // join). T1 = same lang, n_chars within 1.
+      val d = t(s, dir, "documents").select(col("doc_id").as("id"), col("lang"), col("n_chars"))
+      val t2 = d
+        .select(col("id").as("src"), col("lang"), col("n_chars"))
+        .join(
+          d.select(col("id").as("dst"), col("lang").as("l2"), col("n_chars").as("n2")),
+          col("lang") === col("l2") && col("n_chars") === col("n2") && col("src") =!= col("dst")
+        )
+        .select("src", "dst")
+      val b = d
+        .select(col("id").as("dst"), col("lang").as("lang_b"), col("n_chars").as("nc_b"))
+        .select(
+          col("dst"),
+          col("lang_b"),
+          explode(array(col("nc_b") - 1, col("nc_b"), col("nc_b") + 1)).as("nc_key")
+        )
+      val t1 = d
+        .select(col("id").as("src"), col("lang"), col("n_chars"))
+        .join(
+          b,
+          col("lang") === col("lang_b") && col("n_chars") === col("nc_key") && col("src") =!= col("dst")
+        )
+        .select("src", "dst")
+      graft.operators.Canopy.canopies(d.select("id"), t1, t2).orderBy("id", "canopy")
+    }),
     "q_er_ppjoin" -> ((s, dir) => {
       // prefix-filtered set-similarity join (SSJoin/PPJoin): candidates
       // only from shared rare-prefix tokens, then exact-Jaccard verify.
       // Prefix filtering is LOSSLESS, so the brute-force all-pairs oracle
       // is an equality check of the whole operator, not an approximation.
+      // Sets are 3-token SHINGLES of the leading text: the synthetic
+      // corpus's ~50-word vocabulary has no rare unigrams (prefix blocks
+      // degenerate quadratic — measured 57 s at sf0.1), while the shingle
+      // space is vocab^3 — which is also the faithful stand-in for real
+      // web text's Zipfian tail.
       val d = t(s, dir, "documents")
-        .select(col("doc_id"), array_distinct(slice(split(col("text"), " "), 1, 12)).as("toks"))
+        .select(
+          col("doc_id"),
+          array_distinct(
+            Normalize.shingles(slice(split(col("text"), " "), 1, 15), 3)
+          ).as("toks")
+        )
       graft.operators.SimilarityJoin
         .prefixJaccardJoin(d, "doc_id", "toks", 0.6)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -2532,12 +2573,40 @@ object SparkEntry {
         |  FROM documents WHERE doc_id < 150)
         |SELECT url, CAST(row_number() OVER (ORDER BY url) AS BIGINT) AS seq
         |FROM u ORDER BY url""".stripMargin,
+    // T2 is an equality rule -> its graph is a union of cliques -> the
+    // greedy rank-order MIS the engine peels out is per-group argmin
+    // (xxhash64, id); membership = T1 edges into the center set + self +
+    // uncovered backfill. xxhash64 re-derived in HUGEINT arithmetic.
+    "q_er_canopy" ->
+      s"""WITH d AS (SELECT doc_id AS id, lang, n_chars FROM documents),
+         |ids AS (SELECT id FROM d),
+         |${xxhash64Cte("id", "ids")},
+         |grp AS (SELECT d.id, d.lang, d.n_chars, hh.h FROM d JOIN hashes hh ON hh.id = d.id),
+         |ctr AS (
+         |  SELECT id FROM (
+         |    SELECT id, row_number() OVER (PARTITION BY lang, n_chars ORDER BY h, id) AS rn
+         |    FROM grp) WHERE rn = 1),
+         |t1 AS (
+         |  SELECT a.id AS a, b.id AS b FROM d a JOIN d b
+         |  ON a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 1 AND a.id <> b.id),
+         |mem AS (
+         |  SELECT id, id AS canopy FROM ctr
+         |  UNION
+         |  SELECT t1.a AS id, t1.b AS canopy FROM t1 JOIN ctr ON ctr.id = t1.b),
+         |unc AS (
+         |  SELECT id, id AS canopy FROM ids
+         |  WHERE NOT EXISTS (SELECT 1 FROM mem m WHERE m.id = ids.id))
+         |SELECT id, canopy FROM (SELECT * FROM mem UNION ALL SELECT * FROM unc)
+         |ORDER BY id, canopy""".stripMargin,
     // brute-force all-pairs Jaccard — an EQUALITY oracle for the prefix-
     // filtered join (prefix filtering is lossless by the pigeonhole bound)
     "q_er_ppjoin" ->
-      """WITH d AS (
-        |  SELECT doc_id, list_distinct((string_split(text, ' '))[1:12]) AS toks
-        |  FROM documents WHERE len(list_distinct((string_split(text, ' '))[1:12])) > 0),
+      """WITH tk AS (
+        |  SELECT doc_id, (string_split(text, ' '))[1:15] AS t FROM documents),
+        |d AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS toks
+        |  FROM tk WHERE len(t) >= 3),
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    len(list_intersect(a.toks, b.toks))::DOUBLE /

@@ -69,7 +69,8 @@ object Main {
   val strategyByName: Map[String, BlockingStrategy] = Map(
     "canonical_url" -> CanonicalUrlBlocking,
     "domain" -> DomainBlocking,
-    "minhash" -> MinHashBlocking()
+    "minhash" -> MinHashBlocking(),
+    "soundex" -> PhoneticBlocking()
   )
 
   /** Mention-column resolution, mirroring the reference's precedence

@@ -97,6 +97,25 @@ final case class MinHashBlocking(shingleSize: Int = 3, numHashes: Int = 16, band
   }
 }
 
+/** Phonetic blocking — the FEBRL/Splink classic for name-bearing records:
+  * key = soundex of the first `nTokens` text tokens (typo-robust: Robert /
+  * Rupert -> R163; Smith / Smyth -> S530), so spelling-variant duplicates
+  * land in one block without any pairwise comparison. Uses Spark's
+  * codegen'd soundex builtin; non-alphabetic leading tokens pass through
+  * unencoded (the builtin's contract), which still makes a valid key.
+  * Phonetic keys are low-cardinality by design — head blocks are
+  * backstopped by `Blocker.saltOversized` like every other strategy.
+  */
+final case class PhoneticBlocking(nTokens: Int = 2) extends BlockingStrategy {
+  require(nTokens > 0, s"nTokens must be positive, got $nTokens")
+  val name = s"soundex_$nTokens"
+  def keys(pages: DataFrame): DataFrame = {
+    val toks = Normalize.tokensOf(col("text"))
+    val parts = (1 to nTokens).map(i => soundex(coalesce(try_element_at(toks, lit(i)), lit(""))))
+    pages.select(col("url"), concat_ws("|", lit("p:") +: parts: _*).as("key"))
+  }
+}
+
 /** Per-block stats recorded in the run manifest (dropped-work accounting —
   * the reference logs truncation implicitly via candidate caps, W3).
   */
