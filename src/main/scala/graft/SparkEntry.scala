@@ -1155,11 +1155,7 @@ object SparkEntry {
       // appearing in more than one document is dropped from ALL of them,
       // order of the survivors preserved (Dedup.lineDedup — keyed on the
       // 8-byte line hash, no broadcast, no cartesian)
-      val words = split(col("text"), " ")
-      val lines = transform(
-        sequence(lit(0), ceil(size(words) / lit(10.0)).cast("int") - 1),
-        i => array_join(slice(words, i * lit(10) + 1, lit(10)), " ")
-      )
+      val lines = graft.operators.TextAnalysis.tokenChunks(split(col("text"), " "), 10)
       val docs = t(s, dir, "documents").select(col("doc_id"), lines.as("lines"))
       graft.operators.Dedup
         .lineDedup(docs, "doc_id", "lines", maxDocFreq = 1)

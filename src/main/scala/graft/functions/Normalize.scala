@@ -90,15 +90,26 @@ object Normalize {
   def tokensOf(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
 
-  /** n-token shingles joined by a single space; empty array if too short. */
+  /** n-token shingles joined by a single space; empty array if too short.
+    * `tokens` is bound once as a lambda variable: interpreted HOF eval
+    * re-runs free subexpressions per element, so a caller-passed
+    * split(text) would otherwise re-tokenize the document per shingle.
+    */
   def shingles(tokens: Column, n: Int): Column =
-    when(size(tokens) < n, array().cast("array<string>"))
-      .otherwise(
-        transform(
-          sequence(lit(1), size(tokens) - lit(n - 1)),
-          i => array_join(slice(tokens, i, lit(n)), " ")
-        )
-      )
+    element_at(
+      transform(
+        array(tokens),
+        ts =>
+          when(size(ts) < n, array().cast("array<string>"))
+            .otherwise(
+              transform(
+                sequence(lit(1), size(ts) - lit(n - 1)),
+                i => array_join(slice(ts, i, lit(n)), " ")
+              )
+            )
+      ),
+      1
+    )
 
   /** Confidence banding (lion_linker/lion_linker.py:717-726). */
   def confidenceBand(score: Column): Column =

@@ -113,35 +113,49 @@ object TextAnalysis {
     * dup_line_char_frac), fractions rounded to 6.
     */
   def duplicateLineSignals(lines: Column): Column = {
-    val n = size(lines)
-    val sorted = array_sort(lines)
-    // Spark higher-order functions run INTERPRETED (no codegen), so this is
-    // one index fold carrying (dup occurrences, dup chars, total chars)
-    // together — no slice copies, no zip_with, no second/third pass over
-    // the array (the first draft's slice+zip_with+3x aggregate chain was
-    // ~4x slower on the sf0.1 battery row for identical output)
+    // Higher-order functions evaluate INTERPRETED, and interpreted eval
+    // re-computes every free subexpression on each lambda invocation: an
+    // `element_at(array_sort(lines), i)` inside the fold re-sorts the whole
+    // array per element — O(n^2 log n) per ROW (observed: one sf0.1 bench
+    // task wedged >15 min in ArraySort.eval under ArrayAggregate.eval).
+    // Binding the sorted array, and then the fold result, as lambda
+    // variables (transform over a 1-element wrapper array) pins each to
+    // exactly ONE evaluation: sort once, fold once, field reads are O(1).
     val zero = struct(lit(0L).as("dc"), lit(0L).as("dch"), lit(0L).as("tc"))
-    val folded = aggregate(
-      sequence(lit(1), greatest(n, lit(1))),
-      zero,
-      (acc, i) => {
-        val cur = element_at(sorted, i)
-        val isDup = i > 1 && cur === element_at(sorted, i - 1)
-        struct(
-          (acc("dc") + when(isDup, 1L).otherwise(0L)).as("dc"),
-          (acc("dch") + when(isDup, length(cur).cast("long")).otherwise(0L)).as("dch"),
-          (acc("tc") + length(cur).cast("long")).as("tc")
+    val out = transform(
+      array(array_sort(lines)),
+      sorted => {
+        val n = size(sorted)
+        val folded = aggregate(
+          sequence(lit(1), greatest(n, lit(1))),
+          zero,
+          (acc, i) => {
+            val cur = element_at(sorted, i)
+            val isDup = i > 1 && cur === element_at(sorted, i - 1)
+            struct(
+              (acc("dc") + when(isDup, 1L).otherwise(0L)).as("dc"),
+              (acc("dch") + when(isDup, length(cur).cast("long")).otherwise(0L)).as("dch"),
+              (acc("tc") + length(cur).cast("long")).as("tc")
+            )
+          }
+        )
+        element_at(
+          transform(
+            array(when(n >= 1, folded).otherwise(zero)),
+            r =>
+              struct(
+                n.cast("long").as("n_lines"),
+                round(r("dc").cast("double") / greatest(n, lit(1)).cast("double"), 6)
+                  .as("dup_line_frac"),
+                round(r("dch").cast("double") / greatest(r("tc"), lit(1L)).cast("double"), 6)
+                  .as("dup_line_char_frac")
+              )
+          ),
+          1
         )
       }
     )
-    val r = when(n >= 1, folded).otherwise(zero)
-    struct(
-      n.cast("long").as("n_lines"),
-      round(r("dc").cast("double") / greatest(n, lit(1)).cast("double"), 6)
-        .as("dup_line_frac"),
-      round(r("dch").cast("double") / greatest(r("tc"), lit(1L)).cast("double"), 6)
-        .as("dup_line_char_frac")
-    )
+    element_at(out, 1)
   }
 
   /** Fixed-width token chunks as pseudo-lines — the standard stand-in when
@@ -150,10 +164,21 @@ object TextAnalysis {
     */
   def tokenChunks(tokens: Column, width: Int): Column = {
     require(width > 0, s"width must be positive, got $width")
-    val nChunks = ceil(size(tokens).cast("double") / width).cast("int")
-    transform(
-      sequence(lit(0), greatest(nChunks - 1, lit(0))),
-      i => array_join(slice(tokens, i * width + 1, lit(width)), " ")
+    // bind `tokens` once: a free expression (e.g. split(text, " ")) inside
+    // the per-chunk lambda would re-tokenize the whole document per chunk
+    // under interpreted HOF eval — O(n^2/width) per row
+    element_at(
+      transform(
+        array(tokens),
+        ts => {
+          val nChunks = ceil(size(ts).cast("double") / width).cast("int")
+          transform(
+            sequence(lit(0), greatest(nChunks - 1, lit(0))),
+            i => array_join(slice(ts, i * width + 1, lit(width)), " ")
+          )
+        }
+      ),
+      1
     )
   }
 
@@ -272,13 +297,22 @@ object TextAnalysis {
     * docs with fewer than two tokens get an empty feature array.
     */
   def bigramsOf(tokens: Column): Column =
-    when(size(tokens) < 2, array().cast("array<string>"))
-      .otherwise(
-        transform(
-          sequence(lit(1), size(tokens) - 1),
-          i => concat(element_at(tokens, i), lit(" "), element_at(tokens, i + 1))
-        )
-      )
+    // bind `tokens` once: callers pass expressions like split(text, " "),
+    // which interpreted HOF eval would otherwise re-run TWICE PER BIGRAM
+    element_at(
+      transform(
+        array(tokens),
+        ts =>
+          when(size(ts) < 2, array().cast("array<string>"))
+            .otherwise(
+              transform(
+                sequence(lit(1), size(ts) - 1),
+                i => concat(element_at(ts, i), lit(" "), element_at(ts, i + 1))
+              )
+            )
+      ),
+      1
+    )
 
   /** [[unigramModel]] over an arbitrary token-array expression (raw
     * whitespace tokens, [[bigramsOf]] pairs, shingles, ...). Same bounded
