@@ -649,6 +649,106 @@ object SparkEntry {
       )
       graft.eval.ClusterEval.metricsDf(pred, gold)
     }),
+    "q_er_cluster_ari" -> ((s, dir) => {
+      // Adjusted Rand Index of the same symbolic pred/gold pair as
+      // q_er_cluster_eval — exact integer pair combinatorics down to two
+      // final divisions, replayed verbatim by the oracle.
+      val d = t(s, dir, "documents")
+      val pred = d.select(
+        col("doc_id").as("url"),
+        array_join(slice(split(col("text"), " "), 1, 2), " ").as("cluster_id")
+      )
+      val gold = d.select(
+        col("doc_id").as("url"),
+        concat_ws("|", col("lang"), floor(col("n_chars") / 10).cast("long")).as("gold_id")
+      )
+      graft.eval.ClusterEval.ariDf(pred, gold)
+    }),
+    "q_er_survivorship" -> ((s, dir) => {
+      // golden-record survivorship over symbolic (lang, n_chars/25)
+      // clusters: mode-of-source (ties -> smallest value), longest text
+      // fragment (ties -> smallest), latest-by-pseudo-timestamp source
+      // (ts = pmod(xxhash64(doc_id), 97); ties -> largest value), min/max
+      // n_chars. The oracle replays every rule as a window argmin/argmax
+      // and the ts via the closed-form xxhash64 CTE.
+      import graft.operators.Survivorship
+      import graft.operators.Survivorship._
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws("|", col("lang"), floor(col("n_chars") / 25).cast("long")).as("cluster"),
+        col("source"),
+        substring(col("text"), 1, 30).as("frag"),
+        pmod(xxhash64(col("doc_id")), lit(97L)).as("ts"),
+        col("n_chars")
+      )
+      Survivorship
+        .golden(
+          d,
+          "cluster",
+          Seq(
+            Rule("source", Mode),
+            Rule("frag", Longest, as = "frag_long"),
+            Rule("source", Latest("ts"), as = "source_latest"),
+            Rule("n_chars", MinValue, as = "nc_min"),
+            Rule("n_chars", MaxValue, as = "nc_max")
+          )
+        )
+        .orderBy("cluster")
+    }),
+    "q_er_fs_levels" -> ((s, dir) => {
+      // Splink-style multi-level comparisons: frag ladder exact > first-8
+      // prefix > else, n_chars ladder |diff|<=2 > else; pairs from the
+      // (lang, n_chars/50) block key. Purely row-local CASE chains after
+      // the two id fetch-joins; the oracle replays the ladders verbatim.
+      import graft.operators.FellegiSunter
+      import graft.operators.FellegiSunter.{Comparison, Level}
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        substring(col("text"), 1, 30).as("frag"),
+        col("n_chars"),
+        concat_ws("|", col("lang"), floor(col("n_chars") / 50).cast("long")).as("key")
+      )
+      val pairs = d
+        .select(col("doc_id").as("id_a"), col("key"))
+        .join(d.select(col("doc_id").as("id_b"), col("key")), Seq("key"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      FellegiSunter
+        .scoreLevels(
+          pairs,
+          d.select("doc_id", "frag", "n_chars"),
+          "doc_id",
+          Seq(
+            Comparison(
+              "frag",
+              Seq(
+                Level("exact", (a, b) => a === b, m = 0.6, u = 0.001),
+                Level("prefix8", (a, b) => substring(a, 1, 8) === substring(b, 1, 8), m = 0.3, u = 0.01),
+                FellegiSunter.elseLevel(m = 0.1, u = 0.989)
+              )
+            ),
+            Comparison(
+              "n_chars",
+              Seq(
+                Level("within2", (a, b) => abs(a - b) <= 2, m = 0.8, u = 0.05),
+                FellegiSunter.elseLevel(m = 0.2, u = 0.95)
+              )
+            )
+          ),
+          prior = 0.3
+        )
+        .select(
+          col("id_a"),
+          col("id_b"),
+          col("gamma_frag"),
+          round(col("w_frag"), 6).as("w_frag"),
+          col("gamma_n_chars"),
+          round(col("w_n_chars"), 6).as("w_n_chars"),
+          round(col("match_weight"), 6).as("match_weight"),
+          round(col("match_p"), 6).as("match_p")
+        )
+        .orderBy("id_a", "id_b")
+    }),
     "q_er_fs_score" -> ((s, dir) => {
       // Fellegi-Sunter pair scoring with term-frequency adjustment: pairs
       // from the (lang, n_chars/50) block key; fields lang/source/band with
@@ -2455,6 +2555,87 @@ object SparkEntry {
         |       round(CASE WHEN hom + com = 0.0 THEN 0.0
         |                  ELSE 2.0 * hom * com / (hom + com) END, 6) AS v_measure
         |FROM m2""".stripMargin,
+    "q_er_cluster_ari" ->
+      """WITH d AS (
+        |  SELECT doc_id AS url,
+        |         array_to_string((string_split(text, ' '))[1:2], ' ') AS cluster_id,
+        |         concat_ws('|', lang, CAST(floor(n_chars / 10) AS BIGINT)) AS gold_id
+        |  FROM documents),
+        |cell AS (SELECT cluster_id, gold_id, count(*) AS n_cg FROM d GROUP BY 1, 2),
+        |i AS (SELECT CAST(sum(n_cg * (n_cg - 1) // 2) AS BIGINT) AS idx,
+        |             CAST(sum(n_cg) AS BIGINT) AS n FROM cell),
+        |aa AS (SELECT CAST(sum(n_c * (n_c - 1) // 2) AS BIGINT) AS a
+        |       FROM (SELECT sum(n_cg) AS n_c FROM cell GROUP BY cluster_id)),
+        |bb AS (SELECT CAST(sum(n_g * (n_g - 1) // 2) AS BIGINT) AS b
+        |       FROM (SELECT sum(n_cg) AS n_g FROM cell GROUP BY gold_id)),
+        |m AS (SELECT n, n * (n - 1) // 2 AS np, idx::DOUBLE AS i,
+        |             a::DOUBLE AS a, b::DOUBLE AS b FROM i, aa, bb)
+        |SELECT n AS n_docs,
+        |  round(CASE WHEN np = 0 THEN 1.0
+        |             WHEN (a + b) / 2.0 - a * b / np::DOUBLE = 0.0 THEN 1.0
+        |             ELSE (i - a * b / np::DOUBLE)
+        |                  / ((a + b) / 2.0 - a * b / np::DOUBLE) END, 6) AS ari
+        |FROM m""".stripMargin,
+    "q_er_survivorship" -> {
+      """WITH d0 AS (
+        |  SELECT doc_id, concat_ws('|', lang, CAST(floor(n_chars / 25) AS BIGINT)) AS cluster,
+        |         source, substr(text, 1, 30) AS frag, n_chars
+        |  FROM documents),
+        |""".stripMargin + xxhash64Cte("doc_id", "documents") + """,
+        |d AS (SELECT d0.*, ((h % 97) + 97) % 97 AS ts
+        |      FROM d0 JOIN hashes USING (doc_id)),
+        |base AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+        |                min(n_chars) AS nc_min, max(n_chars) AS nc_max
+        |         FROM d GROUP BY 1),
+        |ms AS (SELECT cluster, source FROM (
+        |  SELECT cluster, source,
+        |         row_number() OVER (PARTITION BY cluster ORDER BY cnt DESC, source ASC) AS rn
+        |  FROM (SELECT cluster, source, count(*) AS cnt FROM d
+        |        WHERE source IS NOT NULL GROUP BY 1, 2)) WHERE rn = 1),
+        |lf AS (SELECT cluster, frag AS frag_long FROM (
+        |  SELECT cluster, frag,
+        |         row_number() OVER (PARTITION BY cluster ORDER BY length(frag) DESC, frag ASC) AS rn
+        |  FROM d WHERE frag IS NOT NULL) WHERE rn = 1),
+        |ls AS (SELECT cluster, source AS source_latest FROM (
+        |  SELECT cluster, source,
+        |         row_number() OVER (PARTITION BY cluster ORDER BY ts DESC, source DESC) AS rn
+        |  FROM d WHERE source IS NOT NULL AND ts IS NOT NULL) WHERE rn = 1)
+        |SELECT base.cluster, base.n_members, ms.source, lf.frag_long,
+        |       ls.source_latest, base.nc_min, base.nc_max
+        |FROM base
+        |LEFT JOIN ms USING (cluster) LEFT JOIN lf USING (cluster)
+        |LEFT JOIN ls USING (cluster)
+        |ORDER BY cluster""".stripMargin
+    },
+    "q_er_fs_levels" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 30) AS frag, n_chars,
+        |         concat_ws('|', lang, CAST(floor(n_chars / 50) AS BIGINT)) AS key
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.frag AS fa, b.frag AS fb,
+        |             a.n_chars AS na, b.n_chars AS nb
+        |      FROM d a JOIN d b ON a.key = b.key AND a.doc_id < b.doc_id),
+        |g AS (
+        |  SELECT id_a, id_b,
+        |    CASE WHEN fa IS NULL OR fb IS NULL THEN -1
+        |         WHEN fa = fb THEN 2
+        |         WHEN substr(fa, 1, 8) = substr(fb, 1, 8) THEN 1
+        |         ELSE 0 END AS gamma_frag,
+        |    CASE WHEN fa IS NULL OR fb IS NULL THEN 0.0
+        |         WHEN fa = fb THEN ln(0.6 / 0.001)
+        |         WHEN substr(fa, 1, 8) = substr(fb, 1, 8) THEN ln(0.3 / 0.01)
+        |         ELSE ln(0.1 / 0.989) END AS w_frag,
+        |    CASE WHEN na IS NULL OR nb IS NULL THEN -1
+        |         WHEN abs(na - nb) <= 2 THEN 1 ELSE 0 END AS gamma_n_chars,
+        |    CASE WHEN na IS NULL OR nb IS NULL THEN 0.0
+        |         WHEN abs(na - nb) <= 2 THEN ln(0.8 / 0.05)
+        |         ELSE ln(0.2 / 0.95) END AS w_n_chars
+        |  FROM p)
+        |SELECT id_a, id_b, gamma_frag, round(w_frag, 6) AS w_frag,
+        |       gamma_n_chars, round(w_n_chars, 6) AS w_n_chars,
+        |       round(w_frag + w_n_chars, 6) AS match_weight,
+        |       round(1.0 / (1.0 + exp(-(ln(0.3 / 0.7) + (w_frag + w_n_chars)))), 6) AS match_p
+        |FROM g ORDER BY id_a, id_b""".stripMargin,
     "q_er_fs_score" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source, CAST(floor(n_chars / 20) AS BIGINT) AS band,

@@ -93,4 +93,60 @@ object ClusterEval {
       )
     out
   }
+
+  /** Adjusted Rand Index (Hubert & Arabie 1985) — the chance-corrected pair
+    * agreement score, the third standard clustering metric next to B³ and
+    * V-measure: ARI = (Index − E[Index]) / (MaxIndex − E[Index]) with
+    * Index = Σ_cells C(n_cg,2), E[Index] = Σ_c C(n_c,2)·Σ_g C(n_g,2) /
+    * C(n,2), MaxIndex = (Σ_c C(n_c,2) + Σ_g C(n_g,2)) / 2. Random labelings
+    * score ~0, perfect agreement 1; can go negative (worse than chance).
+    *
+    * Same scale shape as [[metricsDf]]: one contingency-cell aggregation,
+    * two marginals, a 1-row result — the combinatorial sums are exact
+    * integer arithmetic until the two final divisions. Degenerate
+    * denominator (both partitions trivial — all singletons or one block on
+    * each side) means Index == E[Index] == MaxIndex; the published
+    * convention (sklearn) scores that 1.0.
+    *
+    * Output: one row (n_docs, ari), ari rounded to 6.
+    */
+  def ariDf(pred: DataFrame, gold: DataFrame): DataFrame = {
+    val cell = pred
+      .join(gold, "url")
+      .groupBy("cluster_id", "gold_id")
+      .agg(count(lit(1)).as("n_cg"))
+    val idx = cell.agg(
+      sum(col("n_cg") * (col("n_cg") - 1) / 2).cast("long").as("index"),
+      sum(col("n_cg")).cast("long").as("n")
+    )
+    val aS = cell
+      .groupBy("cluster_id")
+      .agg(sum("n_cg").as("n_c"))
+      .agg(sum(col("n_c") * (col("n_c") - 1) / 2).cast("long").as("a"))
+    val bS = cell
+      .groupBy("gold_id")
+      .agg(sum("n_cg").as("n_g"))
+      .agg(sum(col("n_g") * (col("n_g") - 1) / 2).cast("long").as("b"))
+    idx
+      .crossJoin(broadcast(aS))
+      .crossJoin(broadcast(bS))
+      .select(
+        col("n").as("n_docs"),
+        (col("n") * (col("n") - 1) / 2).cast("long").as("np"),
+        col("index").cast("double").as("i"),
+        col("a").cast("double").as("a"),
+        col("b").cast("double").as("b")
+      )
+      .select(
+        col("n_docs"),
+        round(
+          when(col("np") === 0L, lit(1.0)).otherwise {
+            val exp = col("a") * col("b") / col("np").cast("double")
+            val den = (col("a") + col("b")) / 2.0 - exp
+            when(den === 0.0, lit(1.0)).otherwise((col("i") - exp) / den)
+          },
+          6
+        ).as("ari")
+      )
+  }
 }

@@ -122,6 +122,80 @@ object FellegiSunter {
       .drop(fields.filter(_ => tfAdjust).map(f => s"_u_${f.field}"): _*)
   }
 
+  /** One comparison level à la Splink: `cond` decides whether a pair sits
+    * at this level (evaluated on the two field columns), `m`/`u` are the
+    * level's P(level | match) / P(level | non-match). Levels are ordered
+    * most-specific-first; the FIRST matching level wins.
+    */
+  final case class Level(name: String, cond: (Column, Column) => Column, m: Double, u: Double) {
+    require(m > 0.0 && m < 1.0 && u > 0.0 && u < 1.0, s"m/u must be in (0,1) for level $name")
+  }
+
+  /** The mandatory catch-all last level (Splink's "else" / anything-else
+    * level) — absorbs every pair no earlier level claimed.
+    */
+  def elseLevel(m: Double, u: Double): Level = Level("else", (_, _) => lit(true), m, u)
+
+  /** A multi-level comparison over one field: e.g. exact match >
+    * jaro_winkler ≥ 0.9 > else. The last level must be [[elseLevel]]-like
+    * (we force it: its condition is ignored and treated as always-true).
+    */
+  final case class Comparison(field: String, levels: Seq[Level]) {
+    require(levels.size >= 2, s"comparison on $field needs ≥2 levels (incl. the else level)")
+  }
+
+  /** Score pairs under multi-level comparisons (Splink's comparison-level
+    * model, the practical generalization of binary agreement): per
+    * comparison, `gamma_<field>` = the matched level's index counted from
+    * the LAST level (else = 0, most specific = L−1, null on either side =
+    * −1 — the null level, zero evidence), and `w_<field>` = ln(m_l / u_l)
+    * of the matched level. `match_weight` / `match_p` as in [[scorePairs]].
+    *
+    * Scale shape: two keyed id joins fetch the fields; everything else is a
+    * row-local CASE chain (whole-stage codegen'd, conditions may call the
+    * similarity kernels). No aggregations, no collects: level m/u are
+    * caller-supplied (pre-trained, as Splink persists them) — pair volume
+    * is whatever the blocking stage bounded it to.
+    */
+  def scoreLevels(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      comparisons: Seq[Comparison],
+      prior: Double = 0.5
+  ): DataFrame = {
+    require(prior > 0.0 && prior < 1.0, s"prior must be in (0,1), got $prior")
+    require(comparisons.nonEmpty, "at least one comparison required")
+    val fieldCols = comparisons.map(_.field).distinct
+    val a = docs.select((col(idCol).as("id_a") +: fieldCols.map(f => col(f).as(s"${f}_a"))): _*)
+    val b = docs.select((col(idCol).as("id_b") +: fieldCols.map(f => col(f).as(s"${f}_b"))): _*)
+    var out = pairs.join(a, "id_a").join(b, "id_b")
+    comparisons.foreach { cmp =>
+      val f = cmp.field
+      val fa = col(s"${f}_a")
+      val fb = col(s"${f}_b")
+      val nLev = cmp.levels.size
+      // first-match-wins CASE chain; the last level is the forced catch-all
+      val start: (Column, Column) = (
+        when(fa.isNull || fb.isNull, lit(-1)),
+        when(fa.isNull || fb.isNull, lit(0.0))
+      )
+      val (gamma, w) = cmp.levels.zipWithIndex.foldLeft(start) {
+        case ((g, wc), (lev, i)) =>
+          val hit = if (i == nLev - 1) lit(true) else lev.cond(fa, fb)
+          (g.when(hit, lit(nLev - 1 - i)), wc.when(hit, lit(math.log(lev.m / lev.u))))
+      }
+      out = out.withColumn(s"gamma_$f", gamma).withColumn(s"w_$f", w)
+    }
+    val mw = comparisons.map(c => col(s"w_${c.field}")).reduce(_ + _)
+    out
+      .withColumn("match_weight", mw)
+      .withColumn(
+        "match_p",
+        lit(1.0) / (lit(1.0) + exp(-(lit(math.log(prior / (1.0 - prior))) + col("match_weight"))))
+      )
+  }
+
   /** EM estimation of (λ, m_f, u_f) from the binary agreement patterns of a
     * candidate-pair frame. Nulls count as disagreement here (the 2-state
     * EM; fields where that misfits should be scored with weight-0 nulls at

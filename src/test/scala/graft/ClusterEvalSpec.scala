@@ -53,4 +53,32 @@ class ClusterEvalSpec extends SparkSpec {
     val (n, p, r, _, _, _, _) = metrics(pred, gold)
     assert(n === 2L && p === 1.0 && r === 1.0)
   }
+
+  private def ari(pred: Seq[(String, String)], gold: Seq[(String, String)]): Double =
+    ClusterEval
+      .ariDf(pred.toDF("url", "cluster_id"), gold.toDF("url", "gold_id"))
+      .as[(Long, Double)]
+      .collect()(0)
+      ._2
+
+  test("ARI: hand-computed contingency (index 2, a=b=4, 10 pairs) = 1/6") {
+    val pred = Seq("1" -> "c1", "2" -> "c1", "3" -> "c1", "4" -> "c2", "5" -> "c2")
+    val gold = Seq("1" -> "g1", "2" -> "g1", "3" -> "g2", "4" -> "g2", "5" -> "g2")
+    assert(math.abs(ari(pred, gold) - (2.0 - 1.6) / 2.4) < 1e-6)
+  }
+
+  test("ARI: perfect agreement 1.0; anti-correlated split goes negative") {
+    val pred = Seq("1" -> "a", "2" -> "a", "3" -> "b", "4" -> "b")
+    assert(ari(pred, Seq("1" -> "X", "2" -> "X", "3" -> "Y", "4" -> "Y")) === 1.0)
+    // pred pairs {1,2},{3,4}; gold pairs {1,3},{2,4}: worse than chance
+    assert(ari(pred, Seq("1" -> "X", "2" -> "Y", "3" -> "X", "4" -> "Y")) === -0.5)
+  }
+
+  test("ARI: degenerate partitions (all singletons both sides) score 1.0 by convention") {
+    val pred = Seq("1" -> "a", "2" -> "b", "3" -> "c")
+    val gold = Seq("1" -> "x", "2" -> "y", "3" -> "z")
+    assert(ari(pred, gold) === 1.0)
+    // single doc: zero pairs, same convention
+    assert(ari(Seq("1" -> "a"), Seq("1" -> "x")) === 1.0)
+  }
 }

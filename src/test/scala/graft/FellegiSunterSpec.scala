@@ -83,6 +83,65 @@ class FellegiSunterSpec extends SparkSpec {
     )
   }
 
+  test("scoreLevels: first-match-wins gamma ladder, null level, closed-form weights") {
+    import graft.operators.FellegiSunter.{Comparison, Level}
+    val d = Seq(
+      (1L, "robert", "A"),
+      (2L, "robert", "A"),
+      (3L, "roberto", "A"),
+      (4L, "zzzz", "B"),
+      (5L, null, "B")
+    ).toDF("id", "name", "city")
+    val nameCmp = Comparison(
+      "name",
+      Seq(
+        Level("exact", (a, b) => a === b, m = 0.7, u = 0.001),
+        Level("prefix4", (a, b) => substring(a, 1, 4) === substring(b, 1, 4), m = 0.2, u = 0.01),
+        FellegiSunter.elseLevel(m = 0.1, u = 0.989)
+      )
+    )
+    val cityCmp = Comparison(
+      "city",
+      Seq(Level("exact", (a, b) => a === b, m = 0.9, u = 0.5), FellegiSunter.elseLevel(0.1, 0.5))
+    )
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("id_a", "id_b")
+    val got = FellegiSunter
+      .scoreLevels(pairs, d, "id", Seq(nameCmp, cityCmp), prior = 0.5)
+      .select($"id_a", $"id_b", $"gamma_name", $"w_name", $"gamma_city", $"w_city", $"match_p")
+      .as[(Long, Long, Int, Double, Int, Double, Double)]
+      .collect()
+      .map(r => (r._1, r._2) -> r)
+      .toMap
+    // (1,2): exact name -> gamma 2 (counted from else=0), w = ln(0.7/0.001)
+    val (_, _, g12, w12, gc12, wc12, p12) = got(1L -> 2L)
+    assert(g12 === 2 && math.abs(w12 - math.log(0.7 / 0.001)) < 1e-12)
+    assert(gc12 === 1 && math.abs(wc12 - math.log(0.9 / 0.5)) < 1e-12)
+    assert(math.abs(p12 - 1.0 / (1.0 + math.exp(-(w12 + wc12)))) < 1e-12)
+    // (1,3): not exact, shares the 4-char prefix -> middle level
+    assert(got(1L -> 3L)._3 === 1 && math.abs(got(1L -> 3L)._4 - math.log(0.2 / 0.01)) < 1e-12)
+    // (1,4): else level on name AND city
+    assert(got(1L -> 4L)._3 === 0 && math.abs(got(1L -> 4L)._4 - math.log(0.1 / 0.989)) < 1e-12)
+    assert(got(1L -> 4L)._5 === 0)
+    // (1,5): null name -> null level: gamma -1, zero evidence; city still scores
+    assert(got(1L -> 5L)._3 === -1 && got(1L -> 5L)._4 === 0.0)
+    assert(got(1L -> 5L)._5 === 0)
+  }
+
+  test("scoreLevels rejects degenerate configs") {
+    import graft.operators.FellegiSunter.{Comparison, Level}
+    intercept[IllegalArgumentException](Level("x", (a, b) => a === b, m = 1.0, u = 0.5))
+    intercept[IllegalArgumentException](Comparison("f", Seq(FellegiSunter.elseLevel(0.5, 0.5))))
+    intercept[IllegalArgumentException](
+      FellegiSunter.scoreLevels(
+        Seq((1L, 2L)).toDF("id_a", "id_b"),
+        docs,
+        "id",
+        Seq(Comparison("city", Seq(Level("e", (a, b) => a === b, 0.9, 0.5), FellegiSunter.elseLevel(0.1, 0.5)))),
+        prior = 1.0
+      )
+    )
+  }
+
   test("emEstimate recovers planted match structure from agreement patterns") {
     // 40 matched pairs agree on both fields (pair-unique values); 60
     // unmatched pairs disagree on both. EM must find lambda ~ 0.4 and
