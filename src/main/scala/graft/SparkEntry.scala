@@ -941,6 +941,30 @@ object SparkEntry {
         )
         .orderBy("id_a")
     }),
+    "q_er_dl_score" -> ((s, dir) => {
+      // TRUE Damerau-Levenshtein (codegen kernel) on consecutive-id pairs,
+      // next to plain levenshtein, plus a planted adjacent-swap column
+      // (first two chars of frag_a transposed) where DL pays 1 and
+      // levenshtein pays 2. Oracle = DuckDB's damerau_levenshtein builtin
+      // (probed true-DL, not OSA: CA->ABC = 2).
+      val d = t(s, dir, "documents").select(col("doc_id"), substring(col("text"), 1, 40).as("frag"))
+      val a = d.select(col("doc_id").as("id_a"), col("frag").as("frag_a"))
+      val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("frag").as("frag_b"))
+      val swap = concat(
+        substring(col("frag_a"), 2, 1),
+        substring(col("frag_a"), 1, 1),
+        substring(col("frag_a"), 3, 38)
+      )
+      a.join(b, "id_a")
+        .select(
+          col("id_a"),
+          col("id_b"),
+          SF.damerau_levenshtein(col("frag_a"), col("frag_b")).cast("long").as("dl"),
+          levenshtein(col("frag_a"), col("frag_b")).cast("long").as("lev"),
+          SF.damerau_levenshtein(col("frag_a"), swap).cast("long").as("dl_swap")
+        )
+        .orderBy("id_a")
+    }),
     "q_er_jw_score" -> ((s, dir) => {
       // custom Catalyst expression — exactness covered by ScalaTest; rows-only here
       val d = t(s, dir, "documents").select(col("doc_id"), substring(col("text"), 1, 30).as("frag"))
@@ -1658,6 +1682,21 @@ object SparkEntry {
         .importanceWeightsBigram(docs, docs.where(col("source").isin("src0", "src1")), buckets = 4096)
         .select(col("doc_id"), col("n_tok"), round(col("logw"), 6).as("logw"))
         .orderBy("doc_id")
+    }),
+    "q_cur_kl_drift" -> ((s, dir) => {
+      // distribution-drift monitor: KL(target‖raw) / KL(raw‖target) /
+      // total-variation between the src0/src1 slice and the full corpus
+      // over the same hashed-unigram space as DSIR (buckets=4096),
+      // exact over ALL buckets via the closed-form never-seen remainder.
+      // The oracle rebuilds both models from the FNV fold and replays the
+      // smoothed sums + remainder verbatim.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      graft.operators.DataSelection.klDrift(
+        docs,
+        docs.where(col("source").isin("src0", "src1")),
+        split(col("text"), " "),
+        buckets = 4096
+      )
     }),
     "q_cur_pack" -> ((s, dir) => {
       // GPT-style concat-and-chop sequence packing: deterministic
@@ -2801,6 +2840,14 @@ object SparkEntry {
         | round(1.0 - levenshtein(substr(a.text,1,60), substr(b.text,1,60))::DOUBLE /
         |   greatest(length(substr(a.text,1,60)), length(substr(b.text,1,60))), 6) AS lev_ratio
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""".stripMargin,
+    "q_er_dl_score" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS frag FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(damerau_levenshtein(a.frag, b.frag) AS BIGINT) AS dl,
+        |  CAST(levenshtein(a.frag, b.frag) AS BIGINT) AS lev,
+        |  CAST(damerau_levenshtein(a.frag,
+        |    substr(a.frag, 2, 1) || substr(a.frag, 1, 1) || substr(a.frag, 3)) AS BIGINT) AS dl_swap
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""".stripMargin,
     "q_er_cc" ->
       """WITH RECURSIVE nodes AS (
         |  SELECT lpad(CAST(doc_id AS VARCHAR), 6, '0') AS id, lang, n_chars FROM documents),
@@ -3098,6 +3145,30 @@ object SparkEntry {
            |  FROM w JOIN g ON g.doc_id = w.doc_id)
            |SELECT doc_id, round(logw, 6) AS logw, round(gumbel_key, 6) AS gumbel_key
            |FROM k WHERE rk <= 50 ORDER BY doc_id""".stripMargin),
+    "q_cur_kl_drift" ->
+      (dsirCte +
+        """, obs AS (
+          |  SELECT (coalesce(mt.c, 0) + 1.0) / (tt.total + 4096.0) AS pt,
+          |         (coalesce(mr.c, 0) + 1.0) / (tr.total + 4096.0) AS pr
+          |  FROM mt FULL OUTER JOIN mr ON mr.b = mt.b, tt, tr),
+          |ag AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS observed,
+          |         coalesce(sum(pt * ln(pt / pr)), 0.0) AS kltr,
+          |         coalesce(sum(pr * ln(pr / pt)), 0.0) AS klrt,
+          |         coalesce(sum(abs(pt - pr)), 0.0) AS l1
+          |  FROM obs)
+          |SELECT CAST(4096 AS BIGINT) AS n_buckets, observed,
+          |  round(kltr + (4096.0 - observed)
+          |    * ((1.0 / (tt.total + 4096.0))
+          |       * ln((1.0 / (tt.total + 4096.0)) / (1.0 / (tr.total + 4096.0)))), 6)
+          |    AS kl_target_raw,
+          |  round(klrt + (4096.0 - observed)
+          |    * ((1.0 / (tr.total + 4096.0))
+          |       * ln((1.0 / (tr.total + 4096.0)) / (1.0 / (tt.total + 4096.0)))), 6)
+          |    AS kl_raw_target,
+          |  round((l1 + (4096.0 - observed)
+          |    * abs(1.0 / (tt.total + 4096.0) - 1.0 / (tr.total + 4096.0))) / 2.0, 6) AS tv
+          |FROM ag, tt, tr""".stripMargin),
     "q_cur_dsir_bigram" ->
       """WITH tks AS (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents),
         |tok AS (

@@ -129,6 +129,69 @@ object DataSelection {
   /** Deterministic hard top-k by weight (the paper's no-noise ablation —
     * biased toward the mode of the target; prefer [[gumbelTopK]]).
     */
+  /** Distribution-drift metrics between two corpus slices over the same
+    * hashed n-gram feature space — the monitoring complement to DSIR: KL
+    * divergence of the add-one-smoothed bucket distributions in BOTH
+    * directions plus total-variation distance. The standard data-mixing /
+    * drift dashboard numbers (is this crawl snapshot / domain slice still
+    * distributed like the reference corpus?).
+    *
+    * Exact over ALL `buckets` cells, not just observed ones: the two model
+    * builds are the bounded aggregations of [[TextAnalysis.ngramModel]]
+    * (≤ `buckets` rows each), observed cells full-outer-join once, and the
+    * (buckets − observed) never-seen cells contribute a CLOSED-FORM
+    * remainder (their smoothed probabilities are the same constant in every
+    * cell), so nothing corpus-sized moves and the result is independent of
+    * which cells happen to be empty.
+    *
+    * Output: one row (n_buckets, observed, kl_target_raw, kl_raw_target,
+    * tv), floats rounded to 6. KL(t‖r) = Σ p_t ln(p_t/p_r); tv = ½ Σ
+    * |p_t − p_r|.
+    */
+  def klDrift(
+      raw: DataFrame,
+      target: DataFrame,
+      tokens: Column,
+      buckets: Int = 1 << 18
+  ): DataFrame = {
+    val (mt, tt) = TextAnalysis.ngramModel(target, tokens, buckets)
+    val (mr, tr) = TextAnalysis.ngramModel(raw, tokens, buckets)
+    val denT = tt.toDouble + buckets
+    val denR = tr.toDouble + buckets
+    val joined = mt
+      .select(col("t"), col("c").as("ct"))
+      .join(mr.select(col("t"), col("c").as("cr")), Seq("t"), "full_outer")
+      .select(
+        ((coalesce(col("ct"), lit(0L)) + 1.0) / denT).as("pt"),
+        ((coalesce(col("cr"), lit(0L)) + 1.0) / denR).as("pr")
+      )
+    val p0t = 1.0 / denT
+    val p0r = 1.0 / denR
+    joined
+      .agg(
+        count(lit(1)).as("observed"),
+        coalesce(sum(col("pt") * log(col("pt") / col("pr"))), lit(0.0)).as("kl_tr_obs"),
+        coalesce(sum(col("pr") * log(col("pr") / col("pt"))), lit(0.0)).as("kl_rt_obs"),
+        coalesce(sum(abs(col("pt") - col("pr"))), lit(0.0)).as("l1_obs")
+      )
+      .select(
+        lit(buckets.toLong).as("n_buckets"),
+        col("observed"),
+        round(
+          col("kl_tr_obs") + (lit(buckets.toDouble) - col("observed")) * (p0t * math.log(p0t / p0r)),
+          6
+        ).as("kl_target_raw"),
+        round(
+          col("kl_rt_obs") + (lit(buckets.toDouble) - col("observed")) * (p0r * math.log(p0r / p0t)),
+          6
+        ).as("kl_raw_target"),
+        round(
+          (col("l1_obs") + (lit(buckets.toDouble) - col("observed")) * math.abs(p0t - p0r)) / 2.0,
+          6
+        ).as("tv")
+      )
+  }
+
   def topK(weightedDocs: DataFrame, idCol: String, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     weightedDocs.orderBy(col("logw").desc, col(idCol).asc).limit(k)

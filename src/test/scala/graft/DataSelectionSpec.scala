@@ -122,4 +122,49 @@ class DataSelectionSpec extends SparkSpec {
     intercept[IllegalArgumentException](DataSelection.gumbelTopK(w, "doc_id", 0))
     intercept[IllegalArgumentException](DataSelection.topK(w, "doc_id", 0))
   }
+
+  test("klDrift: zero on identical slices, positive + asymmetric on drifted ones") {
+    val a = Seq((1L, "cat dog cat"), (2L, "dog fish dog")).toDF("doc_id", "text")
+    val b = Seq((3L, "zebra yak zebra yak zebra")).toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val same = DataSelection
+      .klDrift(a, a, toks, buckets = 256)
+      .as[(Long, Long, Double, Double, Double)]
+      .collect()(0)
+    assert(same._1 === 256L)
+    assert(same._3 === 0.0 && same._4 === 0.0 && same._5 === 0.0)
+    val drift = DataSelection
+      .klDrift(a, b, toks, buckets = 256)
+      .as[(Long, Long, Double, Double, Double)]
+      .collect()(0)
+    assert(drift._3 > 0.0 && drift._4 > 0.0, s"drifted KL must be positive: $drift")
+    assert(drift._5 > 0.0 && drift._5 <= 1.0, s"tv in (0,1]: $drift")
+  }
+
+  test("klDrift equals a driver-side recomputation over the model frames (all buckets)") {
+    val rawD = Seq((1L, "a b c a"), (2L, "b d"), (3L, "e f g")).toDF("doc_id", "text")
+    val tgtD = Seq((4L, "a b a b"), (5L, "c")).toDF("doc_id", "text")
+    val toks = split(col("text"), " ")
+    val buckets = 64
+    val (mt, tt) = graft.operators.TextAnalysis.ngramModel(tgtD, toks, buckets)
+    val (mr, tr) = graft.operators.TextAnalysis.ngramModel(rawD, toks, buckets)
+    val ct = mt.as[(Long, Long)].collect().toMap
+    val cr = mr.as[(Long, Long)].collect().toMap
+    val denT = tt.toDouble + buckets
+    val denR = tr.toDouble + buckets
+    var kl = 0.0; var klr = 0.0; var l1 = 0.0
+    (0L until buckets.toLong).foreach { bkt =>
+      val pt = (ct.getOrElse(bkt, 0L) + 1.0) / denT
+      val pr = (cr.getOrElse(bkt, 0L) + 1.0) / denR
+      kl += pt * math.log(pt / pr); klr += pr * math.log(pr / pt); l1 += math.abs(pt - pr)
+    }
+    val got = DataSelection
+      .klDrift(rawD, tgtD, toks, buckets)
+      .as[(Long, Long, Double, Double, Double)]
+      .collect()(0)
+    assert(got._2 === (ct.keySet ++ cr.keySet).size.toLong)
+    assert(math.abs(got._3 - kl) < 1e-6, s"kl ${got._3} vs $kl") // operator rounds to 6
+    assert(math.abs(got._4 - klr) < 1e-6)
+    assert(math.abs(got._5 - l1 / 2.0) < 1e-6)
+  }
 }

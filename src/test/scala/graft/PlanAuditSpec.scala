@@ -72,7 +72,10 @@ class PlanAuditSpec extends SparkSpec {
         "q_corpus_build",
         "q_er_ccpivot",
         "q_er_pr_curve",
-        "q_er_active"
+        "q_er_active",
+        "q_er_survivorship",
+        "q_er_fs_levels",
+        "q_er_dl_score"
       )
     ) {
       val q = graft.SparkEntry.queries(name)(spark, sf)
@@ -98,7 +101,9 @@ class PlanAuditSpec extends SparkSpec {
         "q_er_fs_score",
         "q_er_fs_pipeline",
         "q_er_cluster_eval",
-        "q_cur_dsir_sample"
+        "q_er_cluster_ari",
+        "q_cur_dsir_sample",
+        "q_cur_kl_drift"
       )
     ) {
       val q = graft.SparkEntry.queries(name)(spark, sf)

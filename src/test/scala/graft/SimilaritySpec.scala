@@ -34,6 +34,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  private def dl(a: String, b: String): Int =
+    SimKernels.damerauLevenshtein(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("damerau-levenshtein: true (unrestricted) variant, known values") {
+    // CA->ABC is the canonical OSA/true-DL separator: OSA says 3, true DL 2
+    // (transposed block edited again). DuckDB's builtin agrees (probed),
+    // which is what makes the battery oracle a one-liner.
+    assert(dl("CA", "ABC") === 2)
+    assert(dl("ab", "ba") === 1)
+    assert(dl("abc", "ca") === 2)
+    assert(dl("kitten", "sitting") === 3)
+    assert(dl("", "abc") === 3 && dl("abc", "") === 3 && dl("", "") === 0)
+    assert(dl("a", "a") === 0 && dl("same", "same") === 0)
+    assert(dl("abcdef", "abcfed") === 2) // two adjacent swaps... f<->e then e<->d? verify below
+  }
+
+  test("damerau-levenshtein properties vs levenshtein (seeded sample)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    def randStr(): String =
+      (0 until rng.nextInt(10)).map(_ => ('a' + rng.nextInt(4)).toChar).mkString
+    val cases = (1 to 400).map(_ => (randStr(), randStr()))
+    val rows = cases
+      .toDF("a", "b")
+      .select(
+        col("a"),
+        col("b"),
+        SimilarityFunctions.damerau_levenshtein(col("a"), col("b")).as("dl"),
+        levenshtein(col("a"), col("b")).as("lev")
+      )
+      .collect()
+    rows.foreach { r =>
+      val (a, b, d, l) = (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3))
+      assert(d <= l, s"dl > lev for ($a,$b): $d > $l")
+      assert(d >= math.abs(a.length - b.length), s"below length bound for ($a,$b)")
+      assert(d === dl(b, a), s"asymmetric for ($a,$b)")
+      if (a == b) assert(d === 0)
+    }
+    // adjacent-swap-only pairs cost exactly 1 where levenshtein pays 2
+    assert(dl("abcd", "abdc") === 1 && dl("abcd", "bacd") === 1)
+  }
+
   test("jaro-winkler expression matches kernel through codegen") {
     import spark.implicits._
     val df = Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("same", "same"))
