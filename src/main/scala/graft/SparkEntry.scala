@@ -941,6 +941,18 @@ object SparkEntry {
         )
         .orderBy("id_a")
     }),
+    "q_er_suffix_block" -> ((s, dir) => {
+      // suffix blocking (Aizawa-Oyama): every >=6-char suffix of the
+      // leading token, longest-first, capped at 4 per doc. Row-local key
+      // emission; the oracle replays tokenization, the start range, and
+      // the cap via unnest(list_transform(range(...))).
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("url"), col("text"))
+      graft.operators
+        .SuffixBlocking(minSuffixLen = 6, maxSuffixes = 4)
+        .keys(pages)
+        .orderBy("url", "key")
+    }),
     "q_er_dl_score" -> ((s, dir) => {
       // TRUE Damerau-Levenshtein (codegen kernel) on consecutive-id pairs,
       // next to plain levenshtein, plus a planted adjacent-swap column
@@ -2840,6 +2852,18 @@ object SparkEntry {
         | round(1.0 - levenshtein(substr(a.text,1,60), substr(b.text,1,60))::DOUBLE /
         |   greatest(length(substr(a.text,1,60)), length(substr(b.text,1,60))), 6) AS lev_ratio
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1 ORDER BY id_a""".stripMargin,
+    "q_er_suffix_block" ->
+      """WITH tok AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS url,
+        |         coalesce(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |                              x -> length(x) > 0)[1], '') AS t0
+        |  FROM documents),
+        |s AS (
+        |  SELECT url,
+        |    unnest(list_transform(range(1, least(length(t0) - 5, 4) + 1),
+        |                          i -> 'x:' || substr(t0, i, length(t0)))) AS key
+        |  FROM tok WHERE length(t0) >= 6)
+        |SELECT url, key FROM s ORDER BY url, key""".stripMargin,
     "q_er_dl_score" ->
       """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS frag FROM documents)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -70,7 +70,8 @@ object Main {
     "canonical_url" -> CanonicalUrlBlocking,
     "domain" -> DomainBlocking,
     "minhash" -> MinHashBlocking(),
-    "soundex" -> PhoneticBlocking()
+    "soundex" -> PhoneticBlocking(),
+    "suffix" -> SuffixBlocking()
   )
 
   /** Mention-column resolution, mirroring the reference's precedence

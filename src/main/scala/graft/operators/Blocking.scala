@@ -116,6 +116,45 @@ final case class PhoneticBlocking(nTokens: Int = 2) extends BlockingStrategy {
   }
 }
 
+/** Suffix blocking (Aizawa & Oyama 2005, the suffix-array method of the ER
+  * blocking surveys): every suffix of the leading text token with length ≥
+  * `minSuffixLen` becomes a key, so prefix typos and prefixed variants
+  * ("jonathan" / "nathan", "smith" / "goldsmith") share blocks that exact
+  * or phonetic keys miss. Row-local key emission (≤ len − minSuffixLen + 1
+  * keys per doc, bounded by `maxSuffixes` against pathological tokens);
+  * common short suffixes form head blocks by design and are backstopped by
+  * `Blocker.saltOversized` like every strategy.
+  */
+final case class SuffixBlocking(minSuffixLen: Int = 4, maxSuffixes: Int = 16)
+    extends BlockingStrategy {
+  require(minSuffixLen > 0, s"minSuffixLen must be positive, got $minSuffixLen")
+  require(maxSuffixes > 0, s"maxSuffixes must be positive, got $maxSuffixes")
+  val name = s"suffix_$minSuffixLen"
+  def keys(pages: DataFrame): DataFrame = {
+    val tok = coalesce(try_element_at(Normalize.tokensOf(col("text")), lit(1)), lit(""))
+    // bind the token once (interpreted-HOF rule), then emit its suffixes:
+    // starts 1..len-minSuffixLen+1, LONGEST suffixes first so the cap keeps
+    // the most specific keys
+    val sufs = element_at(
+      transform(
+        array(tok),
+        t =>
+          when(length(t) < minSuffixLen, array().cast("array<string>"))
+            .otherwise(
+              transform(
+                sequence(lit(1), least(length(t) - lit(minSuffixLen) + 1, lit(maxSuffixes))),
+                i => t.substr(i, length(t))
+              )
+            )
+      ),
+      1
+    )
+    pages
+      .select(col("url"), explode(sufs).as("suf"))
+      .select(col("url"), concat(lit("x:"), col("suf")).as("key"))
+  }
+}
+
 /** Per-block stats recorded in the run manifest (dropped-work accounting —
   * the reference logs truncation implicitly via candidate caps, W3).
   */

@@ -40,6 +40,64 @@ object Dedup {
   def exactText(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
     exact(docs, idCol, sha2(regexp_replace(trim(col("text")), "\\s+", " "), 256))
 
+  /** Output of [[minHashPlan]]: `rows` hash rows per band, `bands` bands,
+    * `numHashes` = rows·bands total signature slots, `expectedRecall` at
+    * the planned threshold and `fpAtHalf` = the candidate probability for
+    * a pair at HALF the threshold (the false-positive proxy).
+    */
+  final case class MinHashPlan(
+      rows: Int,
+      bands: Int,
+      numHashes: Int,
+      expectedRecall: Double,
+      fpAtHalf: Double
+  )
+
+  /** S-curve planner for MinHash-LSH banding (Leskovec–Rajaraman–Ullman,
+    * MMDS ch. 3): a pair with Jaccard s shares at least one of b bands of
+    * r rows with probability 1 − (1 − s^r)^b. Picks the DEEPEST rows-per-
+    * band r whose band count (solved for the recall target at `threshold`)
+    * still fits the `maxHashes` signature budget — for the same guaranteed
+    * recall, deeper bands push the S-curve right and the sub-threshold
+    * false-positive candidate mass falls like s^r. If even r = 1 cannot
+    * reach the target inside the budget the plan degrades to
+    * (1, maxHashes) and notes the delivered recall on stderr, mirroring
+    * [[SimilaritySearch.lshPlan]]. Deterministic, driver-side arithmetic
+    * only. Feed the result to [[minHashPairs]] as (numHashes, bands).
+    */
+  def minHashPlan(
+      threshold: Double = 0.8,
+      recall: Double = 0.95,
+      maxHashes: Int = 128
+  ): MinHashPlan = {
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    require(recall > 0 && recall < 1, "recall in (0,1)")
+    require(maxHashes >= 1, "maxHashes >= 1")
+    def bandsFor(r: Int): Long = {
+      val pBand = math.pow(threshold, r.toDouble)
+      // pBand underflows to 0 for deep r at tiny thresholds: no band count
+      // reaches the target — saturate instead of overflowing the ceil
+      if (pBand <= 0.0) Long.MaxValue
+      else {
+        val b = math.ceil(math.log1p(-recall) / math.log1p(-pBand))
+        if (b.isNaN || b >= Long.MaxValue.toDouble) Long.MaxValue else math.max(1L, b.toLong)
+      }
+    }
+    // b <= maxHashes/r (floor) <=> r*b <= maxHashes, without overflow
+    val feasible = (1 to 64).filter(r => bandsFor(r) <= (maxHashes / r).toLong)
+    val (r, b) =
+      if (feasible.nonEmpty) { val rr = feasible.max; (rr, bandsFor(rr).toInt) }
+      else (1, maxHashes)
+    def curve(s: Double): Double = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+    val expected = curve(threshold)
+    if (expected < recall)
+      System.err.println(
+        f"[graft] minHashPlan clamp: (rows=$r, bands=$b) delivers expected recall $expected%.3f" +
+          f" below the requested $recall%.2f — raise maxHashes or accept the lower recall"
+      )
+    MinHashPlan(r, b, r * b, expected, curve(threshold / 2.0))
+  }
+
   /** MinHash-LSH near-dup candidate pairs (idA < idB), via banded fused
     * shingle-minhash keys + the skew-guarded pair join.
     */

@@ -553,4 +553,25 @@ class OperatorsSpec extends SparkSpec {
     assert(f(9L) > f(10L), s"prose ${f(9L)} must outscore gibberish ${f(10L)}")
     assert(math.abs(f(10L) - math.log(1.0 / denom)) < 1e-12, "unseen words take the default logprob")
   }
+
+  test("minHashPlan: closed-form S-curve banding, deepest feasible rows, clamp path") {
+    // t=0.8, recall 0.95, budget 128: r=7 needs ceil(ln.05/ln(1-0.8^7))=13
+    // bands (91 slots); r=8 would need 17 bands (136 > 128). Hand-checked.
+    val p = graft.operators.Dedup.minHashPlan(0.8, 0.95, 128)
+    assert(p.rows === 7 && p.bands === 13 && p.numHashes === 91)
+    assert(p.expectedRecall >= 0.95 && p.expectedRecall < 1.0)
+    assert(math.abs(p.expectedRecall - (1.0 - math.pow(1.0 - math.pow(0.8, 7), 13))) < 1e-12)
+    // the whole point of deep bands: sub-threshold pairs almost never collide
+    assert(p.fpAtHalf < 0.05, s"fpAtHalf=${p.fpAtHalf}")
+    // higher threshold affords deeper bands under the same budget
+    assert(graft.operators.Dedup.minHashPlan(0.9, 0.95, 128).rows > p.rows)
+    // infeasible budget degrades to (1, maxHashes) and reports the shortfall
+    val clamped = graft.operators.Dedup.minHashPlan(0.05, 0.99, 4)
+    assert(clamped.rows === 1 && clamped.bands === 4 && clamped.expectedRecall < 0.99)
+    // recall monotone in the budget
+    assert(
+      graft.operators.Dedup.minHashPlan(0.8, 0.95, 256).expectedRecall >= p.expectedRecall ||
+        graft.operators.Dedup.minHashPlan(0.8, 0.95, 256).rows > p.rows
+    )
+  }
 }
