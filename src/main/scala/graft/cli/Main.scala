@@ -20,6 +20,8 @@ import graft.synth.WebCorpus
   *                           and resume from the last committed stage on rerun
   *     [--save-index true]   also write <output>.index (blocking-key index +
   *                           additive IDF artifact) for later increments
+  *     [--golden <dir>]      also write one survivorship golden record per
+  *                           cluster (smallest url, longest text, best score)
   *     [--base <dir>]        INCREMENTAL: link --input as a delta against the
   *                           base run at <dir> (needs <dir>.index, or --index)
   *                           in O(delta + affected blocks); writes the full
@@ -451,6 +453,26 @@ object Main {
         org.apache.spark.sql.GraftShim.drainListenerBus(spark.sparkContext)
 
       val out = spark.read.parquet(output)
+      // --golden <path>: one canonical record per cluster via field-level
+      // survivorship (url = smallest member id, text = longest member text,
+      // score = best member score) — the MDM-style merge-phase output next
+      // to the per-mention predictions frame
+      opts.get("golden").foreach { goldenPath =>
+        import graft.operators.Survivorship
+        Survivorship
+          .golden(
+            out,
+            "cluster_id",
+            Seq(
+              Survivorship.Rule("url", Survivorship.MinValue),
+              Survivorship.Rule("text", Survivorship.Longest),
+              Survivorship.Rule("score", Survivorship.MaxValue, as = "best_score")
+            )
+          )
+          .write
+          .mode("overwrite")
+          .parquet(goldenPath)
+      }
       val nDocs = out.count()
       val nClusters = out.select("cluster_id").distinct().count()
       val nLinked = out.where(col("status") === "linked").count()

@@ -113,4 +113,37 @@ class CliSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("seq")).toSeq === Seq(1L, 2L, 3L))
     assert(out.map(_.getAs[String]("url")).toSeq === Seq("u1", "u3", "u4"))
   }
+
+  test("--golden writes one survivorship record per cluster next to the predictions") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-golden-cli").toString
+    Main.run(
+      spark,
+      Map(
+        "input" -> "synth:300",
+        "output" -> s"$tmp/preds",
+        "golden" -> s"$tmp/golden"
+      )
+    )
+    val preds = spark.read.parquet(s"$tmp/preds")
+    val golden = spark.read.parquet(s"$tmp/golden")
+    assert(golden.count() === preds.select("cluster_id").distinct().count())
+    assert(
+      golden.columns.toSeq === Seq("cluster_id", "n_members", "url", "text", "best_score")
+    )
+    // survivors replay per cluster: smallest url, longest text, best score
+    import org.apache.spark.sql.functions._
+    val replay = preds
+      .groupBy("cluster_id")
+      .agg(min("url").as("url_x"), max("score").as("score_x"))
+    val joined = golden
+      .join(replay.select(col("cluster_id"), col("url_x"), col("score_x")), "cluster_id")
+    assert(joined.where(col("url") =!= col("url_x")).count() === 0)
+    assert(joined.where(col("best_score") =!= col("score_x")).count() === 0)
+    // longest-text survivor: no member of the cluster has a longer text
+    val longer = golden
+      .select(col("cluster_id"), length(col("text")).as("glen"))
+      .join(preds.select(col("cluster_id"), length(col("text")).as("plen")), "cluster_id")
+      .where(col("plen") > col("glen"))
+    assert(longer.count() === 0)
+  }
 }
