@@ -1695,6 +1695,34 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tok"), round(col("logw"), 6).as("logw"))
         .orderBy("doc_id")
     }),
+    "q_cur_c4_filters" -> ((s, dir) => {
+      // C4 line+page heuristics over decorated 10-token pseudo-lines (the
+      // corpus has no punctuation, so chunk i gains '.' when i%3==0, a
+      // ' javascript' suffix when i%7==0, and a page-killing
+      // ' lorem ipsum.' when i%11==0 — first-match chain, replayed
+      // verbatim by the oracle's CASE).
+      import graft.operators.{Curation, TextAnalysis}
+      val lines0 = TextAnalysis.tokenChunks(split(col("text"), " "), 10)
+      val lines = element_at(
+        transform(
+          array(lines0),
+          ls =>
+            transform(
+              ls,
+              (l, i) =>
+                when(pmod(i, lit(3)) === 0, concat(l, lit(".")))
+                  .when(pmod(i, lit(7)) === 0, concat(l, lit(" javascript")))
+                  .when(pmod(i, lit(11)) === 0, concat(l, lit(" lorem ipsum.")))
+                  .otherwise(l)
+            )
+        ),
+        1
+      )
+      val docs = t(s, dir, "documents").select(col("doc_id"), lines.as("lines"))
+      Curation
+        .c4LineFilters(docs, minWordsPerLine = 5, minLines = 3)
+        .orderBy("doc_id")
+    }),
     "q_cur_kl_drift" -> ((s, dir) => {
       // distribution-drift monitor: KL(target‖raw) / KL(raw‖target) /
       // total-variation between the src0/src1 slice and the full corpus
@@ -3169,6 +3197,35 @@ object SparkEntry {
            |  FROM w JOIN g ON g.doc_id = w.doc_id)
            |SELECT doc_id, round(logw, 6) AS logw, round(gumbel_key, 6) AS gumbel_key
            |FROM k WHERE rk <= 50 ORDER BY doc_id""".stripMargin),
+    "q_cur_c4_filters" ->
+      """WITH lined AS (
+        |  SELECT doc_id,
+        |    list_transform(range(CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT)),
+        |      i -> (
+        |        CASE WHEN i % 3 = 0
+        |               THEN array_to_string(list_slice(string_split(text, ' '), i*10 + 1, i*10 + 10), ' ') || '.'
+        |             WHEN i % 7 = 0
+        |               THEN array_to_string(list_slice(string_split(text, ' '), i*10 + 1, i*10 + 10), ' ') || ' javascript'
+        |             WHEN i % 11 = 0
+        |               THEN array_to_string(list_slice(string_split(text, ' '), i*10 + 1, i*10 + 10), ' ') || ' lorem ipsum.'
+        |             ELSE array_to_string(list_slice(string_split(text, ' '), i*10 + 1, i*10 + 10), ' ')
+        |        END)) AS lines
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    len(lines) AS n_lines,
+        |    list_filter(lines, l ->
+        |      substr(trim(l), length(trim(l)), 1) IN ('.', '!', '?', '"')
+        |      AND len(list_filter(regexp_split_to_array(trim(l), '\s+'), w -> length(w) > 0)) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept,
+        |    len(list_filter(lines, l -> contains(lower(l), 'lorem ipsum'))) > 0
+        |      OR len(list_filter(lines, l -> contains(lower(l), '{'))) > 0 AS blocked
+        |  FROM lined)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |       CAST(len(kept) AS BIGINT) AS n_kept,
+        |       array_to_string(kept, ' ') AS text_clean,
+        |       (len(kept) >= 3 AND NOT blocked) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q_cur_kl_drift" ->
       (dsirCte +
         """, obs AS (

@@ -330,6 +330,62 @@ object Curation {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val LongDigitsRe = "[0-9][0-9 ()+-]{6,}[0-9]"
 
+  /** C4's line- and page-level heuristics (Raffel et al. 2020, §2.2): keep
+    * only lines that end in terminal punctuation AND have at least
+    * `minWordsPerLine` words AND do not mention "javascript"; drop the
+    * whole page when fewer than `minLines` lines survive or when any line
+    * contains a page-level blocklist needle (C4's "lorem ipsum" and
+    * "{" code marker by default; extend with a dirty-word list as
+    * policy requires).
+    *
+    * Entirely row-local (one bound-lambda pass over the caller's line
+    * array — newline splits, sentence splits, or [[TextAnalysis
+    * .tokenChunks]] pseudo-lines; zero exchanges at any corpus size).
+    * Output: (id, n_lines, n_kept, text_clean, keep) — text_clean joins
+    * the surviving lines so the frame composes with the dedup family.
+    */
+  def c4LineFilters(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      linesCol: String = "lines",
+      minWordsPerLine: Int = 5,
+      minLines: Int = 3,
+      pageBlocklist: Seq[String] = Seq("lorem ipsum", "{")
+  ): DataFrame = {
+    require(minWordsPerLine >= 1 && minLines >= 0, "degenerate thresholds")
+    require(pageBlocklist.forall(_.nonEmpty), "blocklist needles must be non-empty")
+    val res = element_at(
+      transform(
+        array(col(linesCol)),
+        ls => {
+          val kept = filter(
+            ls,
+            l => {
+              val t = trim(l)
+              val endsPunct = t.substr(length(t), lit(1)).isin(".", "!", "?", "\"")
+              val words = size(filter(split(t, "\\s+"), w => length(w) > 0))
+              endsPunct && words >= minWordsPerLine && !lower(t).contains("javascript")
+            }
+          )
+          val blocked = pageBlocklist
+            .map(needle => exists(ls, l => lower(l).contains(needle.toLowerCase)))
+            .reduce(_ || _)
+          struct(size(ls).as("n_lines"), kept.as("kept"), blocked.as("blocked"))
+        }
+      ),
+      1
+    )
+    docs
+      .select(col(idCol), res.as("_r"))
+      .select(
+        col(idCol),
+        col("_r.n_lines").cast("long").as("n_lines"),
+        size(col("_r.kept")).cast("long").as("n_kept"),
+        array_join(col("_r.kept"), " ").as("text_clean"),
+        (size(col("_r.kept")) >= minLines && !col("_r.blocked")).as("keep")
+      )
+  }
+
   def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn(
       textCol,

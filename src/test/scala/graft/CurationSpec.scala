@@ -225,4 +225,33 @@ class CurationSpec extends SparkSpec {
       Curation.takeTokenBudget(docs, "id", col("id"), col("n"), 0L)
     )
   }
+
+  test("c4LineFilters: terminal punctuation, min words, javascript lines, page blocklist") {
+    import spark.implicits._
+    val good = "one two three four five."
+    val docs = Seq(
+      // 3 good lines -> kept page
+      (1L, Seq(good, "six seven eight nine ten!", "a b c d e f?")),
+      // only 2 survive (short line + no punctuation) -> dropped page
+      (2L, Seq(good, good, "short line.", "no punct five words here")),
+      // javascript line is removed but the page itself survives on the rest
+      (3L, Seq(good, good, good, "Enable JavaScript to view this page.")),
+      // lorem ipsum ANYWHERE kills the page, even inside an otherwise-kept line
+      (4L, Seq(good, good, "we embed Lorem Ipsum sample text here.")),
+      // the { page marker kills it even on a line the line-filter drops
+      (5L, Seq(good, good, good, "function() {")),
+      (6L, Seq.empty[String])
+    ).toDF("doc_id", "lines")
+    val out = Curation
+      .c4LineFilters(docs, minWordsPerLine = 5, minLines = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String, Boolean)]
+      .collect()
+    assert(out(0) === ((1L, 3L, 3L, s"$good six seven eight nine ten! a b c d e f?", true)))
+    assert(out(1)._3 === 2L && !out(1)._5)
+    assert(out(2) === ((3L, 4L, 3L, s"$good $good $good", true)))
+    assert(out(3)._3 === 3L && !out(3)._5, "lorem ipsum page must drop despite 3 kept lines")
+    assert(out(4)._3 === 3L && !out(4)._5, "brace page must drop despite 3 kept lines")
+    assert(out(5) === ((6L, 0L, 0L, "", false)))
+  }
 }
