@@ -791,6 +791,71 @@ object SparkEntry {
         )
         .orderBy("id_a", "id_b")
     }),
+    "q_er_fs_explain" -> ((s, dir) => {
+      // Splink-style waterfall audit over the q_er_fs_score pair frame:
+      // step 0 = prior, then lang/source/band evidence with the running
+      // posterior — the oracle replays every weight, the left-to-right
+      // cumulative fold (same IEEE addition order) and the per-step sigmoid
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        col("lang"),
+        col("source"),
+        floor(col("n_chars") / 20).cast("long").as("band"),
+        concat_ws("|", col("lang"), floor(col("n_chars") / 50).cast("long")).as("key")
+      )
+      val pairs = d
+        .select(col("doc_id").as("id_a"), col("key"))
+        .join(d.select(col("doc_id").as("id_b"), col("key")), Seq("key"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      import graft.operators.FellegiSunter
+      val scored = FellegiSunter.scorePairs(
+        pairs,
+        d.select("doc_id", "lang", "source", "band"),
+        "doc_id",
+        Seq(
+          FellegiSunter.FieldParams("lang", 0.95),
+          FellegiSunter.FieldParams("source", 0.6),
+          FellegiSunter.FieldParams("band", 0.85)
+        ),
+        prior = 0.3
+      )
+      FellegiSunter
+        .explain(scored, Seq("lang", "source", "band"), prior = 0.3)
+        .select(
+          col("id_a"),
+          col("id_b"),
+          col("step"),
+          col("field"),
+          round(col("weight"), 6).as("weight"),
+          round(col("cum_weight"), 6).as("cum_weight"),
+          round(col("cum_p"), 6).as("cum_p")
+        )
+        .orderBy("id_a", "id_b", "step")
+    }),
+    "q_eval_reliability" -> ((s, dir) => {
+      // reliability-diagram bins over a dyadic-grid posterior: p =
+      // (7·doc_id mod 17)/16 is exactly representable (k/2^4), so every
+      // per-bin sum is order-free and the raw doubles ship UNROUNDED —
+      // bit-identical across engines; the label rule makes the score
+      // calibrated by construction (P(y) tracks p), so the gaps are small
+      // but nonzero. One aggregation to <= 10 rows; nothing collected.
+      val d = t(s, dir, "documents").select(
+        (pmod(col("doc_id") * 7, lit(17)).cast("double") / 16.0).as("p"),
+        (pmod(col("doc_id") * 5, lit(16)) < pmod(col("doc_id") * 7, lit(17))).as("y")
+      )
+      graft.eval.Calibration.reliability(d, "p", "y", bins = 10).orderBy("bin")
+    }),
+    "q_eval_calibration" -> ((s, dir) => {
+      // one-row ECE / MCE / Brier summary over the same dyadic-grid frame;
+      // ECE accumulates |positives - sum_p| per bin BEFORE any division
+      // (exact on the grid), so the summary doubles are bit-stable too
+      val d = t(s, dir, "documents").select(
+        (pmod(col("doc_id") * 7, lit(17)).cast("double") / 16.0).as("p"),
+        (pmod(col("doc_id") * 5, lit(16)) < pmod(col("doc_id") * 7, lit(17))).as("y")
+      )
+      graft.eval.Calibration.metricsDf(d, "p", "y", bins = 10)
+    }),
     "q_er_pr_curve" -> ((s, dir) => {
       // threshold-sweep PR curve over lev-ratio-scored consecutive-id pairs;
       // gold = same lang. Scores are exact rationals (1 - lev/maxlen), so
@@ -2757,6 +2822,85 @@ object SparkEntry {
         |  round(1.0 / (1.0 + exp(-(ln(0.3::DOUBLE / (1.0 - 0.3::DOUBLE))
         |    + (w_lang + w_source + w_band)))), 6) AS match_p
         |FROM w ORDER BY id_a, id_b""".stripMargin,
+    // waterfall: same weight CTEs as q_er_fs_score, unpivoted to one row
+    // per evidence step with the left-assoc cumulative fold and sigmoid
+    "q_er_fs_explain" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, CAST(floor(n_chars / 20) AS BIGINT) AS band,
+        |         concat_ws('|', lang, CAST(floor(n_chars / 50) AS BIGINT)) AS key
+        |  FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM d a JOIN d b ON a.key = b.key AND a.doc_id < b.doc_id),
+        |ul AS (SELECT sum(n*n)::DOUBLE / (sum(n)::DOUBLE * sum(n)) AS u
+        |       FROM (SELECT count(*) AS n FROM d WHERE lang IS NOT NULL GROUP BY lang)),
+        |us AS (SELECT sum(n*n)::DOUBLE / (sum(n)::DOUBLE * sum(n)) AS u
+        |       FROM (SELECT count(*) AS n FROM d WHERE source IS NOT NULL GROUP BY source)),
+        |ub AS (SELECT sum(n*n)::DOUBLE / (sum(n)::DOUBLE * sum(n)) AS u
+        |       FROM (SELECT count(*) AS n FROM d WHERE band IS NOT NULL GROUP BY band)),
+        |tl AS (SELECT lang AS v, count(*)::DOUBLE / (SELECT count(*) FROM d WHERE lang IS NOT NULL) AS u
+        |       FROM d WHERE lang IS NOT NULL GROUP BY lang),
+        |ts AS (SELECT source AS v, count(*)::DOUBLE / (SELECT count(*) FROM d WHERE source IS NOT NULL) AS u
+        |       FROM d WHERE source IS NOT NULL GROUP BY source),
+        |tb AS (SELECT band AS v, count(*)::DOUBLE / (SELECT count(*) FROM d WHERE band IS NOT NULL) AS u
+        |       FROM d WHERE band IS NOT NULL GROUP BY band),
+        |w AS (
+        |  SELECT p.id_a, p.id_b,
+        |    CASE WHEN a.lang IS NULL OR b.lang IS NULL THEN 0.0
+        |         WHEN a.lang = b.lang THEN ln(0.95::DOUBLE / tl.u)
+        |         ELSE ln((1.0 - 0.95::DOUBLE) / (1.0 - ul.u)) END AS w_lang,
+        |    CASE WHEN a.source IS NULL OR b.source IS NULL THEN 0.0
+        |         WHEN a.source = b.source THEN ln(0.6::DOUBLE / ts.u)
+        |         ELSE ln((1.0 - 0.6::DOUBLE) / (1.0 - us.u)) END AS w_source,
+        |    CASE WHEN a.band IS NULL OR b.band IS NULL THEN 0.0
+        |         WHEN a.band = b.band THEN ln(0.85::DOUBLE / tb.u)
+        |         ELSE ln((1.0 - 0.85::DOUBLE) / (1.0 - ub.u)) END AS w_band
+        |  FROM p
+        |  JOIN d a ON a.doc_id = p.id_a
+        |  JOIN d b ON b.doc_id = p.id_b
+        |  LEFT JOIN tl ON tl.v = a.lang
+        |  LEFT JOIN ts ON ts.v = a.source
+        |  LEFT JOIN tb ON tb.v = a.band, ul, us, ub),
+        |steps AS (
+        |  SELECT id_a, id_b, 0 AS step, 'prior' AS field, 0.0 AS weight, 0.0 AS cum FROM w
+        |  UNION ALL SELECT id_a, id_b, 1, 'lang', w_lang, w_lang FROM w
+        |  UNION ALL SELECT id_a, id_b, 2, 'source', w_source, w_lang + w_source FROM w
+        |  UNION ALL SELECT id_a, id_b, 3, 'band', w_band, w_lang + w_source + w_band FROM w)
+        |SELECT id_a, id_b, CAST(step AS BIGINT) AS step, field,
+        |  round(weight, 6) AS weight, round(cum, 6) AS cum_weight,
+        |  round(1.0 / (1.0 + exp(-(ln(0.3::DOUBLE / (1.0 - 0.3::DOUBLE)) + cum))), 6) AS cum_p
+        |FROM steps ORDER BY id_a, id_b, step""".stripMargin,
+    // dyadic-grid scores (k/16) make every sum exact in any order, so the
+    // doubles ship unrounded; positives CAST (DuckDB sum -> HUGEINT trap)
+    "q_eval_reliability" ->
+      """WITH s AS (
+        |  SELECT ((doc_id * 7) % 17) / 16.0 AS p,
+        |         ((doc_id * 5) % 16) < ((doc_id * 7) % 17) AS y
+        |  FROM documents),
+        |b AS (
+        |  SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, count(*) AS n,
+        |         sum(p) AS sum_p,
+        |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS positives
+        |  FROM s GROUP BY 1)
+        |SELECT bin, n, sum_p, positives, sum_p / n AS mean_p,
+        |       positives::DOUBLE / n AS frac_pos,
+        |       abs(positives::DOUBLE / n - sum_p / n) AS abs_gap
+        |FROM b ORDER BY bin""".stripMargin,
+    "q_eval_calibration" ->
+      """WITH s AS (
+        |  SELECT ((doc_id * 7) % 17) / 16.0 AS p,
+        |         ((doc_id * 5) % 16) < ((doc_id * 7) % 17) AS y
+        |  FROM documents),
+        |b AS (
+        |  SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, count(*) AS n,
+        |         sum(p) AS sum_p,
+        |         CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |         sum((p - CASE WHEN y THEN 1.0 ELSE 0.0 END)
+        |             * (p - CASE WHEN y THEN 1.0 ELSE 0.0 END)) AS sq
+        |  FROM s GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n, sum(sq) / sum(n) AS brier,
+        |       sum(abs(pos::DOUBLE - sum_p)) / sum(n) AS ece,
+        |       max(abs(pos::DOUBLE / n - sum_p / n)) AS mce
+        |FROM b""".stripMargin,
     // lev-ratio scores are exact rationals -> floor(score*100) buckets are
     // bit-identical; cumulative sums replayed over the bounded bucket frame
     "q_er_pr_curve" ->

@@ -263,4 +263,68 @@ object FellegiSunter {
     }
     EmParams(lambda, fieldNames.zipWithIndex.map { case (f, i) => f -> ((m(i), u(i))) }.toMap)
   }
+
+  /** Waterfall explanation of a scored pair frame (Splink's waterfall
+    * chart, the per-pair audit view): one row per evidence STEP, walking
+    * the posterior from the prior through each field's log-likelihood
+    * contribution in the caller's field order. The reference's analog is
+    * the raw LLM answer string a reviewer reads per mention
+    * (lion_linker/lion_linker.py:879-906); this is the deterministic,
+    * queryable version.
+    *
+    * Input: the output of [[scorePairs]] / [[scoreLevels]] (must carry
+    * `w_<field>` for every name in `fields`, plus the two id columns).
+    * Output per pair: step 0 = the prior (weight 0, cum_weight 0,
+    * cum_p = prior), then step i = field i with its weight, running
+    * cum_weight and running posterior cum_p = σ(logit(prior) + cum).
+    *
+    * Scale shape: a row-local explode of a fixed-size struct array —
+    * fields.size + 1 output rows per pair, zero joins, zero shuffles,
+    * zero aggregations; the running sums are compile-time folds over the
+    * fixed field list (no window). Runs at whatever volume the scored
+    * frame has.
+    */
+  def explain(
+      scored: DataFrame,
+      fields: Seq[String],
+      prior: Double = 0.5,
+      idA: String = "id_a",
+      idB: String = "id_b"
+  ): DataFrame = {
+    require(prior > 0.0 && prior < 1.0, s"prior must be in (0,1), got $prior")
+    require(fields.nonEmpty, "at least one field required")
+    val logitPrior = math.log(prior / (1.0 - prior))
+    def post(cum: Column): Column =
+      lit(1.0) / (lit(1.0) + exp(-(lit(logitPrior) + cum)))
+    val priorStep = struct(
+      lit(0L).as("step"),
+      lit("prior").as("field"),
+      lit(0.0).as("weight"),
+      lit(0.0).as("cum_weight"),
+      post(lit(0.0)).as("cum_p")
+    )
+    val steps = fields.zipWithIndex.map { case (f, i) =>
+      // deterministic left-to-right fold — the accumulation order is the
+      // caller's field order, not an exchange-dependent aggregate
+      val cum = fields.take(i + 1).map(g => col(s"w_$g")).reduce(_ + _)
+      struct(
+        lit((i + 1).toLong).as("step"),
+        lit(f).as("field"),
+        col(s"w_$f").as("weight"),
+        cum.as("cum_weight"),
+        post(cum).as("cum_p")
+      )
+    }
+    scored
+      .select(col(idA), col(idB), explode(array(priorStep +: steps: _*)).as("s"))
+      .select(
+        col(idA),
+        col(idB),
+        col("s.step").as("step"),
+        col("s.field").as("field"),
+        col("s.weight").as("weight"),
+        col("s.cum_weight").as("cum_weight"),
+        col("s.cum_p").as("cum_p")
+      )
+  }
 }
