@@ -1321,6 +1321,60 @@ object SparkEntry {
         .select("url", "cluster_id", "status", "seq")
         .orderBy("url")
     }),
+    "q_inc_unlink" -> ((s, dir) => {
+      // DECREMENTAL linkage, oracle-checked against the full reduced
+      // rerun: a symbolic base run commits predictions over ALL docs, then
+      // every doc_id % 5 == 0 is deleted through the PRODUCTION
+      // IncrementalLinkage.remove (affected clusters -> survivor pairs at
+      // reduced hot-block sizes -> rescore under the subtracted reduced
+      // IDF -> member-level CC -> store rewrite -> reseq). The lev-only
+      // scorer is corpus-independent (contract condition 3 exact), cap
+      // 100000 keeps salting out (condition 2), keys are per-doc
+      // (condition 1) — so remove == rerun EXACTLY and the DuckDB oracle
+      // recomputes the REDUCED closure engine-free: it checks the
+      // decremental theorem itself, not a replay of the removal steps.
+      import graft.operators.{Blocker, ConnectedComponents, IncrementalLinkage, PairScorer}
+      val W = PairScorer.Weights(jw = 0.0, lev = 1.0, cosine = 0.0, threshold = 0.4)
+      val symCfg = LinkagePipeline.Config(weights = W, maxBlockSize = 100000)
+      val pages = t(s, dir, "documents").select(
+        col("doc_id").as("url"),
+        substring(col("text"), 1, 60).as("text"),
+        col("lang"),
+        col("n_chars")
+      )
+      val keys = pages
+        .select(
+          col("url"),
+          concat_ws("|", lit("b"), col("lang"), floor(col("n_chars") / 5).cast("long")).as("key")
+        )
+        .unionAll(
+          pages.select(
+            col("url"),
+            concat_ws("|", lit("t"), array_join(slice(split(col("text"), " "), 1, 2), " ")).as("key")
+          )
+        )
+      val texts = pages.select("url", "text")
+      // base run through the production scoring path (the same score the
+      // removal's survivor-pair rescore recomputes)
+      val (idfDf, nDocs) = PairScorer.idfArtifact(texts)
+      val (feats, releaseFeats) = PairScorer.featuresWithIdf(texts, Seq((idfDf, nDocs)))
+      val accepted = PairScorer.threshold(
+        PairScorer.score(Blocker.pairs(keys, maxBlockSize = 100000), feats, W),
+        W
+      )
+      val clusters = ConnectedComponents.run(
+        accepted.select(col("urlA").as("src"), col("urlB").as("dst"))
+      )
+      val basePred = LinkagePipeline.assemblePredictions(texts, clusters, accepted)
+      releaseFeats()
+      val out = IncrementalLinkage.remove(
+        pages.where(pmod(col("url"), lit(5)) === 0).select("url"),
+        basePred,
+        IncrementalLinkage.Index(keys, idfDf, nDocs),
+        symCfg
+      )
+      out.predictions.select("url", "cluster_id", "status", "seq").orderBy("url")
+    }),
 
     // ---- dedup family (training-data ops) ----
     "q_dd_ngram_jaccard" -> ((s, dir) => {
@@ -3178,6 +3232,41 @@ object SparkEntry {
         |  WHERE (CASE WHEN greatest(length(pa.text), length(pb.text)) = 0 THEN 1.0
         |         ELSE 1.0 - levenshtein(pa.text, pb.text)::DOUBLE /
         |              greatest(length(pa.text), length(pb.text)) END) >= 0.4),
+        |e AS (
+        |  SELECT url_a AS src, url_b AS dst FROM accepted
+        |  UNION ALL SELECT url_b, url_a FROM accepted),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |assign AS (SELECT src AS url, min(dst) AS cluster_id FROM reach GROUP BY src)
+        |SELECT p.url, coalesce(a.cluster_id, p.url) AS cluster_id,
+        |       CASE WHEN a.cluster_id IS NOT NULL THEN 'linked' ELSE 'nil' END AS status,
+        |       row_number() OVER (ORDER BY p.url) AS seq
+        |FROM pages p LEFT JOIN assign a ON a.url = p.url
+        |ORDER BY p.url""".stripMargin,
+    // decremental theorem check: the oracle is a FULL rerun closure over
+    // the reduced corpus (doc_id % 5 <> 0); the lev kernel runs on the
+    // ws-normalized 120-char cap exactly as PairScorer.features computes it
+    "q_inc_unlink" ->
+      """WITH RECURSIVE pages AS (
+        |  SELECT doc_id AS url, substr(text, 1, 60) AS text,
+        |         substr(regexp_replace(trim(substr(text, 1, 60)), '\s+', ' ', 'g'), 1, 120) AS cap,
+        |         lang, n_chars
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |keys AS (
+        |  SELECT url, concat_ws('|', 'b', lang, CAST(floor(n_chars / 5) AS BIGINT)) AS key FROM pages
+        |  UNION ALL
+        |  SELECT url, concat_ws('|', 't', array_to_string((string_split(text, ' '))[1:2], ' ')) AS key FROM pages),
+        |pairs AS (
+        |  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+        |  FROM keys a JOIN keys b ON a.key = b.key AND a.url < b.url),
+        |accepted AS (
+        |  SELECT url_a, url_b FROM pairs
+        |  JOIN pages pa ON pa.url = url_a JOIN pages pb ON pb.url = url_b
+        |  WHERE (CASE WHEN greatest(length(pa.cap), length(pb.cap)) = 0 THEN 1.0
+        |         ELSE 1.0 - levenshtein(pa.cap, pb.cap)::DOUBLE /
+        |              greatest(length(pa.cap), length(pb.cap)) END) >= 0.4),
         |e AS (
         |  SELECT url_a AS src, url_b AS dst FROM accepted
         |  UNION ALL SELECT url_b, url_a FROM accepted),

@@ -36,6 +36,12 @@ import graft.synth.WebCorpus
   *     [--window-refresh true] with --base + --window-key: re-rank the union
   *                           corpus so the increment honors window passes
   *                           sorted by the SQL expression (url/text columns)
+  *     [--remove true]       DECREMENTAL: --input is a tombstone list (url
+  *                           column); deletes those urls from the --base run
+  *                           in O(removed + affected clusters), writing the
+  *                           reduced predictions, <output>.tombstones and a
+  *                           compacted <output>.index (--emit changed writes
+  *                           the upsert view instead of the full store)
   */
 object Main {
 
@@ -338,8 +344,11 @@ object Main {
       val raw = materializeInput(spark, input, output)
       // any table shape is accepted: gt columns dropped, mention columns
       // resolved by name or index (--select-columns/--link-columns/
-      // --mention-columns), url synthesized when absent
-      val pages = preparePages(raw, opts)
+      // --mention-columns), url synthesized when absent. In --remove mode
+      // the input is a TOMBSTONE list (url column only) — no mention
+      // resolution applies
+      val pages =
+        if (opts.get("remove").contains("true")) raw else preparePages(raw, opts)
 
       if (opts.get("warmup").contains("true")) {
         LinkagePipeline.run(pages.limit(20000), cfg).foreach(_ => ())
@@ -364,6 +373,38 @@ object Main {
         // hermetic all-NIL pass with the full output schema, zero scoring
         // (reference dry-run, app/services/linker.py:100-123,742-839)
         LinkagePipeline.dryRun(pages)
+      } else if (opts.get("remove").contains("true")) {
+        // DECREMENTAL: delete the tombstone urls from a committed base run
+        // in O(removed + affected clusters) — affected clusters re-cluster
+        // from scratch (splits, label handoffs), everything else is
+        // untouched (IncrementalLinkage.remove's contract). Writes the
+        // reduced predictions (or the upsert view under --emit changed),
+        // <output>.tombstones (the effective deletes), and a COMPACTED
+        // <output>.index (deletes cannot chain-append; the key index is
+        // rewritten reduced — one O(corpus-keys) write, no text scan).
+        require(
+          opts.contains("base"),
+          "--remove true needs --base <dir> (the committed run to delete from)"
+        )
+        require(!opts.contains("snapshots"), "--remove and --snapshots are mutually exclusive")
+        val baseDir = opts("base")
+        val basePred = spark.read.parquet(baseDir)
+        val idxDir = opts.getOrElse("index", s"$baseDir.index")
+        val (index, storedStrategies) = IncrementalLinkage.loadIndex(spark, idxDir)
+        require(
+          storedStrategies == strategyNames,
+          s"index at $idxDir was built with --strategies $storedStrategies (got $strategyNames); " +
+            "blocking keys would not align — rerun with the matching strategies"
+        )
+        val tombstones =
+          if (pages.columns.contains("url")) pages.select("url")
+          else pages.select(col(pages.columns.head).as("url"))
+        val emitChanged = opts.get("emit").contains("changed")
+        val r = IncrementalLinkage.remove(tombstones, basePred, index, cfg, reseq = !emitChanged)
+        IncrementalLinkage.saveIndex(r.index, s"$output.index", strategyNames)
+        r.removed.write.mode("overwrite").parquet(s"$output.tombstones")
+        releaseInc = r.release
+        if (emitChanged) r.changed else r.predictions
       } else if (opts.contains("base")) {
         // INCREMENTAL: link only the delta against a committed base run
         // (reference operational loop — new tasks against an existing

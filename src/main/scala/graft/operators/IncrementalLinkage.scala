@@ -479,4 +479,224 @@ object IncrementalLinkage {
       () => { delta.unpersist(false); deltaKeys.unpersist(false); () }
     )
   }
+
+  /** Decremental output bundle. `predictions` is the full reduced store;
+    * `changed` the upsert view (recomputed survivor rows whose
+    * (cluster_id, score, status) differ from base — text/seq null, same
+    * rationale as [[Result.changed]]); `removed` the effective tombstone
+    * set (urls that actually existed); `index` the reduced artifacts for
+    * the next increment or removal.
+    */
+  final case class RemoveResult(
+      predictions: DataFrame,
+      changed: DataFrame,
+      removed: DataFrame,
+      index: Index,
+      release: () => Unit
+  )
+
+  /** Decremental linkage: delete a set of urls from a committed run
+    * touching O(removed + affected clusters) work, never O(corpus) — the
+    * GDPR/right-to-erasure path a 10^12-document store cannot serve with
+    * full reruns. The reference has no analog (its store only ever
+    * appends, app/storage/state.py); at web scale deletion is as routine
+    * as ingestion.
+    *
+    * Correctness contract — the result EQUALS a full rerun over
+    * (base \ removed), exactly, under the same three [[link]] conditions
+    * restated for deletion:
+    *
+    *   1. Blocking keys are per-document, so the reduced corpus's block
+    *      membership is the base's minus the removed rows.
+    *   2. No surviving block crosses `maxBlockSize` differently in base
+    *      vs reduced (shrinking blocks can only LEAVE the salted regime;
+    *      a block that re-buckets changes which survivor pairs exist —
+    *      the documented salting recall loss either way). Salting here
+    *      runs over the hot blocks' true REDUCED sizes, exactly what a
+    *      rerun computes for those blocks.
+    *   3. Survivor pairs rescore under the exact reduced-corpus IDF —
+    *      document frequencies are additive, so base artifact MINUS the
+    *      removed docs' own stats is bit-identical to a rerun's IDF
+    *      table (no frozen-statistics drift on the pairs that rescore).
+    *      Pairs wholly inside UNAFFECTED clusters keep base-time
+    *      decisions (rescoring them is the O(corpus) work this operator
+    *      exists to avoid) — the standard incremental-maintenance trade;
+    *      corpus-independent scorers make the equivalence exact outright.
+    *
+    * Why only affected clusters need work: deletion removes edges and
+    * never adds any, so components can only split or shrink — a cluster
+    * containing no removed url keeps exactly its membership and its
+    * min-url label. Inside an affected cluster the surviving members'
+    * edges are recomputed from scratch (block pairs among survivors,
+    * rescored, re-thresholded, re-clustered); a survivor↔unaffected pair
+    * needs no rescore because base already rejected it (had it been
+    * accepted the two docs would share a cluster, contradicting
+    * "unaffected").
+    *
+    * Scale shape: the removed set prunes the base index by one semi-join;
+    * hot blocks (any block carrying an affected-cluster member) are
+    * re-salted at their reduced sizes; pairs form only among survivors;
+    * CC runs on the O(affected) subgraph at member level (labels =
+    * component-min url, the rerun's labels by the [[ConnectedComponents]]
+    * contract). The store rewrite is one anti-join + one keyed replace.
+    *
+    * Sorted-neighborhood window passes are refused: removal CHANGES
+    * window adjacency (a removed doc's rank-neighbors become adjacent to
+    * each other — a rerun would propose pairs the base never saw), so no
+    * O(removed) path can honor them; rerun in full for window configs.
+    */
+  def remove(
+      removedUrls: DataFrame,
+      basePredictions: DataFrame,
+      index: Index,
+      cfg: LinkagePipeline.Config = LinkagePipeline.Config(),
+      reseq: Boolean = true
+  ): RemoveResult = {
+    require(
+      cfg.windowPasses.isEmpty,
+      "decremental linkage cannot honor sorted-neighborhood window passes " +
+        "(removal makes a removed doc's rank-neighbors adjacent — new pairs " +
+        "a rerun would score); rerun in full for window configs"
+    )
+    val rm = removedUrls
+      .select("url")
+      .distinct()
+      // unknown urls are a no-op: deletes are idempotently re-deliverable,
+      // same as link()'s re-delivered delta urls
+      .join(basePredictions.select("url"), Seq("url"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+    val affected = basePredictions
+      .join(rm, Seq("url"), "left_semi")
+      .select("cluster_id")
+      .distinct()
+    val members = basePredictions
+      .select("url", "cluster_id", "score", "status", "text")
+      .join(affected, Seq("cluster_id"), "left_semi")
+    val survivors = members
+      .join(rm, Seq("url"), "left_anti")
+      .select("url", "text")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
+    // hot blocks: every key carried by an affected-cluster member. The
+    // LIVE occupants of those blocks (minus removed docs) give salting the
+    // block's true reduced size — including unaffected-cluster docs that
+    // share the block, exactly as a rerun would count them.
+    val hotKeys = index.keys
+      .join(members.select("url"), Seq("url"), "left_semi")
+      .select("key")
+      .distinct()
+    val hotLive = index.keys
+      .join(hotKeys, Seq("key"), "left_semi")
+      .join(rm, Seq("url"), "left_anti")
+    val tagged = hotLive.join(
+      survivors.select(col("url"), lit(true).as("is_m")),
+      Seq("url"),
+      "left"
+    )
+    val salted = Blocker.saltOversized(tagged, cfg.maxBlockSize)
+    val sA = salted.where(col("is_m")).select(col("url").as("ua"), col("key"))
+    val sB = salted.where(col("is_m")).select(col("url").as("ub"), col("key"))
+    val pairs = sA
+      .join(sB, Seq("key"))
+      .where(col("ua") < col("ub"))
+      .select(col("ua").as("urlA"), col("ub").as("urlB"), col("key"))
+      .groupBy("urlA", "urlB")
+      .agg(min("key").as("key"))
+
+    // exact reduced-corpus IDF: artifacts are additive, so subtracting the
+    // removed docs' own stats (negated part) reproduces the rerun's table
+    val (rmIdfDf, rmN) = PairScorer.idfArtifact(
+      members.join(rm, Seq("url"), "left_semi").select("url", "text")
+    )
+    val reducedIdfDf = index.idfDf
+      .unionByName(rmIdfDf.select(col("t"), (-col("df")).as("df")))
+      .groupBy("t")
+      .agg(sum("df").as("df"))
+      .where(col("df") > 0)
+    val reducedN = index.idfDocs - rmN
+    val (feats, releaseFeats) =
+      PairScorer.featuresWithIdf(survivors, Seq((reducedIdfDf, reducedN)))
+
+    val scored = PairScorer.score(pairs, feats, cfg.weights)
+    val accepted = PairScorer.threshold(scored, cfg.weights, cfg.perKeyThresholds)
+    val edgeSnapshot: DataFrame => DataFrame =
+      cfg.checkpointDir
+        .map(d => graft.util.Checkpoints.reliable(s"$d/rm-accepted"))
+        .getOrElse(LinkagePipeline.checkpointed)
+    val acceptedCk = edgeSnapshot(accepted)
+    releaseFeats()
+
+    val ccSnapshot: DataFrame => DataFrame =
+      cfg.checkpointDir
+        .map(d => graft.util.Checkpoints.reliable(s"$d/rm-cc", keepLast = 2))
+        .getOrElse(LinkagePipeline.checkpointed)
+    val comp = ConnectedComponents.run(
+      acceptedCk.select(col("urlA").as("src"), col("urlB").as("dst")),
+      cfg.maxCcIterations,
+      ccSnapshot
+    )
+    val bestNew = acceptedCk
+      .select(col("urlA").as("url"), col("score"))
+      .unionAll(acceptedCk.select(col("urlB").as("url"), col("score")))
+      .groupBy("url")
+      .agg(max("score").as("new_score"))
+
+    val recomputed = survivors
+      .join(comp, Seq("url"), "left")
+      .join(bestNew, Seq("url"), "left")
+      .select(
+        col("url"),
+        coalesce(col("cluster_id"), col("url")).as("cluster_id"),
+        col("new_score").as("score"),
+        when(col("cluster_id").isNotNull, "linked").otherwise("nil").as("status"),
+        col("text")
+      )
+    val untouched = basePredictions
+      .select("url", "cluster_id", "score", "status", "text")
+      .join(affected, Seq("cluster_id"), "left_anti")
+    val updatedAll = untouched.unionByName(recomputed)
+    val predictions =
+      if (reseq) LinkagePipeline.withDeterministicSeq(updatedAll, "url")
+      else updatedAll.withColumn("seq", lit(null).cast("long"))
+
+    // upsert view: recomputed survivor rows that actually changed (text
+    // null — linking never mutates text; seq null — inherently O(n))
+    val baseNarrow = members
+      .join(rm, Seq("url"), "left_anti")
+      .select(
+        col("url"),
+        col("cluster_id").as("b_cluster"),
+        col("score").as("b_score"),
+        col("status").as("b_status")
+      )
+    val changed = recomputed
+      .join(baseNarrow, Seq("url"))
+      .where(
+        col("cluster_id") =!= col("b_cluster") ||
+          col("status") =!= col("b_status") ||
+          not(col("score") <=> col("b_score"))
+      )
+      .select(
+        col("url"),
+        col("cluster_id"),
+        col("score"),
+        col("status"),
+        lit(null).cast("string").as("text"),
+        lit(null).cast("long").as("seq")
+      )
+
+    val nextIndex = Index(
+      index.keys.join(rm, Seq("url"), "left_anti"),
+      reducedIdfDf,
+      reducedN
+    )
+    RemoveResult(
+      predictions,
+      changed,
+      rm,
+      nextIndex,
+      () => { rm.unpersist(false); survivors.unpersist(false); () }
+    )
+  }
 }

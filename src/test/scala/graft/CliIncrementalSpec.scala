@@ -100,4 +100,35 @@ class CliIncrementalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("--save-index"), e.getMessage)
   }
+
+  test("--remove deletes tombstones from a committed run; equals the reduced rerun") {
+    val pages = spark.read.parquet(s"$tmp/base-in")
+    val rm = pages.where(pmod(xxhash64(col("url")), lit(4)) === 0).select("url")
+    assert(rm.count() > 0)
+    rm.write.mode("overwrite").parquet(s"$tmp/rm-in")
+    pages
+      .join(rm, Seq("url"), "left_anti")
+      .write
+      .mode("overwrite")
+      .parquet(s"$tmp/reduced-in")
+
+    Main.run(
+      spark,
+      Map("input" -> s"$tmp/rm-in", "output" -> s"$tmp/rm-out", "base" -> s"$tmp/base-out", "remove" -> "true")
+    )
+    Main.run(spark, Map("input" -> s"$tmp/reduced-in", "output" -> s"$tmp/reduced-out"))
+
+    val cols = Seq("url", "cluster_id", "status", "seq")
+    val got = spark.read.parquet(s"$tmp/rm-out").select(cols.map(col): _*).orderBy("url").collect()
+    val want = spark.read.parquet(s"$tmp/reduced-out").select(cols.map(col): _*).orderBy("url").collect()
+    assert(got.length == want.length, s"row counts differ: rm=${got.length} rerun=${want.length}")
+    got.zip(want).foreach { case (a, b) => assert(a == b, s"row differs:\n rm   =$a\n rerun=$b") }
+
+    // tombstones recorded; compacted index describes the reduced corpus
+    assert(spark.read.parquet(s"$tmp/rm-out.tombstones").count() == rm.count())
+    val (idx, strategies) = IncrementalLinkage.loadIndex(spark, s"$tmp/rm-out.index")
+    assert(strategies == "canonical_url,domain,minhash_b8")
+    assert(idx.idfDocs == pages.count() - rm.count())
+    assert(idx.keys.join(rm, Seq("url"), "left_semi").count() == 0)
+  }
 }
