@@ -593,6 +593,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("key")
     }),
+    "q_er_skew_census" -> ((s, dir) => {
+      // pre-flight skew census: the 15 heaviest blocks of a two-family key
+      // scheme with exact raw-pair cost and the salt plan the run would
+      // apply (cap 6 so the lang-only family actually salts); one
+      // hash-agg + take-ordered, <= topN rows out, (n desc, key) ties
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+      val keys = d
+        .select(
+          col("doc_id").as("url"),
+          concat_ws("|", lit("b"), col("lang"), floor(col("n_chars") / 5).cast("long")).as("key")
+        )
+        .unionAll(
+          d.select(col("doc_id").as("url"), concat_ws("|", lit("l"), col("lang")).as("key"))
+        )
+      graft.operators.Blocker.skewCensus(keys, maxBlockSize = 6, topN = 15)
+    }),
     "q_er_fs_pipeline" -> ((s, dir) => {
       // the round-5 operators composed end-to-end: meta-blocking (purge ->
       // weighted edges -> CNP prune) feeds Fellegi-Sunter TF-adjusted
@@ -3007,6 +3023,24 @@ object SparkEntry {
         |  JOIN (SELECT doc_id, concat_ws('|', lang, CAST(floor(n_chars / 50) AS BIGINT)) AS key FROM documents) b
         |    ON a.key = b.key AND a.doc_id < b.doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // census arithmetic replayed in integer math; (n desc, key) order pins
+    // the top-15 cut deterministically in both engines
+    "q_er_skew_census" ->
+      """WITH d AS (SELECT doc_id AS url, lang, n_chars FROM documents),
+        |keys AS (
+        |  SELECT url, concat_ws('|', 'b', lang, CAST(floor(n_chars / 5) AS BIGINT)) AS key FROM d
+        |  UNION ALL
+        |  SELECT url, concat_ws('|', 'l', lang) AS key FROM d),
+        |g AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM keys GROUP BY key),
+        |c AS (
+        |  SELECT key, n,
+        |    CAST(n * (n - 1) // 2 AS BIGINT) AS raw_pairs,
+        |    CAST(CASE WHEN n > 6 THEN ceil(n / 6.0) ELSE 1 END AS BIGINT) AS b
+        |  FROM g)
+        |SELECT key, n, raw_pairs, b AS n_buckets,
+        |  CAST((n % b) * (((n // b) + 1) * (n // b) // 2)
+        |     + (b - (n % b)) * ((n // b) * ((n // b) - 1) // 2) AS BIGINT) AS capped_pairs
+        |FROM c ORDER BY n DESC, key LIMIT 15""".stripMargin,
     // the streamed first-seen-wins snapshot recomputed engine-free: one
     // micro-batch => canonical per key is the global argmin(ts, url)
     "q_stream_dedup" ->

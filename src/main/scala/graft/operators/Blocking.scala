@@ -236,4 +236,42 @@ object Blocker {
       .groupBy("urlA", "urlB")
       .agg(min("key").as("key"))
   }
+
+  /** Skew census: the topN heaviest blocks with the EXACT cost a run
+    * would pay for each — the pre-flight read an operator does before a
+    * scoring run on a new corpus (is one boilerplate key about to emit
+    * 10^10 pairs?). [[stats]] answers "how much overall"; this answers
+    * WHICH keys, and what [[saltOversized]] will do about them:
+    * `n_buckets` = the salt sub-bucket count (1 = unsalted),
+    * `raw_pairs` = n(n−1)/2, `capped_pairs` = the post-salt pair bound
+    * Σ_b n_b(n_b−1)/2 at perfectly even sub-buckets (n mod b buckets of
+    * ⌈n/b⌉, the rest ⌊n/b⌋) — the realized count varies with the
+    * content hash but is bounded near this by the same argument as
+    * Dedup.saltBuckets.
+    *
+    * Scale shape: ONE hash-aggregation of the key frame (map-side
+    * combine) followed by a topN take-ordered (no global sort
+    * materializes); output is ≤ topN rows. Deterministic order:
+    * (n desc, key) so ties cannot flap across runs or engines.
+    */
+  def skewCensus(keys: DataFrame, maxBlockSize: Int = 1000, topN: Int = 20): DataFrame = {
+    require(topN > 0, s"topN must be positive, got $topN")
+    val n = col("n")
+    val b = when(n > maxBlockSize, ceil(n / lit(maxBlockSize)).cast("long")).otherwise(1L)
+    // even-split pair bound: r buckets of q+1 and (b-r) of q, q = n div b
+    val q = floor(n / b).cast("long")
+    val r = (n - q * b).cast("long")
+    keys
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("key"),
+        n,
+        (n * (n - 1) / 2).cast("long").as("raw_pairs"),
+        b.as("n_buckets"),
+        (lit(1L) * r * ((q + 1) * q / 2) + (b - r) * (q * (q - 1) / 2)).cast("long").as("capped_pairs")
+      )
+      .orderBy(col("n").desc, col("key"))
+      .limit(topN)
+  }
 }

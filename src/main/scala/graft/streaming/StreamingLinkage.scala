@@ -142,6 +142,68 @@ object StreamingLinkage {
     }
   }
 
+  /** Delete one batch of tombstone urls from the store: an O(removed +
+    * affected clusters) [[IncrementalLinkage.remove]] advancing the store
+    * to v<N+1> — the streaming face of the CLI's `--remove` surface
+    * (right-to-erasure requests arrive as a stream too). Idempotent under
+    * checkpoint re-delivery: a tombstone already applied is an unknown
+    * url on the new version, a no-op by the operator's contract. The
+    * index is rewritten COMPACTED (deletes cannot chain-append key links;
+    * one key-frame write, no text scan) — which also resets the chain, so
+    * subsequent link batches keep their O(delta) appends. An empty batch
+    * or an empty store version ([[currentVersion]] None) is a no-op:
+    * deleting from a store that was never bootstrapped has nothing to do.
+    */
+  def removeBatch(
+      batch: DataFrame,
+      storeDir: String,
+      cfg: LinkagePipeline.Config = LinkagePipeline.Config()
+  ): Unit = {
+    val spark = batch.sparkSession
+    val tombstones = batch.select("url")
+    if (tombstones.isEmpty) return
+    val strategyNames = cfg.strategies.map(_.name).mkString(",")
+    currentVersion(spark, storeDir) match {
+      case None => ()
+      case Some(v) =>
+        val base = spark.read.parquet(s"$storeDir/predictions_v$v")
+        val (index, stored) = IncrementalLinkage.loadIndex(spark, s"$storeDir/index_v$v")
+        require(
+          stored == strategyNames,
+          s"store at $storeDir was built with strategies [$stored], batch uses [$strategyNames]"
+        )
+        val r = IncrementalLinkage.remove(tombstones, base, index, cfg, reseq = false)
+        r.predictions.write.mode("overwrite").parquet(s"$storeDir/predictions_v${v + 1}")
+        IncrementalLinkage.saveIndex(r.index, s"$storeDir/index_v${v + 1}", strategyNames)
+        r.release()
+        commitVersion(spark, storeDir, v + 1)
+    }
+  }
+
+  /** Start the continuous deletion query: every micro-batch of
+    * `tombstones` (a STREAMING frame with a url column) advances the
+    * store one version via [[removeBatch]]. Run it against the same
+    * store as [[run]] — but not CONCURRENTLY with it: the version
+    * pointer is a single line, and two writers would race v<N+1>
+    * (the same single-writer rule the reference's job queue enforces,
+    * app/services/task_queue.py:56-75).
+    */
+  def runRemovals(
+      tombstones: DataFrame,
+      storeDir: String,
+      checkpointDir: String,
+      cfg: LinkagePipeline.Config = LinkagePipeline.Config(),
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery = {
+    tombstones.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        removeBatch(batch, storeDir, cfg)
+      }
+      .start()
+  }
+
   /** W5 finalize: stamp the deterministic sequence onto the latest
     * committed snapshot. Streaming deliberately leaves `seq` null (a
     * per-batch reseq would be an O(n) range exchange — antithetical to

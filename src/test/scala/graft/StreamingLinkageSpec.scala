@@ -96,6 +96,65 @@ class StreamingLinkageSpec extends SparkSpec {
     assert(StreamingLinkage.currentVersion(spark, store).contains(3))
   }
 
+  test("streamed tombstones: store equals the batch rerun over the reduced corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("graft-srm-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-srm-ckpt").toString
+    val cfg = LinkagePipeline.Config()
+    val all = WebCorpus
+      .pages(spark, WebCorpus.Config(numClusters = 25, seed = 13L))
+      .toDF()
+      .select("url", "text")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSeq
+    StreamingLinkage.linkBatch(all.toDF("url", "text"), store, cfg)
+    assert(StreamingLinkage.currentVersion(spark, store).contains(0))
+
+    // two tombstone waves through the streaming surface
+    val rmWaves = Seq(
+      all.zipWithIndex.filter(_._2 % 5 == 0).map(_._1._1),
+      all.zipWithIndex.filter(_._2 % 5 == 1).map(_._1._1)
+    )
+    val input = MemoryStream[String]
+    val q = StreamingLinkage.runRemovals(
+      input.toDS().toDF("url"),
+      store,
+      ckpt,
+      cfg,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)
+    )
+    try {
+      var gone = Set.empty[String]
+      for ((wave, i) <- rmWaves.zipWithIndex) {
+        input.addData(wave: _*)
+        q.processAllAvailable()
+        gone = gone ++ wave
+        assert(StreamingLinkage.currentVersion(spark, store).contains(i + 1))
+        val got = snapshot(store)
+        val want = rerun(all.filterNot(p => gone(p._1)), cfg)
+        assert(got.size == want.size, s"wave $i: ${got.size} rows vs rerun ${want.size}")
+        assert(got == want, s"wave $i: store diverged from the reduced rerun")
+      }
+    } finally q.stop()
+
+    // re-delivered tombstones advance the version but change nothing
+    val before = snapshot(store)
+    StreamingLinkage.removeBatch(rmWaves.last.toDF("url"), store, cfg)
+    assert(StreamingLinkage.currentVersion(spark, store).contains(3))
+    assert(snapshot(store) == before, "re-delivered tombstones must be a no-op")
+
+    // the compacted post-removal index still serves link batches: add a
+    // fresh wave of near-duplicates of surviving docs — they must attach
+    val survivors = all.filterNot(p => (rmWaves(0) ++ rmWaves(1)).toSet(p._1))
+    val dupes = survivors.take(10).map { case (u, t) => (s"$u?v=2", t) }
+    StreamingLinkage.linkBatch(dupes.toDF("url", "text"), store, cfg)
+    val got = snapshot(store)
+    val want = rerun(survivors ++ dupes, cfg)
+    assert(got == want, "post-removal increment diverged from the batch rerun")
+  }
+
   test("gc keeps the live store loadable and drops superseded versions") {
     import spark.implicits._
     val store = java.nio.file.Files.createTempDirectory("graft-slink-gc").toString
