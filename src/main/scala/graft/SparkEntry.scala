@@ -1067,6 +1067,29 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(SF.jaro_winkler(col("frag_a"), col("frag_b")), 6).as("jw"))
         .orderBy("id_a")
     }),
+    "q_er_token_sim" -> ((s, dir) => {
+      // token-set comparators (Splink-style name/title fields): hashed
+      // distinct-set jaccard/dice/overlap plus Monge-Elkan with the JW
+      // inner kernel over the first 8 tokens. DuckDB's builtin
+      // jaro_winkler_similarity matches the engine kernel exactly (probed
+      // 0/2000 token pairs off), so the oracle replays everything with
+      // list functions; the Monge-Elkan outer mean folds in array order
+      // on both sides.
+      val tk = t(s, dir, "documents").select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val a = tk.select(col("doc_id").as("id_a"), col("toks").as("ta"))
+      val b = tk.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("toks").as("tb"))
+      a.join(b, "id_a")
+        .select(
+          col("id_a"),
+          col("id_b"),
+          round(SF.token_jaccard(col("ta"), col("tb")), 6).as("jaccard"),
+          round(SF.token_dice(col("ta"), col("tb")), 6).as("dice"),
+          round(SF.token_overlap(col("ta"), col("tb")), 6).as("overlap"),
+          round(SF.monge_elkan_jw(slice(col("ta"), 1, 8), slice(col("tb"), 1, 8)), 6)
+            .as("monge_elkan")
+        )
+        .orderBy("id_a")
+    }),
     "q_er_cc" -> ((s, dir) => {
       // connected components over a real chain graph: same lang, adjacent n_chars
       val nodes = t(s, dir, "documents")
@@ -4066,6 +4089,32 @@ object SparkEntry {
     // sides; prefix boost only above the 0.7 threshold, capped at 4.
     // Arithmetic is written with the same association as the Scala kernel
     // (SimKernels.jaroWinkler) so IEEE doubles agree to the last bit.
+    // set sims replayed on string distinct-sets (hash collisions are 2^-64,
+    // the ngram_jaccard precedent); Monge-Elkan uses DuckDB's builtin JW
+    // (probed identical to the engine kernel) with the same fold order
+    "q_er_token_sim" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.toks AS ta, b.toks AS tb
+        |  FROM tk a JOIN tk b ON b.doc_id = a.doc_id + 1),
+        |s AS (
+        |  SELECT id_a, id_b,
+        |    len(list_intersect(list_distinct(ta), list_distinct(tb))) AS inter,
+        |    len(list_distinct(ta)) AS da, len(list_distinct(tb)) AS db,
+        |    ta[1:8] AS ma, tb[1:8] AS mb
+        |  FROM p)
+        |SELECT id_a, id_b,
+        |  round(CASE WHEN da + db - inter = 0 THEN 0.0
+        |        ELSE inter::DOUBLE / (da + db - inter) END, 6) AS jaccard,
+        |  round(CASE WHEN da + db = 0 THEN 0.0
+        |        ELSE 2.0 * inter / (da + db) END, 6) AS dice,
+        |  round(CASE WHEN least(da, db) = 0 THEN 0.0
+        |        ELSE inter::DOUBLE / least(da, db) END, 6) AS overlap,
+        |  round(CASE WHEN len(ma) = 0 THEN 0.0
+        |        ELSE list_sum(list_transform(ma, x ->
+        |               list_max(list_transform(mb, y -> jaro_winkler_similarity(x, y)))))
+        |             / len(ma) END, 6) AS monge_elkan
+        |FROM s ORDER BY id_a""".stripMargin,
     "q_er_jw_score" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,

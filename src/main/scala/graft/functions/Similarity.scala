@@ -550,6 +550,70 @@ object SimKernels {
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
+  /** Token-SET similarity of two token arrays over hashed distinct sets
+    * (single-token "shingles" — same FNV fold and 2^-64 collision odds as
+    * [[ngramJaccard]]). `mode`: 0 = Jaccard |A∩B|/|A∪B|, 1 = Dice
+    * 2|A∩B|/(|A|+|B|), 2 = overlap |A∩B|/min(|A|,|B|), 3 = set-cosine
+    * |A∩B|/√(|A||B|). Degenerate denominators return 0.0 (empty sides
+    * carry no evidence — the [[ngramJaccard]] convention).
+    */
+  def tokenSetSim(a: ArrayData, b: ArrayData, mode: Int): Double = {
+    val ha = shingleHashes(a, 1)
+    val hb = shingleHashes(b, 1)
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < ha.length && j < hb.length) {
+      val x = ha(i)
+      val y = hb(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val na = ha.length
+    val nb = hb.length
+    mode match {
+      case 0 => val u = na + nb - inter; if (u == 0) 0.0 else inter.toDouble / u
+      case 1 => if (na + nb == 0) 0.0 else 2.0 * inter / (na + nb)
+      case 2 => val m = math.min(na, nb); if (m == 0) 0.0 else inter.toDouble / m
+      case _ => if (na == 0 || nb == 0) 0.0 else inter.toDouble / math.sqrt(na.toDouble * nb)
+    }
+  }
+
+  /** Monge–Elkan similarity with a Jaro–Winkler inner kernel: the mean,
+    * over the FIRST array's tokens in order, of each token's best JW match
+    * in the second array (Monge & Elkan, 1996 — the standard multi-token
+    * name comparator; asymmetric by definition, symmetrize with
+    * max(me(a,b), me(b,a)) if needed). Empty or all-null `a` returns 0.0.
+    * The outer accumulation is left-to-right over a's token order, so a
+    * replay that sums in list order reproduces the exact double.
+    */
+  def mongeElkanJw(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var sum = 0.0
+    var cnt = 0
+    var i = 0
+    while (i < na) {
+      if (!a.isNullAt(i)) {
+        val ta = a.getUTF8String(i)
+        var best = 0.0
+        var j = 0
+        while (j < nb) {
+          if (!b.isNullAt(j)) {
+            val s = jaroWinkler(ta, b.getUTF8String(j))
+            if (s > best) best = s
+          }
+          j += 1
+        }
+        sum += best
+        cnt += 1
+      }
+      i += 1
+    }
+    if (cnt == 0) 0.0 else sum / cnt
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
     * MOSS algorithm): the distinct minima of every `w`-window over the
     * in-order `k`-gram hash stream, sorted. Guarantees: two documents
@@ -859,6 +923,34 @@ case class NearestCentroids(
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Token-set similarity (jaccard/dice/overlap/cosine by mode) of two
+  * array<string> columns over hashed distinct sets.
+  */
+case class TokenSetSim(left: Expression, right: Expression, mode: Int) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_set_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimKernels.tokenSetSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], mode)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SimKernels.tokenSetSim($a, $b, $mode)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Monge–Elkan (JW inner kernel) of two array<string> token columns. */
+case class MongeElkanJw(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "monge_elkan_jw"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimKernels.mongeElkanJw(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SimKernels.mongeElkanJw($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** k-slot MinHash signature of an array<string> shingle column. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -887,6 +979,11 @@ object SimilarityFunctions {
     GraftShim.column(SignLsh(e(v), bits, seed))
   def ngram_jaccard(a: Column, b: Column, n: Int): Column =
     GraftShim.column(NgramJaccard(e(a), e(b), n))
+  def token_jaccard(a: Column, b: Column): Column = GraftShim.column(TokenSetSim(e(a), e(b), 0))
+  def token_dice(a: Column, b: Column): Column = GraftShim.column(TokenSetSim(e(a), e(b), 1))
+  def token_overlap(a: Column, b: Column): Column = GraftShim.column(TokenSetSim(e(a), e(b), 2))
+  def token_set_cosine(a: Column, b: Column): Column = GraftShim.column(TokenSetSim(e(a), e(b), 3))
+  def monge_elkan_jw(a: Column, b: Column): Column = GraftShim.column(MongeElkanJw(e(a), e(b)))
   def nearest_centroids(
       v: Column,
       centroidsBc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],

@@ -302,4 +302,44 @@ class SimilaritySpec extends SparkSpec {
     // all-identical tokens: one gram repeated
     assert(rep("x x x x", 2) == ((3L, 3L, 3L)))
   }
+
+  test("token-set sims: closed-form jaccard/dice/overlap/cosine incl. degenerates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val SF = graft.functions.SimilarityFunctions
+    def sims(a: String, b: String): (Double, Double, Double, Double) = {
+      val d = Seq((a, b)).toDF("a", "b").select(split(col("a"), " ").as("ta"), split(col("b"), " ").as("tb"))
+      d.select(
+        SF.token_jaccard(col("ta"), col("tb")),
+        SF.token_dice(col("ta"), col("tb")),
+        SF.token_overlap(col("ta"), col("tb")),
+        SF.token_set_cosine(col("ta"), col("tb"))
+      ).as[(Double, Double, Double, Double)].collect()(0)
+    }
+    // A={x,y,z}, B={y,z,w}: inter 2, union 4
+    val (j, di, o, c) = sims("x y z z", "y z w")
+    assert(j == 0.5 && di == 2.0 * 2 / 6 && o == 2.0 / 3)
+    assert(math.abs(c - 2.0 / 3) < 1e-12) // sqrt(3*3) = 3
+    assert(sims("x y", "x y") == ((1.0, 1.0, 1.0, 1.0)))
+    // disjoint and empty-side conventions: all zero
+    assert(sims("x", "y") == ((0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("monge-elkan: mean of per-token best JW, asymmetric, empty a -> 0") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val SF = graft.functions.SimilarityFunctions
+    def me(a: Seq[String], b: Seq[String]): Double =
+      Seq((a, b)).toDF("ta", "tb").select(SF.monge_elkan_jw(col("ta"), col("tb")))
+        .as[Double].collect()(0)
+    // both tokens match exactly -> 1.0
+    assert(me(Seq("anna", "smith"), Seq("smith", "anna")) == 1.0)
+    // one exact + one best-effort: mean of 1.0 and jw(martha, marhta)
+    val expected = (1.0 + jw("martha", "marhta")) / 2
+    assert(math.abs(me(Seq("anna", "martha"), Seq("anna", "marhta")) - expected) < 1e-12)
+    // asymmetry: extra tokens on the right don't dilute, on the left they do
+    assert(me(Seq("anna"), Seq("anna", "zzz")) == 1.0)
+    assert(me(Seq("anna", "zzz"), Seq("anna")) < 1.0)
+    assert(me(Seq.empty[String], Seq("anna")) == 0.0)
+  }
 }
