@@ -1090,6 +1090,55 @@ object SparkEntry {
         )
         .orderBy("id_a")
     }),
+    "q_er_cluster_diag" -> ((s, dir) => {
+      // per-cluster over-merge audit (ClusterEval.diagnostics) over the
+      // symbolic lev-ratio pipeline: n_members / n_edges / density /
+      // weakest and strongest internal links, every value a single
+      // division or min/max of exact-rational scores — the oracle replays
+      // the closure AND the diagnostics engine-free
+      val pages = t(s, dir, "documents").select(
+        col("doc_id").as("url"),
+        substring(col("text"), 1, 60).as("text"),
+        col("lang"),
+        col("n_chars")
+      )
+      val keys = pages
+        .select(
+          col("url"),
+          concat_ws("|", lit("b"), col("lang"), floor(col("n_chars") / 5).cast("long")).as("key")
+        )
+        .unionAll(
+          pages.select(
+            col("url"),
+            concat_ws("|", lit("t"), array_join(slice(split(col("text"), " "), 1, 2), " ")).as("key")
+          )
+        )
+      val texts = pages.select("url", "text")
+      val accepted = graft.operators.Blocker
+        .pairs(keys, maxBlockSize = 100000)
+        .join(texts.select(col("url").as("urlA"), col("text").as("t_a")), "urlA")
+        .join(texts.select(col("url").as("urlB"), col("text").as("t_b")), "urlB")
+        .select(col("urlA"), col("urlB"), Normalize.levRatio(col("t_a"), col("t_b")).as("score"))
+        .where(col("score") >= 0.4)
+      val clusters = graft.operators.ConnectedComponents.run(
+        accepted.select(col("urlA").as("src"), col("urlB").as("dst"))
+      )
+      val assigns = texts
+        .select("url")
+        .join(clusters, Seq("url"), "left")
+        .select(col("url"), coalesce(col("cluster_id"), col("url")).as("cluster_id"))
+      graft.eval.ClusterEval
+        .diagnostics(assigns, accepted)
+        .select(
+          col("cluster_id"),
+          col("n_members"),
+          col("n_edges"),
+          col("density"),
+          round(col("min_score"), 6).as("min_score"),
+          round(col("max_score"), 6).as("max_score")
+        )
+        .orderBy("cluster_id")
+    }),
     "q_er_cc" -> ((s, dir) => {
       // connected components over a real chain graph: same lang, adjacent n_chars
       val nodes = t(s, dir, "documents")
@@ -4115,6 +4164,49 @@ object SparkEntry {
         |               list_max(list_transform(mb, y -> jaro_winkler_similarity(x, y)))))
         |             / len(ma) END, 6) AS monge_elkan
         |FROM s ORDER BY id_a""".stripMargin,
+    // closure + diagnostics replayed engine-free; density is one exact
+    // division, min/max select identically-computed rationals
+    "q_er_cluster_diag" ->
+      """WITH RECURSIVE pages AS (
+        |  SELECT doc_id AS url, substr(text, 1, 60) AS text, lang, n_chars FROM documents),
+        |keys AS (
+        |  SELECT url, concat_ws('|', 'b', lang, CAST(floor(n_chars / 5) AS BIGINT)) AS key FROM pages
+        |  UNION ALL
+        |  SELECT url, concat_ws('|', 't', array_to_string((string_split(text, ' '))[1:2], ' ')) AS key FROM pages),
+        |prs AS (
+        |  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+        |  FROM keys a JOIN keys b ON a.key = b.key AND a.url < b.url),
+        |accepted AS (
+        |  SELECT url_a, url_b,
+        |    CASE WHEN greatest(length(pa.text), length(pb.text)) = 0 THEN 1.0
+        |         ELSE 1.0 - levenshtein(pa.text, pb.text)::DOUBLE /
+        |              greatest(length(pa.text), length(pb.text)) END AS score
+        |  FROM prs
+        |  JOIN pages pa ON pa.url = url_a JOIN pages pb ON pb.url = url_b
+        |  WHERE (CASE WHEN greatest(length(pa.text), length(pb.text)) = 0 THEN 1.0
+        |         ELSE 1.0 - levenshtein(pa.text, pb.text)::DOUBLE /
+        |              greatest(length(pa.text), length(pb.text)) END) >= 0.4),
+        |e AS (
+        |  SELECT url_a AS src, url_b AS dst FROM accepted
+        |  UNION ALL SELECT url_b, url_a FROM accepted),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+        |assign AS (SELECT src AS url, min(dst) AS cluster_id FROM reach GROUP BY src),
+        |memb AS (
+        |  SELECT p.url, coalesce(a.cluster_id, p.url) AS cid
+        |  FROM pages p LEFT JOIN assign a ON a.url = p.url),
+        |m AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM memb GROUP BY cid),
+        |eg AS (
+        |  SELECT mb.cid, CAST(count(*) AS BIGINT) AS n_edges, min(score) AS mn, max(score) AS mx
+        |  FROM accepted ac JOIN memb mb ON mb.url = ac.url_a GROUP BY 1)
+        |SELECT m.cid AS cluster_id, m.n_members,
+        |  CAST(coalesce(eg.n_edges, 0) AS BIGINT) AS n_edges,
+        |  CASE WHEN m.n_members > 1
+        |       THEN coalesce(eg.n_edges, 0) * 2.0 / (m.n_members * (m.n_members - 1)) END AS density,
+        |  round(eg.mn, 6) AS min_score, round(eg.mx, 6) AS max_score
+        |FROM m LEFT JOIN eg ON eg.cid = m.cid ORDER BY cluster_id""".stripMargin,
     "q_er_jw_score" ->
       """WITH RECURSIVE pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,

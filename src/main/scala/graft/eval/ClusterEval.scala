@@ -149,4 +149,55 @@ object ClusterEval {
         ).as("ari")
       )
   }
+
+  /** Per-cluster diagnostics — the over-merge audit an operator reads
+    * before trusting transitive closure: a cluster whose edge DENSITY is
+    * far below 1 was chained together through a few bridges (candidate
+    * for [[graft.operators.CorrelationClustering]] repair), and its
+    * `min_score` names the weakest link that did it. The reference's only
+    * analog is eyeballing per-mention LLM answers; this is the queryable
+    * form.
+    *
+    * `assignments` needs (url, cluster_id) — every url, singletons
+    * included; `edges` the accepted intra-cluster pair frame
+    * (urlA, urlB, score) the clustering was built from (by the CC
+    * contract both endpoints share a cluster, so one endpoint join
+    * suffices).
+    *
+    * Output per cluster: n_members, n_edges (0 for singletons),
+    * density = n_edges / (n(n−1)/2) (null for singletons — undefined,
+    * not 1.0), min_score / max_score (null when edgeless). All values
+    * are single divisions of exact counts or min/max of input scores —
+    * no accumulation-order sensitivity anywhere.
+    *
+    * Scale shape: one keyed aggregation per input frame plus one keyed
+    * join on cluster_id; output is one row per cluster. The giant-
+    * component hub this report exists to catch lands on one aggregation
+    * key — partial map-side combine absorbs it (counts/min/max, not
+    * row collection).
+    */
+  def diagnostics(assignments: DataFrame, edges: DataFrame): DataFrame = {
+    val members = assignments.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    val e = edges
+      .join(assignments.select(col("url").as("urlA"), col("cluster_id")), "urlA")
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_edges"),
+        min("score").as("min_score"),
+        max("score").as("max_score")
+      )
+    members
+      .join(e, Seq("cluster_id"), "left")
+      .select(
+        col("cluster_id"),
+        col("n_members"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        when(
+          col("n_members") > 1,
+          coalesce(col("n_edges"), lit(0L)) * 2.0 / (col("n_members") * (col("n_members") - 1))
+        ).as("density"),
+        col("min_score"),
+        col("max_score")
+      )
+  }
 }

@@ -30,6 +30,25 @@ class ClusterEvalSpec extends SparkSpec {
     assert(math.abs(v - expectedHom) < 1e-6)
   }
 
+  test("diagnostics: density, weakest link, singleton conventions") {
+    // c1 = {a,b,c} chained by 2 edges of 3 possible -> density 2/3
+    // c2 = {d} singleton -> 0 edges, null density/scores
+    val assigns = Seq("a" -> "c1", "b" -> "c1", "c" -> "c1", "d" -> "c2").toDF("url", "cluster_id")
+    val edges = Seq(("a", "b", 0.9), ("b", "c", 0.5)).toDF("urlA", "urlB", "score")
+    val rows = graft.eval.ClusterEval
+      .diagnostics(assigns, edges)
+      .orderBy("cluster_id")
+      .collect()
+    assert(rows.length === 2)
+    val c1 = rows(0)
+    assert(c1.getString(0) === "c1" && c1.getLong(1) === 3L && c1.getLong(2) === 2L)
+    assert(math.abs(c1.getDouble(3) - 2.0 / 3) < 1e-12)
+    assert(c1.getDouble(4) === 0.5 && c1.getDouble(5) === 0.9)
+    val c2 = rows(1)
+    assert(c2.getString(0) === "c2" && c2.getLong(1) === 1L && c2.getLong(2) === 0L)
+    assert(c2.isNullAt(3) && c2.isNullAt(4) && c2.isNullAt(5))
+  }
+
   test("perfect clustering scores 1.0 everywhere; label names don't matter") {
     val pred = Seq("1" -> "a", "2" -> "a", "3" -> "b", "4" -> "b")
     val gold = Seq("1" -> "X", "2" -> "X", "3" -> "Y", "4" -> "Y")
