@@ -1090,6 +1090,45 @@ object SparkEntry {
         )
         .orderBy("id_a")
     }),
+    "q_rc_latest" -> ((s, dir) => {
+      // recrawl canonicalization: each doc becomes 1 + (doc_id % 3)
+      // captures at distinct epoch-long timestamps; doc_id % 4 == 0 pages
+      // change text per capture. latestSnapshot must pick the newest
+      // capture per url — the oracle replays the synthesis and the argmax.
+      // Timestamps travel as BIGINT epochs (no timestamp-tz driver trap);
+      // text ships as sha256.
+      val caps = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), explode(sequence(lit(0L), pmod(col("doc_id"), lit(3)))).as("c"))
+        .select(
+          col("doc_id").as("url"),
+          (lit(1700000000L) + col("c") * 86400L + pmod(col("doc_id"), lit(5))).as("warc_ts"),
+          concat(
+            col("text"),
+            when(pmod(col("doc_id"), lit(4)) === 0 && col("c") > 0, concat(lit(" v"), col("c").cast("string")))
+              .otherwise(lit(""))
+          ).as("text")
+        )
+      graft.operators.Recrawl
+        .latestSnapshot(caps)
+        .select(col("url"), col("warc_ts"), sha2(col("text"), 256).as("sha"))
+        .orderBy("url")
+    }),
+    "q_rc_census" -> ((s, dir) => {
+      // per-url capture census over the same synthetic recrawl stream:
+      // capture count, DISTINCT text versions, span, stability flag
+      val caps = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), explode(sequence(lit(0L), pmod(col("doc_id"), lit(3)))).as("c"))
+        .select(
+          col("doc_id").as("url"),
+          (lit(1700000000L) + col("c") * 86400L + pmod(col("doc_id"), lit(5))).as("warc_ts"),
+          concat(
+            col("text"),
+            when(pmod(col("doc_id"), lit(4)) === 0 && col("c") > 0, concat(lit(" v"), col("c").cast("string")))
+              .otherwise(lit(""))
+          ).as("text")
+        )
+      graft.operators.Recrawl.changeCensus(caps).orderBy("url")
+    }),
     "q_er_cluster_diag" -> ((s, dir) => {
       // per-cluster over-merge audit (ClusterEval.diagnostics) over the
       // symbolic lev-ratio pipeline: n_members / n_edges / density /
@@ -4164,6 +4203,32 @@ object SparkEntry {
         |               list_max(list_transform(mb, y -> jaro_winkler_similarity(x, y)))))
         |             / len(ma) END, 6) AS monge_elkan
         |FROM s ORDER BY id_a""".stripMargin,
+    // capture synthesis + argmax-by-ts replayed engine-free (ts are
+    // distinct per url by construction, so the argmax is unambiguous)
+    "q_rc_latest" ->
+      """WITH caps AS (
+        |  SELECT doc_id AS url,
+        |         1700000000 + u.c * 86400 + doc_id % 5 AS ts,
+        |         text || CASE WHEN doc_id % 4 = 0 AND u.c > 0
+        |                      THEN ' v' || CAST(u.c AS VARCHAR) ELSE '' END AS text
+        |  FROM documents, unnest(generate_series(0, doc_id % 3)) AS u(c)),
+        |latest AS (
+        |  SELECT url, CAST(max(ts) AS BIGINT) AS warc_ts,
+        |         list(text ORDER BY ts DESC)[1] AS text
+        |  FROM caps GROUP BY url)
+        |SELECT url, warc_ts, sha256(text) AS sha FROM latest ORDER BY url""".stripMargin,
+    "q_rc_census" ->
+      """WITH caps AS (
+        |  SELECT doc_id AS url,
+        |         1700000000 + u.c * 86400 + doc_id % 5 AS ts,
+        |         text || CASE WHEN doc_id % 4 = 0 AND u.c > 0
+        |                      THEN ' v' || CAST(u.c AS VARCHAR) ELSE '' END AS text
+        |  FROM documents, unnest(generate_series(0, doc_id % 3)) AS u(c))
+        |SELECT url, CAST(count(*) AS BIGINT) AS n_captures,
+        |       CAST(count(DISTINCT text) AS BIGINT) AS n_versions,
+        |       CAST(min(ts) AS BIGINT) AS first_ts, CAST(max(ts) AS BIGINT) AS last_ts,
+        |       count(DISTINCT text) = 1 AS stable
+        |FROM caps GROUP BY url ORDER BY url""".stripMargin,
     // closure + diagnostics replayed engine-free; density is one exact
     // division, min/max select identically-computed rationals
     "q_er_cluster_diag" ->
