@@ -84,6 +84,56 @@ object SparkEntry {
        |  JOIN nb nbb ON nbb.url = e.url_b) """.stripMargin
   }
 
+  /** Shared input of the Fellegi–Sunter battery rows (q_er_fs_score /
+    * q_er_fs_explain): (lang, n_chars/50) block-key pairs scored by
+    * scorePairs over lang/source/band with literal m-probabilities and
+    * prior 0.3 — one construction, two projections.
+    */
+  private def fsScoredPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.FellegiSunter
+    val d = t(s, dir, "documents").select(
+      col("doc_id"),
+      col("lang"),
+      col("source"),
+      floor(col("n_chars") / 20).cast("long").as("band"),
+      concat_ws("|", col("lang"), floor(col("n_chars") / 50).cast("long")).as("key")
+    )
+    val pairs = d
+      .select(col("doc_id").as("id_a"), col("key"))
+      .join(d.select(col("doc_id").as("id_b"), col("key")), Seq("key"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    FellegiSunter.scorePairs(
+      pairs,
+      d.select("doc_id", "lang", "source", "band"),
+      "doc_id",
+      Seq(
+        FellegiSunter.FieldParams("lang", 0.95),
+        FellegiSunter.FieldParams("source", 0.6),
+        FellegiSunter.FieldParams("band", 0.85)
+      ),
+      prior = 0.3
+    )
+  }
+
+  /** Shared synthetic recrawl stream of the q_rc_* battery rows: each doc
+    * becomes 1 + (doc_id % 3) captures at distinct epoch-long timestamps;
+    * doc_id % 4 == 0 pages change text per capture. Mirrored verbatim by
+    * [[recrawlCapsCte]] on the oracle side.
+    */
+  private def recrawlCaps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), explode(sequence(lit(0L), pmod(col("doc_id"), lit(3)))).as("c"))
+      .select(
+        col("doc_id").as("url"),
+        (lit(1700000000L) + col("c") * 86400L + pmod(col("doc_id"), lit(5))).as("warc_ts"),
+        concat(
+          col("text"),
+          when(pmod(col("doc_id"), lit(4)) === 0 && col("c") > 0, concat(lit(" v"), col("c").cast("string")))
+            .otherwise(lit(""))
+        ).as("text")
+      )
+
   /** Answer-format literal shared by the template-rendering queries and
     * their oracles (the reference takes answer_format from the caller —
     * generator.py:119,155 — so any fixed literal is faithful).
@@ -771,31 +821,7 @@ object SparkEntry {
       // literal m-probabilities, u from value frequencies. The oracle
       // replays frequencies, TF tables, both likelihood branches, and the
       // posterior sigmoid engine-free.
-      val d = t(s, dir, "documents").select(
-        col("doc_id"),
-        col("lang"),
-        col("source"),
-        floor(col("n_chars") / 20).cast("long").as("band"),
-        concat_ws("|", col("lang"), floor(col("n_chars") / 50).cast("long")).as("key")
-      )
-      val pairs = d
-        .select(col("doc_id").as("id_a"), col("key"))
-        .join(d.select(col("doc_id").as("id_b"), col("key")), Seq("key"))
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-      import graft.operators.FellegiSunter
-      FellegiSunter
-        .scorePairs(
-          pairs,
-          d.select("doc_id", "lang", "source", "band"),
-          "doc_id",
-          Seq(
-            FellegiSunter.FieldParams("lang", 0.95),
-            FellegiSunter.FieldParams("source", 0.6),
-            FellegiSunter.FieldParams("band", 0.85)
-          ),
-          prior = 0.3
-        )
+      fsScoredPairs(s, dir)
         .select(
           col("id_a"),
           col("id_b"),
@@ -812,32 +838,8 @@ object SparkEntry {
       // step 0 = prior, then lang/source/band evidence with the running
       // posterior — the oracle replays every weight, the left-to-right
       // cumulative fold (same IEEE addition order) and the per-step sigmoid
-      val d = t(s, dir, "documents").select(
-        col("doc_id"),
-        col("lang"),
-        col("source"),
-        floor(col("n_chars") / 20).cast("long").as("band"),
-        concat_ws("|", col("lang"), floor(col("n_chars") / 50).cast("long")).as("key")
-      )
-      val pairs = d
-        .select(col("doc_id").as("id_a"), col("key"))
-        .join(d.select(col("doc_id").as("id_b"), col("key")), Seq("key"))
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-      import graft.operators.FellegiSunter
-      val scored = FellegiSunter.scorePairs(
-        pairs,
-        d.select("doc_id", "lang", "source", "band"),
-        "doc_id",
-        Seq(
-          FellegiSunter.FieldParams("lang", 0.95),
-          FellegiSunter.FieldParams("source", 0.6),
-          FellegiSunter.FieldParams("band", 0.85)
-        ),
-        prior = 0.3
-      )
-      FellegiSunter
-        .explain(scored, Seq("lang", "source", "band"), prior = 0.3)
+      graft.operators.FellegiSunter
+        .explain(fsScoredPairs(s, dir), Seq("lang", "source", "band"), prior = 0.3)
         .select(
           col("id_a"),
           col("id_b"),
@@ -1097,37 +1099,15 @@ object SparkEntry {
       // capture per url — the oracle replays the synthesis and the argmax.
       // Timestamps travel as BIGINT epochs (no timestamp-tz driver trap);
       // text ships as sha256.
-      val caps = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"), explode(sequence(lit(0L), pmod(col("doc_id"), lit(3)))).as("c"))
-        .select(
-          col("doc_id").as("url"),
-          (lit(1700000000L) + col("c") * 86400L + pmod(col("doc_id"), lit(5))).as("warc_ts"),
-          concat(
-            col("text"),
-            when(pmod(col("doc_id"), lit(4)) === 0 && col("c") > 0, concat(lit(" v"), col("c").cast("string")))
-              .otherwise(lit(""))
-          ).as("text")
-        )
       graft.operators.Recrawl
-        .latestSnapshot(caps)
+        .latestSnapshot(recrawlCaps(s, dir))
         .select(col("url"), col("warc_ts"), sha2(col("text"), 256).as("sha"))
         .orderBy("url")
     }),
     "q_rc_census" -> ((s, dir) => {
       // per-url capture census over the same synthetic recrawl stream:
       // capture count, DISTINCT text versions, span, stability flag
-      val caps = t(s, dir, "documents")
-        .select(col("doc_id"), col("text"), explode(sequence(lit(0L), pmod(col("doc_id"), lit(3)))).as("c"))
-        .select(
-          col("doc_id").as("url"),
-          (lit(1700000000L) + col("c") * 86400L + pmod(col("doc_id"), lit(5))).as("warc_ts"),
-          concat(
-            col("text"),
-            when(pmod(col("doc_id"), lit(4)) === 0 && col("c") > 0, concat(lit(" v"), col("c").cast("string")))
-              .otherwise(lit(""))
-          ).as("text")
-        )
-      graft.operators.Recrawl.changeCensus(caps).orderBy("url")
+      graft.operators.Recrawl.changeCensus(recrawlCaps(s, dir)).orderBy("url")
     }),
     "q_er_cluster_diag" -> ((s, dir) => {
       // per-cluster over-merge audit (ClusterEval.diagnostics) over the
@@ -2357,6 +2337,60 @@ object SparkEntry {
     * weight frame `w(doc_id, n_tok, lp_target, lp_raw, logw)`, rebuilt from
     * the same FNV token fold the engine's TermFreqs kernel uses.
     */
+  /** Shared Fellegi–Sunter oracle prefix (mirrors [[fsScoredPairs]]): the
+    * (lang, n_chars/50) pair frame plus per-field global-u, TF-table and
+    * log-likelihood-weight CTEs, ending with `w(id_a, id_b, w_lang,
+    * w_source, w_band)` — q_er_fs_score selects it directly, q_er_fs_explain
+    * unpivots it into waterfall steps.
+    */
+  private val fsWeightsCte: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source, CAST(floor(n_chars / 20) AS BIGINT) AS band,
+      |         concat_ws('|', lang, CAST(floor(n_chars / 50) AS BIGINT)) AS key
+      |  FROM documents),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |      FROM d a JOIN d b ON a.key = b.key AND a.doc_id < b.doc_id),
+      |ul AS (SELECT sum(n*n)::DOUBLE / (sum(n)::DOUBLE * sum(n)) AS u
+      |       FROM (SELECT count(*) AS n FROM d WHERE lang IS NOT NULL GROUP BY lang)),
+      |us AS (SELECT sum(n*n)::DOUBLE / (sum(n)::DOUBLE * sum(n)) AS u
+      |       FROM (SELECT count(*) AS n FROM d WHERE source IS NOT NULL GROUP BY source)),
+      |ub AS (SELECT sum(n*n)::DOUBLE / (sum(n)::DOUBLE * sum(n)) AS u
+      |       FROM (SELECT count(*) AS n FROM d WHERE band IS NOT NULL GROUP BY band)),
+      |tl AS (SELECT lang AS v, count(*)::DOUBLE / (SELECT count(*) FROM d WHERE lang IS NOT NULL) AS u
+      |       FROM d WHERE lang IS NOT NULL GROUP BY lang),
+      |ts AS (SELECT source AS v, count(*)::DOUBLE / (SELECT count(*) FROM d WHERE source IS NOT NULL) AS u
+      |       FROM d WHERE source IS NOT NULL GROUP BY source),
+      |tb AS (SELECT band AS v, count(*)::DOUBLE / (SELECT count(*) FROM d WHERE band IS NOT NULL) AS u
+      |       FROM d WHERE band IS NOT NULL GROUP BY band),
+      |w AS (
+      |  SELECT p.id_a, p.id_b,
+      |    CASE WHEN a.lang IS NULL OR b.lang IS NULL THEN 0.0
+      |         WHEN a.lang = b.lang THEN ln(0.95::DOUBLE / tl.u)
+      |         ELSE ln((1.0 - 0.95::DOUBLE) / (1.0 - ul.u)) END AS w_lang,
+      |    CASE WHEN a.source IS NULL OR b.source IS NULL THEN 0.0
+      |         WHEN a.source = b.source THEN ln(0.6::DOUBLE / ts.u)
+      |         ELSE ln((1.0 - 0.6::DOUBLE) / (1.0 - us.u)) END AS w_source,
+      |    CASE WHEN a.band IS NULL OR b.band IS NULL THEN 0.0
+      |         WHEN a.band = b.band THEN ln(0.85::DOUBLE / tb.u)
+      |         ELSE ln((1.0 - 0.85::DOUBLE) / (1.0 - ub.u)) END AS w_band
+      |  FROM p
+      |  JOIN d a ON a.doc_id = p.id_a
+      |  JOIN d b ON b.doc_id = p.id_b
+      |  LEFT JOIN tl ON tl.v = a.lang
+      |  LEFT JOIN ts ON ts.v = a.source
+      |  LEFT JOIN tb ON tb.v = a.band, ul, us, ub)""".stripMargin
+
+  /** Oracle-side mirror of [[recrawlCaps]]: the shared `caps` CTE of the
+    * q_rc_* oracles.
+    */
+  private val recrawlCapsCte: String =
+    """WITH caps AS (
+      |  SELECT doc_id AS url,
+      |         1700000000 + u.c * 86400 + doc_id % 5 AS ts,
+      |         text || CASE WHEN doc_id % 4 = 0 AND u.c > 0
+      |                      THEN ' v' || CAST(u.c AS VARCHAR) ELSE '' END AS text
+      |  FROM documents, unnest(generate_series(0, doc_id % 3)) AS u(c))""".stripMargin
+
   private val dsirCte: String =
     """WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t FROM documents),
       |th AS (
@@ -2962,85 +2996,19 @@ object SparkEntry {
         |       round(1.0 / (1.0 + exp(-(ln(0.3 / 0.7) + (w_frag + w_n_chars)))), 6) AS match_p
         |FROM g ORDER BY id_a, id_b""".stripMargin,
     "q_er_fs_score" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang, source, CAST(floor(n_chars / 20) AS BIGINT) AS band,
-        |         concat_ws('|', lang, CAST(floor(n_chars / 50) AS BIGINT)) AS key
-        |  FROM documents),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |      FROM d a JOIN d b ON a.key = b.key AND a.doc_id < b.doc_id),
-        |ul AS (SELECT sum(n*n)::DOUBLE / (sum(n)::DOUBLE * sum(n)) AS u
-        |       FROM (SELECT count(*) AS n FROM d WHERE lang IS NOT NULL GROUP BY lang)),
-        |us AS (SELECT sum(n*n)::DOUBLE / (sum(n)::DOUBLE * sum(n)) AS u
-        |       FROM (SELECT count(*) AS n FROM d WHERE source IS NOT NULL GROUP BY source)),
-        |ub AS (SELECT sum(n*n)::DOUBLE / (sum(n)::DOUBLE * sum(n)) AS u
-        |       FROM (SELECT count(*) AS n FROM d WHERE band IS NOT NULL GROUP BY band)),
-        |tl AS (SELECT lang AS v, count(*)::DOUBLE / (SELECT count(*) FROM d WHERE lang IS NOT NULL) AS u
-        |       FROM d WHERE lang IS NOT NULL GROUP BY lang),
-        |ts AS (SELECT source AS v, count(*)::DOUBLE / (SELECT count(*) FROM d WHERE source IS NOT NULL) AS u
-        |       FROM d WHERE source IS NOT NULL GROUP BY source),
-        |tb AS (SELECT band AS v, count(*)::DOUBLE / (SELECT count(*) FROM d WHERE band IS NOT NULL) AS u
-        |       FROM d WHERE band IS NOT NULL GROUP BY band),
-        |w AS (
-        |  SELECT p.id_a, p.id_b,
-        |    CASE WHEN a.lang IS NULL OR b.lang IS NULL THEN 0.0
-        |         WHEN a.lang = b.lang THEN ln(0.95::DOUBLE / tl.u)
-        |         ELSE ln((1.0 - 0.95::DOUBLE) / (1.0 - ul.u)) END AS w_lang,
-        |    CASE WHEN a.source IS NULL OR b.source IS NULL THEN 0.0
-        |         WHEN a.source = b.source THEN ln(0.6::DOUBLE / ts.u)
-        |         ELSE ln((1.0 - 0.6::DOUBLE) / (1.0 - us.u)) END AS w_source,
-        |    CASE WHEN a.band IS NULL OR b.band IS NULL THEN 0.0
-        |         WHEN a.band = b.band THEN ln(0.85::DOUBLE / tb.u)
-        |         ELSE ln((1.0 - 0.85::DOUBLE) / (1.0 - ub.u)) END AS w_band
-        |  FROM p
-        |  JOIN d a ON a.doc_id = p.id_a
-        |  JOIN d b ON b.doc_id = p.id_b
-        |  LEFT JOIN tl ON tl.v = a.lang
-        |  LEFT JOIN ts ON ts.v = a.source
-        |  LEFT JOIN tb ON tb.v = a.band, ul, us, ub)
-        |SELECT id_a, id_b, round(w_lang, 6) AS w_lang, round(w_source, 6) AS w_source,
-        |  round(w_band, 6) AS w_band,
-        |  round(w_lang + w_source + w_band, 6) AS match_weight,
-        |  round(1.0 / (1.0 + exp(-(ln(0.3::DOUBLE / (1.0 - 0.3::DOUBLE))
-        |    + (w_lang + w_source + w_band)))), 6) AS match_p
-        |FROM w ORDER BY id_a, id_b""".stripMargin,
+      (fsWeightsCte +
+        """
+          |SELECT id_a, id_b, round(w_lang, 6) AS w_lang, round(w_source, 6) AS w_source,
+          |  round(w_band, 6) AS w_band,
+          |  round(w_lang + w_source + w_band, 6) AS match_weight,
+          |  round(1.0 / (1.0 + exp(-(ln(0.3::DOUBLE / (1.0 - 0.3::DOUBLE))
+          |    + (w_lang + w_source + w_band)))), 6) AS match_p
+          |FROM w ORDER BY id_a, id_b""".stripMargin),
     // waterfall: same weight CTEs as q_er_fs_score, unpivoted to one row
     // per evidence step with the left-assoc cumulative fold and sigmoid
     "q_er_fs_explain" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang, source, CAST(floor(n_chars / 20) AS BIGINT) AS band,
-        |         concat_ws('|', lang, CAST(floor(n_chars / 50) AS BIGINT)) AS key
-        |  FROM documents),
-        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |      FROM d a JOIN d b ON a.key = b.key AND a.doc_id < b.doc_id),
-        |ul AS (SELECT sum(n*n)::DOUBLE / (sum(n)::DOUBLE * sum(n)) AS u
-        |       FROM (SELECT count(*) AS n FROM d WHERE lang IS NOT NULL GROUP BY lang)),
-        |us AS (SELECT sum(n*n)::DOUBLE / (sum(n)::DOUBLE * sum(n)) AS u
-        |       FROM (SELECT count(*) AS n FROM d WHERE source IS NOT NULL GROUP BY source)),
-        |ub AS (SELECT sum(n*n)::DOUBLE / (sum(n)::DOUBLE * sum(n)) AS u
-        |       FROM (SELECT count(*) AS n FROM d WHERE band IS NOT NULL GROUP BY band)),
-        |tl AS (SELECT lang AS v, count(*)::DOUBLE / (SELECT count(*) FROM d WHERE lang IS NOT NULL) AS u
-        |       FROM d WHERE lang IS NOT NULL GROUP BY lang),
-        |ts AS (SELECT source AS v, count(*)::DOUBLE / (SELECT count(*) FROM d WHERE source IS NOT NULL) AS u
-        |       FROM d WHERE source IS NOT NULL GROUP BY source),
-        |tb AS (SELECT band AS v, count(*)::DOUBLE / (SELECT count(*) FROM d WHERE band IS NOT NULL) AS u
-        |       FROM d WHERE band IS NOT NULL GROUP BY band),
-        |w AS (
-        |  SELECT p.id_a, p.id_b,
-        |    CASE WHEN a.lang IS NULL OR b.lang IS NULL THEN 0.0
-        |         WHEN a.lang = b.lang THEN ln(0.95::DOUBLE / tl.u)
-        |         ELSE ln((1.0 - 0.95::DOUBLE) / (1.0 - ul.u)) END AS w_lang,
-        |    CASE WHEN a.source IS NULL OR b.source IS NULL THEN 0.0
-        |         WHEN a.source = b.source THEN ln(0.6::DOUBLE / ts.u)
-        |         ELSE ln((1.0 - 0.6::DOUBLE) / (1.0 - us.u)) END AS w_source,
-        |    CASE WHEN a.band IS NULL OR b.band IS NULL THEN 0.0
-        |         WHEN a.band = b.band THEN ln(0.85::DOUBLE / tb.u)
-        |         ELSE ln((1.0 - 0.85::DOUBLE) / (1.0 - ub.u)) END AS w_band
-        |  FROM p
-        |  JOIN d a ON a.doc_id = p.id_a
-        |  JOIN d b ON b.doc_id = p.id_b
-        |  LEFT JOIN tl ON tl.v = a.lang
-        |  LEFT JOIN ts ON ts.v = a.source
-        |  LEFT JOIN tb ON tb.v = a.band, ul, us, ub),
+      (fsWeightsCte +
+        """,
         |steps AS (
         |  SELECT id_a, id_b, 0 AS step, 'prior' AS field, 0.0 AS weight, 0.0 AS cum FROM w
         |  UNION ALL SELECT id_a, id_b, 1, 'lang', w_lang, w_lang FROM w
@@ -3049,7 +3017,7 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(step AS BIGINT) AS step, field,
         |  round(weight, 6) AS weight, round(cum, 6) AS cum_weight,
         |  round(1.0 / (1.0 + exp(-(ln(0.3::DOUBLE / (1.0 - 0.3::DOUBLE)) + cum))), 6) AS cum_p
-        |FROM steps ORDER BY id_a, id_b, step""".stripMargin,
+        |FROM steps ORDER BY id_a, id_b, step""".stripMargin),
     // dyadic-grid scores (k/16) make every sum exact in any order, so the
     // doubles ship unrounded; positives CAST (DuckDB sum -> HUGEINT trap)
     "q_eval_reliability" ->
@@ -4206,29 +4174,21 @@ object SparkEntry {
     // capture synthesis + argmax-by-ts replayed engine-free (ts are
     // distinct per url by construction, so the argmax is unambiguous)
     "q_rc_latest" ->
-      """WITH caps AS (
-        |  SELECT doc_id AS url,
-        |         1700000000 + u.c * 86400 + doc_id % 5 AS ts,
-        |         text || CASE WHEN doc_id % 4 = 0 AND u.c > 0
-        |                      THEN ' v' || CAST(u.c AS VARCHAR) ELSE '' END AS text
-        |  FROM documents, unnest(generate_series(0, doc_id % 3)) AS u(c)),
+      (recrawlCapsCte +
+        """,
         |latest AS (
         |  SELECT url, CAST(max(ts) AS BIGINT) AS warc_ts,
         |         list(text ORDER BY ts DESC)[1] AS text
         |  FROM caps GROUP BY url)
-        |SELECT url, warc_ts, sha256(text) AS sha FROM latest ORDER BY url""".stripMargin,
+        |SELECT url, warc_ts, sha256(text) AS sha FROM latest ORDER BY url""".stripMargin),
     "q_rc_census" ->
-      """WITH caps AS (
-        |  SELECT doc_id AS url,
-        |         1700000000 + u.c * 86400 + doc_id % 5 AS ts,
-        |         text || CASE WHEN doc_id % 4 = 0 AND u.c > 0
-        |                      THEN ' v' || CAST(u.c AS VARCHAR) ELSE '' END AS text
-        |  FROM documents, unnest(generate_series(0, doc_id % 3)) AS u(c))
+      (recrawlCapsCte +
+        """
         |SELECT url, CAST(count(*) AS BIGINT) AS n_captures,
         |       CAST(count(DISTINCT text) AS BIGINT) AS n_versions,
         |       CAST(min(ts) AS BIGINT) AS first_ts, CAST(max(ts) AS BIGINT) AS last_ts,
         |       count(DISTINCT text) = 1 AS stable
-        |FROM caps GROUP BY url ORDER BY url""".stripMargin,
+        |FROM caps GROUP BY url ORDER BY url""".stripMargin),
     // closure + diagnostics replayed engine-free; density is one exact
     // division, min/max select identically-computed rationals
     "q_er_cluster_diag" ->

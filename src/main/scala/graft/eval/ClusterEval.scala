@@ -115,24 +115,29 @@ object ClusterEval {
       .join(gold, "url")
       .groupBy("cluster_id", "gold_id")
       .agg(count(lit(1)).as("n_cg"))
+    // `div` (integral floor-division), not `/ 2`: Divide promotes to double,
+    // so a per-cell or marginal pair count past 2^53 would silently lose
+    // exactness — the documented contract is exact integer combinatorics
+    // down to the two final divisions (n(n-1) is always even, so div 2 is
+    // exact)
     val idx = cell.agg(
-      sum(col("n_cg") * (col("n_cg") - 1) / 2).cast("long").as("index"),
+      sum(expr("n_cg * (n_cg - 1) div 2")).cast("long").as("index"),
       sum(col("n_cg")).cast("long").as("n")
     )
     val aS = cell
       .groupBy("cluster_id")
       .agg(sum("n_cg").as("n_c"))
-      .agg(sum(col("n_c") * (col("n_c") - 1) / 2).cast("long").as("a"))
+      .agg(sum(expr("n_c * (n_c - 1) div 2")).cast("long").as("a"))
     val bS = cell
       .groupBy("gold_id")
       .agg(sum("n_cg").as("n_g"))
-      .agg(sum(col("n_g") * (col("n_g") - 1) / 2).cast("long").as("b"))
+      .agg(sum(expr("n_g * (n_g - 1) div 2")).cast("long").as("b"))
     idx
       .crossJoin(broadcast(aS))
       .crossJoin(broadcast(bS))
       .select(
         col("n").as("n_docs"),
-        (col("n") * (col("n") - 1) / 2).cast("long").as("np"),
+        expr("n * (n - 1) div 2").as("np"),
         col("index").cast("double").as("i"),
         col("a").cast("double").as("a"),
         col("b").cast("double").as("b")

@@ -82,7 +82,12 @@ object Normalize {
     val sortedQ = array_join(array_sort(kept), "&")
     val queryPart = when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ))
     val pathPart = when(path === "", lit("/")).otherwise(path)
-    when(instr(u, "://") === 0, u)
+    // the parse operates on noFrag, so the passthrough test must too: an
+    // input whose only "://" sits AFTER the '#' (e.g. "page.html#r=https://x")
+    // is not a URL this parser can see — checking `u` here would send it
+    // down the parse branch and emit garbage like "page.html://ge.html/"
+    // (the DuckDB oracle checks the fragment-stripped form)
+    when(instr(noFrag, "://") === 0, u)
       .otherwise(concat(scheme, lit("://"), host, portPart, pathPart, queryPart))
   }
 

@@ -267,9 +267,15 @@ object Blocker {
       .select(
         col("key"),
         n,
-        (n * (n - 1) / 2).cast("long").as("raw_pairs"),
+        // shiftright == div 2 for the always-even n(n-1): keeps the pair
+        // math in exact integer arithmetic (the `/ 2` Divide promotes to
+        // double, which silently loses exactness past 2^53 — and this
+        // census exists precisely to read the head blocks where that bites)
+        shiftright(n * (n - 1), 1).as("raw_pairs"),
         b.as("n_buckets"),
-        (lit(1L) * r * ((q + 1) * q / 2) + (b - r) * (q * (q - 1) / 2)).cast("long").as("capped_pairs")
+        (r * shiftright((q + 1) * q, 1) + (b - r) * shiftright(q * (q - 1), 1))
+          .cast("long")
+          .as("capped_pairs")
       )
       .orderBy(col("n").desc, col("key"))
       .limit(topN)

@@ -61,9 +61,16 @@ object FellegiSunter {
     */
   def uTable(docs: DataFrame, field: String): DataFrame = {
     val nn = docs.where(col(field).isNotNull)
-    val total = nn.count().toDouble
-    nn.groupBy(col(field).as("value"))
-      .agg((count(lit(1)) / lit(total)).as("u"))
+    // total rides the same aggregation output as the value counts (1-row
+    // broadcast cross join, the WEP/edges pattern) instead of a separate
+    // nn.count() — that count was a full extra corpus scan PER FIELD, and
+    // it made this frame eager; the division is the same IEEE
+    // long-over-long double either way
+    val counts = nn.groupBy(col(field).as("value")).agg(count(lit(1)).as("n_v"))
+    val total = counts.agg(sum(col("n_v")).as("n_tot"))
+    counts
+      .crossJoin(broadcast(total))
+      .select(col("value"), (col("n_v") / col("n_tot")).as("u"))
   }
 
   /** Score candidate pairs (id_a, id_b) against docs' fields. Adds, per

@@ -12,8 +12,12 @@ import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
   * scalar-only (arrays/maps/structs stay inside the library API; battery
   * rows canonicalize them — e.g. `array_join` — before emitting).
   *
-  * Schema resolution is lazy (no job runs), so this covers all queries in
-  * seconds against the sf0.001 parquet.
+  * Most queries resolve their schema lazily (no job runs), but NOT all:
+  * the streaming rows (q_stream_dedup, q_stream_link_finalize) and the
+  * iterative ones (CC / pivot / packSequences collect driver state at
+  * construction) execute real jobs before returning a frame — so this
+  * spec runs against the smallest fixture (sf0.001) and is the slow-ish
+  * full sweep, not a seconds-long schema check.
   */
 class BatterySchemaSpec extends SparkSpec {
 
