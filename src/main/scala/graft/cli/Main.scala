@@ -400,9 +400,21 @@ object Main {
           if (pages.columns.contains("url")) pages.select("url")
           else pages.select(col(pages.columns.head).as("url"))
         val emitChanged = opts.get("emit").contains("changed")
-        val r = IncrementalLinkage.remove(tombstones, basePred, index, cfg, reseq = !emitChanged)
+        // --window-refresh: honor sorted-neighborhood passes by re-ranking
+        // the surviving corpus (see IncrementalLinkage.remove's contract —
+        // for removal the refresh is exact under corpus-independent scorers)
+        val r = IncrementalLinkage.remove(
+          tombstones,
+          basePred,
+          index,
+          cfg,
+          reseq = !emitChanged,
+          windowRefresh = opts.get("window-refresh").contains("true")
+        )
         IncrementalLinkage.saveIndex(r.index, s"$output.index", strategyNames)
         r.removed.write.mode("overwrite").parquet(s"$output.tombstones")
+        r.mergeMap.write.mode("overwrite").parquet(s"$output.merges")
+        mergedClusters = Some(spark.read.parquet(s"$output.merges").count())
         releaseInc = r.release
         if (emitChanged) r.changed else r.predictions
       } else if (opts.contains("base")) {

@@ -491,6 +491,11 @@ object IncrementalLinkage {
       predictions: DataFrame,
       changed: DataFrame,
       removed: DataFrame,
+      /** old_cluster_id -> new_cluster_id for UNAFFECTED base clusters a
+        * window-refresh edge merged (empty without `windowRefresh`) — the
+        * downstream in-place-relabel map, as in [[Result.mergeMap]].
+        */
+      mergeMap: DataFrame,
       index: Index,
       release: () => Unit
   )
@@ -550,13 +555,26 @@ object IncrementalLinkage {
       basePredictions: DataFrame,
       index: Index,
       cfg: LinkagePipeline.Config = LinkagePipeline.Config(),
-      reseq: Boolean = true
+      reseq: Boolean = true,
+      windowRefresh: Boolean = false
   ): RemoveResult = {
+    // removal CHANGES window adjacency (a removed doc's rank-neighbors
+    // become adjacent — new pairs a rerun would score), so a plain removal
+    // cannot honor window passes. `windowRefresh` is the supported
+    // composition, and for removal it is stronger than link()'s: the
+    // post-removal SN pair set is computed DIRECTLY over the surviving
+    // corpus (two O(n log n) sorts per pass — survivor ranks + base ranks
+    // to identify newly-adjacent pairs), so under a corpus-independent
+    // scorer the result equals the full rerun with window passes EXACTLY,
+    // no append-order condition needed. New-adjacent edges may merge
+    // clusters removal never touched — those contract to their base
+    // cluster ids and relabel through the returned mergeMap.
     require(
-      cfg.windowPasses.isEmpty,
+      cfg.windowPasses.isEmpty || windowRefresh,
       "decremental linkage cannot honor sorted-neighborhood window passes " +
         "(removal makes a removed doc's rank-neighbors adjacent — new pairs " +
-        "a rerun would score); rerun in full for window configs"
+        "a rerun would score); pass windowRefresh (CLI --window-refresh) to " +
+        "re-rank the surviving corpus, or rerun in full"
     )
     val rm = removedUrls
       .select("url")
@@ -597,12 +615,62 @@ object IncrementalLinkage {
     val salted = Blocker.saltOversized(tagged, cfg.maxBlockSize)
     val sA = salted.where(col("is_m")).select(col("url").as("ua"), col("key"))
     val sB = salted.where(col("is_m")).select(col("url").as("ub"), col("key"))
-    val pairs = sA
+    val blockPairs = sA
       .join(sB, Seq("key"))
       .where(col("ua") < col("ub"))
       .select(col("ua").as("urlA"), col("ub").as("urlB"), col("key"))
       .groupBy("urlA", "urlB")
       .agg(min("key").as("key"))
+
+    // window-refresh pairs (pseudo-keys "sn:<i>:w<N>" as the full pipeline
+    // assigns): (a) ALL post-removal window pairs among affected-cluster
+    // survivors — those clusters re-cluster from scratch, so their window
+    // evidence must be rescored alongside the block pairs; (b) pairs
+    // adjacent AFTER removal but not before (both ranked survivors, the
+    // removed doc sat between them) ANYWHERE in the corpus — base never
+    // scored them. Base-adjacent pairs outside affected clusters keep
+    // their frozen base decision (accepted ones are encoded in the base
+    // cluster memberships; rejected ones stay rejected).
+    val windowPairs: Option[DataFrame] =
+      if (cfg.windowPasses.isEmpty) None
+      else {
+        val liveCorpus = basePredictions
+          .select("url", "text")
+          .join(rm, Seq("url"), "left_anti")
+        val post = cfg.windowPasses.zipWithIndex
+          .map { case ((sortExpr, w), i) =>
+            SortedNeighborhood
+              .pairs(liveCorpus, org.apache.spark.sql.functions.expr(sortExpr), w)
+              .withColumn("key", lit(s"sn:$i:w$w"))
+          }
+          .reduce(_ unionByName _)
+          .groupBy("urlA", "urlB")
+          .agg(min("key").as("key"))
+        val preAdj = cfg.windowPasses
+          .map { case (sortExpr, w) =>
+            SortedNeighborhood
+              .pairs(
+                basePredictions.select("url", "text"),
+                org.apache.spark.sql.functions.expr(sortExpr),
+                w
+              )
+              .select("urlA", "urlB")
+          }
+          .reduce(_ unionByName _)
+          .distinct()
+        val survUrls = survivors.select("url")
+        val affPost = post
+          .join(survUrls.select(col("url").as("urlA")), Seq("urlA"), "left_semi")
+          .join(survUrls.select(col("url").as("urlB")), Seq("urlB"), "left_semi")
+        val newAdj = post.join(preAdj, Seq("urlA", "urlB"), "left_anti")
+        Some(affPost.unionByName(newAdj).groupBy("urlA", "urlB").agg(min("key").as("key")))
+      }
+    val pairs = windowPairs match {
+      case None     => blockPairs
+      case Some(wp) =>
+        // min-key dedup across sources, mirroring the full pipeline
+        blockPairs.unionByName(wp).groupBy("urlA", "urlB").agg(min("key").as("key"))
+    }
 
     // exact reduced-corpus IDF: artifacts are additive, so subtracting the
     // removed docs' own stats (negated part) reproduces the rerun's table
@@ -615,8 +683,22 @@ object IncrementalLinkage {
       .agg(sum("df").as("df"))
       .where(col("df") > 0)
     val reducedN = index.idfDocs - rmN
+    // window-refresh edges can touch docs OUTSIDE affected clusters; their
+    // texts join the feature corpus (bounded by the new-adjacent pair set)
+    val scoreCorpus = windowPairs match {
+      case None => survivors
+      case Some(wp) =>
+        val extraUrls = wp
+          .select(col("urlA").as("url"))
+          .unionByName(wp.select(col("urlB").as("url")))
+          .distinct()
+          .join(survivors.select("url"), Seq("url"), "left_anti")
+        survivors.unionByName(
+          basePredictions.select("url", "text").join(extraUrls, Seq("url"), "left_semi")
+        )
+    }
     val (feats, releaseFeats) =
-      PairScorer.featuresWithIdf(survivors, Seq((reducedIdfDf, reducedN)))
+      PairScorer.featuresWithIdf(scoreCorpus, Seq((reducedIdfDf, reducedN)))
 
     val scored = PairScorer.score(pairs, feats, cfg.weights)
     val accepted = PairScorer.threshold(scored, cfg.weights, cfg.perKeyThresholds)
@@ -631,11 +713,21 @@ object IncrementalLinkage {
       cfg.checkpointDir
         .map(d => graft.util.Checkpoints.reliable(s"$d/rm-cc", keepLast = 2))
         .getOrElse(LinkagePipeline.checkpointed)
-    val comp = ConnectedComponents.run(
-      acceptedCk.select(col("urlA").as("src"), col("urlB").as("dst")),
-      cfg.maxCcIterations,
-      ccSnapshot
-    )
+    // endpoints outside affected clusters (window-refresh merges) contract
+    // to their base cluster ids; affected-cluster survivors stay
+    // member-level (their clusters re-form from scratch). Restricting the
+    // contraction frame to edge endpoints keeps it O(affected + new edges).
+    val edgeUrls = acceptedCk
+      .select(col("urlA").as("url"))
+      .unionByName(acceptedCk.select(col("urlB").as("url")))
+      .distinct()
+    val unaffectedAssign = basePredictions
+      .select("url", "cluster_id")
+      .join(affected, Seq("cluster_id"), "left_anti")
+      .join(edgeUrls, Seq("url"), "left_semi")
+    val Clusters(comp, mergeMap0) =
+      contractAndCluster(acceptedCk, unaffectedAssign, cfg.maxCcIterations, ccSnapshot)
+    val mergeMap = LinkagePipeline.checkpointed(mergeMap0)
     val bestNew = acceptedCk
       .select(col("urlA").as("url"), col("score"))
       .unionAll(acceptedCk.select(col("urlB").as("url"), col("score")))
@@ -655,6 +747,21 @@ object IncrementalLinkage {
     val untouched = basePredictions
       .select("url", "cluster_id", "score", "status", "text")
       .join(affected, Seq("cluster_id"), "left_anti")
+      .join(
+        broadcast(mergeMap.select(col("old_cluster_id").as("cluster_id"), col("new_cluster_id"))),
+        Seq("cluster_id"),
+        "left"
+      )
+      .join(bestNew, Seq("url"), "left")
+      .select(
+        col("url"),
+        coalesce(col("new_cluster_id"), col("cluster_id")).as("cluster_id"),
+        greatest(col("score"), col("new_score")).as("score"),
+        when(col("new_score").isNotNull || col("status") === "linked", "linked")
+          .otherwise("nil")
+          .as("status"),
+        col("text")
+      )
     val updatedAll = untouched.unionByName(recomputed)
     val predictions =
       if (reseq) LinkagePipeline.withDeterministicSeq(updatedAll, "url")
@@ -670,7 +777,7 @@ object IncrementalLinkage {
         col("score").as("b_score"),
         col("status").as("b_status")
       )
-    val changed = recomputed
+    val changedAffected = recomputed
       .join(baseNarrow, Seq("url"))
       .where(
         col("cluster_id") =!= col("b_cluster") ||
@@ -685,6 +792,27 @@ object IncrementalLinkage {
         lit(null).cast("string").as("text"),
         lit(null).cast("long").as("seq")
       )
+    // unaffected rows a window-refresh merge relabeled or rescored (empty
+    // without windowRefresh): narrow scan, map-side broadcast filters
+    val changedOld = basePredictions
+      .select("url", "cluster_id", "score", "status")
+      .join(affected, Seq("cluster_id"), "left_anti")
+      .join(
+        broadcast(mergeMap.select(col("old_cluster_id").as("cluster_id"), col("new_cluster_id"))),
+        Seq("cluster_id"),
+        "left"
+      )
+      .join(bestNew, Seq("url"), "left")
+      .where(col("new_cluster_id").isNotNull || col("new_score").isNotNull)
+      .select(
+        col("url"),
+        coalesce(col("new_cluster_id"), col("cluster_id")).as("cluster_id"),
+        greatest(col("score"), col("new_score")).as("score"),
+        when(col("new_score").isNotNull, "linked").otherwise(col("status")).as("status"),
+        lit(null).cast("string").as("text"),
+        lit(null).cast("long").as("seq")
+      )
+    val changed = changedAffected.unionByName(changedOld)
 
     val nextIndex = Index(
       index.keys.join(rm, Seq("url"), "left_anti"),
@@ -695,6 +823,7 @@ object IncrementalLinkage {
       predictions,
       changed,
       rm,
+      mergeMap,
       nextIndex,
       () => { rm.unpersist(false); survivors.unpersist(false); () }
     )

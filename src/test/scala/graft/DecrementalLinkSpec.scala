@@ -99,6 +99,73 @@ class DecrementalLinkSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("window-refresh removal: new adjacencies link, affected window links survive, == rerun") {
+    // canonical-url blocking only (every url its own block -> zero key
+    // pairs): windows are the ONLY link source, so removal MUST create new
+    // rank adjacencies. Three regimes in one corpus:
+    //   a0 junk a2   — removing the junk doc makes two similar singletons
+    //                  adjacent: a brand-new link between UNAFFECTED docs
+    //   b0~b1 junk b3~b4 — removing the junk bridge makes b1/b3 adjacent:
+    //                  two unaffected multi-doc clusters MERGE (mergeMap +
+    //                  in-place relabel path)
+    //   c0~c1~c2     — removing c2 from a window-linked cluster: the
+    //                  surviving window link must be rescored and kept
+    def words(seed: Int): String =
+      (0 until 60).map(i => f"w${(seed * 31 + i * 7) % 9973}%04d").mkString(" ")
+    def tweak(t: String, k: Int): String = t.replaceFirst(s"w$k", s"x$k")
+    val simA = words(1000)
+    val simB = words(2000)
+    val simC = words(3000)
+    val docs = Seq(
+      "a0" -> simA,
+      "a1" -> words(1),
+      "a2" -> tweak(simA, 0),
+      "b0" -> simB,
+      "b1" -> tweak(simB, 0),
+      "b2" -> words(2),
+      "b3" -> tweak(simB, 1),
+      "b4" -> tweak(tweak(simB, 1), 2),
+      "c0" -> simC,
+      "c1" -> tweak(simC, 0),
+      "c2" -> tweak(simC, 1)
+    ).toDF("url", "text").cache()
+    val rm = Seq("a1", "b2", "c2").toDF("url")
+
+    val pipeCfg = LinkagePipeline.Config(
+      strategies = Seq(graft.operators.CanonicalUrlBlocking),
+      windowPasses = Seq(("url", 2))
+    )
+    val basePred = LinkagePipeline.run(docs, pipeCfg).cache()
+    // precondition: base has {b0,b1}, {b3,b4}, {c0,c1,c2} linked; a0/a2 nil
+    val baseBy = basePred.select("url", "cluster_id").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(baseBy("b0") == baseBy("b1") && baseBy("b3") == baseBy("b4") && baseBy("b1") != baseBy("b3"))
+    assert(baseBy("c0") == baseBy("c1") && baseBy("c1") == baseBy("c2"))
+    assert(baseBy("a0") != baseBy("a2"))
+
+    val index = IncrementalLinkage.buildIndex(docs, pipeCfg)
+    // without the flag the composition refuses loudly
+    intercept[IllegalArgumentException](
+      IncrementalLinkage.remove(rm, basePred, index, pipeCfg)
+    )
+    val out = IncrementalLinkage.remove(rm, basePred, index, pipeCfg, windowRefresh = true)
+
+    val rerun = LinkagePipeline.run(docs.join(rm, Seq("url"), "left_anti"), pipeCfg)
+    val cols = Seq("url", "cluster_id", "status", "seq")
+    val want = rerun.select(cols.map(col): _*).orderBy("url").collect()
+    val got = out.predictions.select(cols.map(col): _*).orderBy("url").collect()
+    assert(want.length == got.length, s"row counts differ: rerun=${want.length} rm=${got.length}")
+    want.zip(got).foreach { case (a, b) => assert(a == b, s"row differs:\n rerun=$a\n rm   =$b") }
+
+    val by = got.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(by("a0") == by("a2"), "new adjacency across the removed doc must link")
+    assert(by("b0") == by("b4"), "unaffected clusters bridged by a new adjacency must merge")
+    assert(by("c0") == by("c1"), "surviving window link inside the affected cluster lost")
+    // the merge relabeled {b3,b4} onto the surviving min label
+    val merges = out.mergeMap.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(merges.contains((baseBy("b3"), by("b0"))), s"mergeMap missing b-cluster merge: $merges")
+    out.release()
+  }
+
   test("unknown urls are a no-op; removing nothing returns the base store") {
     val pipeCfg = LinkagePipeline.Config()
     val basePred = LinkagePipeline.run(pages, pipeCfg).cache()
