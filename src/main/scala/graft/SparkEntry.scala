@@ -1109,6 +1109,27 @@ object SparkEntry {
       // capture count, DISTINCT text versions, span, stability flag
       graft.operators.Recrawl.changeCensus(recrawlCaps(s, dir)).orderBy("url")
     }),
+    "q_er_mutual_best" -> ((s, dir) => {
+      // one-to-one assignment (symmetric best match, single round) over
+      // lev-scored block pairs: each doc pairs with its best partner only
+      // if the preference is MUTUAL (ties -> smaller partner id). Lev
+      // ratios are exact rationals, so each engine's argmax selection
+      // replays identically; the oracle recomputes the round engine-free.
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        substring(col("text"), 1, 40).as("frag"),
+        concat_ws("|", col("lang"), floor(col("n_chars") / 50).cast("long")).as("key")
+      )
+      val pr = d
+        .select(col("doc_id").as("u"), col("key"), col("frag").as("fa"))
+        .join(d.select(col("doc_id").as("v"), col("key"), col("frag").as("fb")), Seq("key"))
+        .where(col("u") < col("v"))
+        .select(col("u"), col("v"), Normalize.levRatio(col("fa"), col("fb")).as("score"))
+      graft.operators.Assignment
+        .matchRound(pr)
+        .select(col("u").as("id_a"), col("v").as("id_b"), round(col("score"), 6).as("score"))
+        .orderBy("id_a")
+    }),
     "q_er_cluster_diag" -> ((s, dir) => {
       // per-cluster over-merge audit (ClusterEval.diagnostics) over the
       // symbolic lev-ratio pipeline: n_members / n_edges / density /
@@ -4189,6 +4210,30 @@ object SparkEntry {
         |       CAST(min(ts) AS BIGINT) AS first_ts, CAST(max(ts) AS BIGINT) AS last_ts,
         |       count(DISTINCT text) = 1 AS stable
         |FROM caps GROUP BY url ORDER BY url""".stripMargin),
+    // symmetric-best-match round replayed engine-free: per-node argmax on
+    // exact-rational lev scores, min-partner tie-break, mutuality join
+    "q_er_mutual_best" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS frag,
+        |         concat_ws('|', lang, CAST(floor(n_chars / 50) AS BIGINT)) AS key
+        |  FROM documents),
+        |pr AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v,
+        |    CASE WHEN greatest(length(a.frag), length(b.frag)) = 0 THEN 1.0
+        |         ELSE 1.0 - levenshtein(a.frag, b.frag)::DOUBLE /
+        |              greatest(length(a.frag), length(b.frag)) END AS score
+        |  FROM d a JOIN d b ON a.key = b.key AND a.doc_id < b.doc_id),
+        |dir AS (SELECT u, v, score FROM pr UNION ALL SELECT v, u, score FROM pr),
+        |bs AS (SELECT u, max(score) AS best_s FROM dir GROUP BY u),
+        |best AS (
+        |  SELECT dir.u, min(dir.v) AS bp
+        |  FROM dir JOIN bs ON bs.u = dir.u AND dir.score = bs.best_s GROUP BY dir.u),
+        |m AS (
+        |  SELECT x.u AS id_a, x.bp AS id_b FROM best x JOIN best y
+        |  ON x.bp = y.u AND y.bp = x.u AND x.u < x.bp)
+        |SELECT m.id_a, m.id_b, round(pr.score, 6) AS score
+        |FROM m JOIN pr ON pr.u = m.id_a AND pr.v = m.id_b
+        |ORDER BY id_a""".stripMargin,
     // closure + diagnostics replayed engine-free; density is one exact
     // division, min/max select identically-computed rationals
     "q_er_cluster_diag" ->
