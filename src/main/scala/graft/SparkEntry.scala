@@ -1109,6 +1109,28 @@ object SparkEntry {
       // capture count, DISTINCT text versions, span, stability flag
       graft.operators.Recrawl.changeCensus(recrawlCaps(s, dir)).orderBy("url")
     }),
+    "q_er_link_tables" -> ((s, dir) => {
+      // two-table link_only: A = even doc_ids, B = odd; cross-table-only
+      // candidate pairs through LinkTables.candidatePairs (intra-table
+      // pairs are never generated), lev-ratio accept at 0.3 — the oracle
+      // replays the cross join + kernel engine-free
+      val d = t(s, dir, "documents").select(
+        col("doc_id"),
+        substring(col("text"), 1, 40).as("frag"),
+        concat_ws("|", col("lang"), floor(col("n_chars") / 50).cast("long")).as("key")
+      )
+      val ka = d.where(pmod(col("doc_id"), lit(2)) === 0).select(col("doc_id").as("url"), col("key"))
+      val kb = d.where(pmod(col("doc_id"), lit(2)) === 1).select(col("doc_id").as("url"), col("key"))
+      val frags = d.select(col("doc_id"), col("frag"))
+      graft.operators.LinkTables
+        .candidatePairs(ka, kb, maxBlockSize = 100000)
+        .join(frags.select(col("doc_id").as("url_a"), col("frag").as("fa")), "url_a")
+        .join(frags.select(col("doc_id").as("url_b"), col("frag").as("fb")), "url_b")
+        .select(col("url_a"), col("url_b"), Normalize.levRatio(col("fa"), col("fb")).as("score"))
+        .where(col("score") >= 0.3)
+        .select(col("url_a"), col("url_b"), round(col("score"), 6).as("score"))
+        .orderBy("url_a", "url_b")
+    }),
     "q_er_mutual_best" -> ((s, dir) => {
       // one-to-one assignment (symmetric best match, single round) over
       // lev-scored block pairs: each doc pairs with its best partner only
@@ -4210,6 +4232,21 @@ object SparkEntry {
         |       CAST(min(ts) AS BIGINT) AS first_ts, CAST(max(ts) AS BIGINT) AS last_ts,
         |       count(DISTINCT text) = 1 AS stable
         |FROM caps GROUP BY url ORDER BY url""".stripMargin),
+    // cross-table-only pair generation + lev accept replayed engine-free
+    "q_er_link_tables" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS frag,
+        |         concat_ws('|', lang, CAST(floor(n_chars / 50) AS BIGINT)) AS key
+        |  FROM documents)
+        |SELECT a.doc_id AS url_a, b.doc_id AS url_b,
+        |  round(CASE WHEN greatest(length(a.frag), length(b.frag)) = 0 THEN 1.0
+        |        ELSE 1.0 - levenshtein(a.frag, b.frag)::DOUBLE /
+        |             greatest(length(a.frag), length(b.frag)) END, 6) AS score
+        |FROM d a JOIN d b ON a.key = b.key AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |WHERE (CASE WHEN greatest(length(a.frag), length(b.frag)) = 0 THEN 1.0
+        |       ELSE 1.0 - levenshtein(a.frag, b.frag)::DOUBLE /
+        |            greatest(length(a.frag), length(b.frag)) END) >= 0.3
+        |ORDER BY url_a, url_b""".stripMargin,
     // symmetric-best-match round replayed engine-free: per-node argmax on
     // exact-rational lev scores, min-partner tie-break, mutuality join
     "q_er_mutual_best" ->
