@@ -42,6 +42,11 @@ import graft.synth.WebCorpus
   *                           reduced predictions, <output>.tombstones and a
   *                           compacted <output>.index (--emit changed writes
   *                           the upsert view instead of the full store)
+  *     [--link-to <dir>]     LINK_ONLY: link --input (table A) against the
+  *                           (url, text) parquet at <dir> (table B) with
+  *                           cross-table-only candidates; writes accepted
+  *                           links (url_a, url_b, key, score);
+  *                           --one-to-one true reduces them to a matching
   */
 object Main {
 
@@ -373,6 +378,14 @@ object Main {
         // hermetic all-NIL pass with the full output schema, zero scoring
         // (reference dry-run, app/services/linker.py:100-123,742-839)
         LinkagePipeline.dryRun(pages)
+      } else if (opts.contains("link-to")) {
+        // LINK_ONLY: reconcile table A (--input) against table B
+        // (--link-to) — cross-table candidates only, no clustering; the
+        // output is the accepted LINK set, not a prediction store
+        require(!opts.contains("base") && !opts.contains("snapshots"),
+          "--link-to is a one-shot link_only run; it composes with neither --base nor --snapshots")
+        val b = spark.read.parquet(opts("link-to"))
+        LinkTables.run(pages, b, cfg, oneToOne = opts.get("one-to-one").contains("true"))
       } else if (opts.get("remove").contains("true")) {
         // DECREMENTAL: delete the tombstone urls from a committed base run
         // in O(removed + affected clusters) — affected clusters re-cluster
@@ -527,8 +540,13 @@ object Main {
           .parquet(goldenPath)
       }
       val nDocs = out.count()
-      val nClusters = out.select("cluster_id").distinct().count()
-      val nLinked = out.where(col("status") === "linked").count()
+      // link_only output is a LINK frame (url_a, url_b, key, score) — no
+      // cluster/status columns; report link-shaped counts instead
+      val linkMode = opts.contains("link-to")
+      val nClusters =
+        if (linkMode) out.select("url_a").distinct().count()
+        else out.select("cluster_id").distinct().count()
+      val nLinked = if (linkMode) nDocs else out.where(col("status") === "linked").count()
       val monitorJson =
         if (opts.get("monitor").contains("true")) {
           val cores = spark.sparkContext.defaultParallelism

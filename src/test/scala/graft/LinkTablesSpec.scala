@@ -48,6 +48,24 @@ class LinkTablesSpec extends SparkSpec {
     assert(one.columns.contains("round"))
   }
 
+  test("CLI --link-to drives link_only end-to-end and writes the link frame") {
+    def words(seed: Int): String =
+      (0 until 40).map(i => f"w${(seed * 31 + i * 7) % 997}%03d").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-linkto").toString
+    Seq(("a1", words(10)), ("a2", words(20)))
+      .toDF("url", "text").write.mode("overwrite").parquet(s"$tmp/a")
+    Seq(("b1", words(10).replaceFirst("w0", "x0")), ("b2", words(30)))
+      .toDF("url", "text").write.mode("overwrite").parquet(s"$tmp/b")
+    graft.cli.Main.run(
+      spark,
+      Map("input" -> s"$tmp/a", "output" -> s"$tmp/links", "link-to" -> s"$tmp/b", "one-to-one" -> "true")
+    )
+    val links = spark.read.parquet(s"$tmp/links")
+    assert(links.columns.toSeq === Seq("url_a", "url_b", "key", "score", "round"))
+    val got = links.select("url_a", "url_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(("a1", "b1")), s"got $got")
+  }
+
   test("run refuses window passes (rank windows interleave the tables)") {
     val a = Seq(("a1", "x")).toDF("url", "text")
     val b = Seq(("b1", "y")).toDF("url", "text")
