@@ -584,13 +584,20 @@ object IncrementalLinkage {
       .join(basePredictions.select("url"), Seq("url"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
+    // affected is tiny (distinct cluster ids of the tombstones), members
+    // O(affected) — both are re-read 3x downstream (survivors/hot keys/
+    // baseNarrow; untouched/changedOld anti-joins), so persisting them
+    // turns three narrow basePredictions scans each into one (measured:
+    // the 10x-base probe leg, tools/RemoveProbe)
     val affected = basePredictions
       .join(rm, Seq("url"), "left_semi")
       .select("cluster_id")
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val members = basePredictions
       .select("url", "cluster_id", "score", "status", "text")
       .join(affected, Seq("cluster_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val survivors = members
       .join(rm, Seq("url"), "left_anti")
       .select("url", "text")
@@ -825,7 +832,11 @@ object IncrementalLinkage {
       rm,
       mergeMap,
       nextIndex,
-      () => { rm.unpersist(false); survivors.unpersist(false); () }
+      () => {
+        rm.unpersist(false); survivors.unpersist(false)
+        affected.unpersist(false); members.unpersist(false)
+        ()
+      }
     )
   }
 }
