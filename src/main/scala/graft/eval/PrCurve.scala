@@ -83,4 +83,18 @@ object PrCurve {
         round(sum((col("recall") - col("prev_recall")) * col("precision")), 6).as("ap")
       )
   }
+
+  /** Operating-point pick from a [[sweep]]: the max-F1 row, ties broken
+    * toward the HIGHER threshold (the more precise of two equal-F1
+    * points). Returns (threshold, precision, recall, f1) with threshold =
+    * thr_bucket / granularity. Driver-side max over the ≤granularity-row
+    * sweep frame — nothing data-sized moves.
+    */
+  def bestThreshold(sweepDf: DataFrame, granularity: Int = 100): (Double, Double, Double, Double) = {
+    require(granularity > 0, s"granularity must be positive, got $granularity")
+    val rows = sweepDf.select("thr_bucket", "precision", "recall", "f1").collect()
+    require(rows.nonEmpty, "bestThreshold on an empty sweep (no non-null scores)")
+    val best = rows.maxBy(r => (r.getDouble(3), r.getLong(0)))
+    (best.getLong(0).toDouble / granularity, best.getDouble(1), best.getDouble(2), best.getDouble(3))
+  }
 }

@@ -47,4 +47,19 @@ class PrCurveSpec extends SparkSpec {
     val expected = (1.0 / 3) * 0.5 + (1.0 / 3) * (2.0 / 3) + (1.0 / 3) * 0.6
     assert(math.abs(row._3 - expected) < 1e-3, s"ap=${row._3} vs $expected")
   }
+
+  test("bestThreshold: max-F1 row, ties prefer the higher threshold") {
+    import spark.implicits._
+    // scores 0.9/0.8 positive, 0.2 negative: any threshold in (0.2, 0.8]
+    // has F1=1; the picker must return the HIGHEST such bucket (0.8)
+    val d = Seq((0.9, true), (0.8, true), (0.2, false)).toDF("score", "label")
+    val (thr, p1, r1, f1) = graft.eval.PrCurve.bestThreshold(
+      graft.eval.PrCurve.sweep(d, "score", "label", 100))
+    assert(thr === 0.8 && p1 === 1.0 && r1 === 1.0 && f1 === 1.0)
+    // degenerate: empty sweep refuses loudly
+    intercept[IllegalArgumentException] {
+      graft.eval.PrCurve.bestThreshold(
+        graft.eval.PrCurve.sweep(d.where($"score" > 2), "score", "label", 100))
+    }
+  }
 }
