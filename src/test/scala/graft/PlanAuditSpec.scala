@@ -75,7 +75,15 @@ class PlanAuditSpec extends SparkSpec {
         "q_er_active",
         "q_er_survivorship",
         "q_er_fs_levels",
-        "q_er_dl_score"
+        "q_er_dl_score",
+        // session-2 additions: the decremental theorem row, the matching
+        // round, cross-table link_only, the skew census and diagnostics
+        "q_inc_unlink",
+        "q_er_mutual_best",
+        "q_er_link_tables",
+        "q_er_skew_census",
+        "q_er_cluster_diag",
+        "q_rc_latest"
       )
     ) {
       val q = graft.SparkEntry.queries(name)(spark, sf)
