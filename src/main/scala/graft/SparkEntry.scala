@@ -14,6 +14,21 @@ import graft.pipeline.LinkagePipeline
   */
 object SparkEntry {
 
+  /** Round-robin fan-out of a small base frame to the session's core count.
+    * The battery tables are single-row-group parquet files: they scan as
+    * ONE partition, and because the pair-join sides broadcast at these
+    * sizes, the expensive per-pair/per-row kernel work downstream never
+    * crosses an exchange and would run inside that single scan task
+    * (measured: q_er_mutual_best's 315k-pair lev stage spent 4.4 s on one
+    * core). Guide §2.5's "repartition immediately after the read" case.
+    * Scale-adaptive (defaultParallelism), never a literal constant; cost
+    * is one tiny shuffle of the base rows. Production-scale inputs scan
+    * wide and take their parallelism from real exchanges — hence this
+    * lives at the query layer, not inside operators.
+    */
+  private def fan(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -91,12 +106,14 @@ object SparkEntry {
     */
   private def fsScoredPairs(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.FellegiSunter
-    val d = t(s, dir, "documents").select(
-      col("doc_id"),
-      col("lang"),
-      col("source"),
-      floor(col("n_chars") / 20).cast("long").as("band"),
-      concat_ws("|", col("lang"), floor(col("n_chars") / 50).cast("long")).as("key")
+    val d = fan(
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        col("lang"),
+        col("source"),
+        floor(col("n_chars") / 20).cast("long").as("band"),
+        concat_ws("|", col("lang"), floor(col("n_chars") / 50).cast("long")).as("key")
+      )
     )
     val pairs = d
       .select(col("doc_id").as("id_a"), col("key"))
@@ -1012,7 +1029,7 @@ object SparkEntry {
         .orderBy("dup_key")
     }),
     "q_er_lev_score" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select(col("doc_id"), substring(col("text"), 1, 60).as("frag"))
+      val d = fan(t(s, dir, "documents").select(col("doc_id"), substring(col("text"), 1, 60).as("frag")))
       val a = d.select(col("doc_id").as("id_a"), col("frag").as("frag_a"))
       val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("frag").as("frag_b"))
       a.join(b, "id_a")
@@ -1113,7 +1130,10 @@ object SparkEntry {
       // two-table link_only: A = even doc_ids, B = odd; cross-table-only
       // candidate pairs through LinkTables.candidatePairs (intra-table
       // pairs are never generated), lev-ratio accept at 0.3 — the oracle
-      // replays the cross join + kernel engine-free
+      // replays the cross join + kernel engine-free. NOT fan()ed: unlike
+      // q_er_mutual_best (same base shape, kernel-stage-bound, 8.0 -> 1.4 s
+      // with fan), this query's lev runs after candidatePairs' groupBy
+      // exchange — fan only added per-stage task overhead (measured +0.8 s)
       val d = t(s, dir, "documents").select(
         col("doc_id"),
         substring(col("text"), 1, 40).as("frag"),
@@ -1137,10 +1157,12 @@ object SparkEntry {
       // if the preference is MUTUAL (ties -> smaller partner id). Lev
       // ratios are exact rationals, so each engine's argmax selection
       // replays identically; the oracle recomputes the round engine-free.
-      val d = t(s, dir, "documents").select(
-        col("doc_id"),
-        substring(col("text"), 1, 40).as("frag"),
-        concat_ws("|", col("lang"), floor(col("n_chars") / 50).cast("long")).as("key")
+      val d = fan(
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          substring(col("text"), 1, 40).as("frag"),
+          concat_ws("|", col("lang"), floor(col("n_chars") / 50).cast("long")).as("key")
+        )
       )
       val pr = d
         .select(col("doc_id").as("u"), col("key"), col("frag").as("fa"))
@@ -1176,12 +1198,17 @@ object SparkEntry {
           )
         )
       val texts = pages.select("url", "text")
-      val accepted = graft.operators.Blocker
-        .pairs(keys, maxBlockSize = 100000)
-        .join(texts.select(col("url").as("urlA"), col("text").as("t_a")), "urlA")
-        .join(texts.select(col("url").as("urlB"), col("text").as("t_b")), "urlB")
-        .select(col("urlA"), col("urlB"), Normalize.levRatio(col("t_a"), col("t_b")).as("score"))
-        .where(col("score") >= 0.4)
+      // one materialization of the scored edge set: CC and the diagnostics
+      // pass both consume it (recomputing the quadratic lev join twice
+      // dominated this query's wall)
+      val accepted = graft.util.Checkpoints.serializedLocal(
+        graft.operators.Blocker
+          .pairs(keys, maxBlockSize = 100000)
+          .join(texts.select(col("url").as("urlA"), col("text").as("t_a")), "urlA")
+          .join(texts.select(col("url").as("urlB"), col("text").as("t_b")), "urlB")
+          .select(col("urlA"), col("urlB"), Normalize.levRatio(col("t_a"), col("t_b")).as("score"))
+          .where(col("score") >= 0.4)
+      )
       val clusters = graft.operators.ConnectedComponents.run(
         accepted.select(col("urlA").as("src"), col("urlB").as("dst"))
       )
@@ -1368,11 +1395,17 @@ object SparkEntry {
       )
       val texts = pages.select(col("url"), col("text"))
       val pairs = graft.operators.Blocker.pairs(k1.unionAll(k2), maxBlockSize = 4)
-      val accepted = pairs
-        .join(texts.select(col("url").as("urlA"), col("text").as("t_a")), "urlA")
-        .join(texts.select(col("url").as("urlB"), col("text").as("t_b")), "urlB")
-        .select(col("urlA"), col("urlB"), Normalize.levRatio(col("t_a"), col("t_b")).as("score"))
-        .where(col("score") >= 0.4)
+      // materialize the scored edge set ONCE (the production run()'s
+      // acceptedCk move): CC and assemblePredictions (which itself reads
+      // accepted twice for bestScore) would otherwise each recompute the
+      // quadratic pair join + lev kernel
+      val accepted = graft.util.Checkpoints.serializedLocal(
+        pairs
+          .join(texts.select(col("url").as("urlA"), col("text").as("t_a")), "urlA")
+          .join(texts.select(col("url").as("urlB"), col("text").as("t_b")), "urlB")
+          .select(col("urlA"), col("urlB"), Normalize.levRatio(col("t_a"), col("t_b")).as("score"))
+          .where(col("score") >= 0.4)
+      )
       val clusters = graft.operators.ConnectedComponents.run(
         accepted.select(col("urlA").as("src"), col("urlB").as("dst"))
       )
@@ -1424,20 +1457,28 @@ object SparkEntry {
       val baseClusters = graft.operators.ConnectedComponents.run(
         baseAcc.select(col("urlA").as("src"), col("urlB").as("dst"))
       )
-      val baseAssign = base
-        .select("url")
-        .join(baseClusters, Seq("url"), "left")
-        .select(
-          col("url"),
-          coalesce(col("cluster_id"), col("url")).as("cluster_id"),
-          col("cluster_id").isNotNull.as("base_linked")
-        )
+      // snapshot: read twice (contractAndCluster + the oldOut relabel) —
+      // without it each reference replays the base CC map-back joins
+      val baseAssign = graft.util.Checkpoints.serializedLocal(
+        base
+          .select("url")
+          .join(baseClusters, Seq("url"), "left")
+          .select(
+            col("url"),
+            coalesce(col("cluster_id"), col("url")).as("cluster_id"),
+            col("cluster_id").isNotNull.as("base_linked")
+          )
+      )
 
       // ---- incremental step ----
       val deltaKeys = keysOf(delta)
       val oldHot = baseKeys.join(deltaKeys.select("key").distinct(), Seq("key"), "left_semi")
-      val accInc = levAccept(
-        graft.operators.IncrementalLinkage.candidatePairs(deltaKeys, oldHot, maxBlockSize = 100000)
+      // snapshot: consumed by contractAndCluster AND the touched-url set —
+      // un-materialized, the delta pair join + lev kernel would run twice
+      val accInc = graft.util.Checkpoints.serializedLocal(
+        levAccept(
+          graft.operators.IncrementalLinkage.candidatePairs(deltaKeys, oldHot, maxBlockSize = 100000)
+        )
       )
       val cl = graft.operators.IncrementalLinkage
         .contractAndCluster(accInc, baseAssign.select("url", "cluster_id"))
@@ -1508,9 +1549,14 @@ object SparkEntry {
       // removal's survivor-pair rescore recomputes)
       val (idfDf, nDocs) = PairScorer.idfArtifact(texts)
       val (feats, releaseFeats) = PairScorer.featuresWithIdf(texts, Seq((idfDf, nDocs)))
-      val accepted = PairScorer.threshold(
-        PairScorer.score(Blocker.pairs(keys, maxBlockSize = 100000), feats, W),
-        W
+      // one materialization of the scored edge set (the production run()'s
+      // acceptedCk move): CC and assemblePredictions otherwise each replay
+      // the pair join + all three scoring kernels
+      val accepted = graft.util.Checkpoints.serializedLocal(
+        PairScorer.threshold(
+          PairScorer.score(Blocker.pairs(keys, maxBlockSize = 100000), feats, W),
+          W
+        )
       )
       val clusters = ConnectedComponents.run(
         accepted.select(col("urlA").as("src"), col("urlB").as("dst"))
@@ -1545,9 +1591,11 @@ object SparkEntry {
     }),
     "q_dd_minhash_pairs" -> ((s, dir) => {
       // MinHash-LSH candidate pairs over documents (custom expression; rows-only)
-      val d = t(s, dir, "documents").select(
-        concat(lit("doc:"), lpad(col("doc_id").cast("string"), 6, "0")).as("url"),
-        col("text")
+      val d = fan(
+        t(s, dir, "documents").select(
+          concat(lit("doc:"), lpad(col("doc_id").cast("string"), 6, "0")).as("url"),
+          col("text")
+        )
       )
       Blocker
         .pairs(MinHashBlocking(3, 16, 8).keys(d).select("url", "key"), 1000)
@@ -1606,36 +1654,48 @@ object SparkEntry {
       val boiler = "this fixed boilerplate sentence repeats across many pages and contains " +
         "exactly thirty distinct common words so the quality gate accepts every copy while " +
         "exact dedup must collapse them to one"
-      val src = t(s, dir, "documents").select(
-        col("doc_id"),
-        when(pmod(col("doc_id"), lit(11)) === 0, lit(boiler)).otherwise(col("text")).as("raw")
+      val src = fan(
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          when(pmod(col("doc_id"), lit(11)) === 0, lit(boiler)).otherwise(col("text")).as("raw")
+        )
       )
-      // stage 1: extraction from the binary page
-      val pages = src.select(
-        col("doc_id"),
-        graft.operators.TextAnalysis
-          .htmlText(encode(concat(lit("<body><p>"), col("raw"), lit("</p></body>")), "UTF-8"))
-          .as("text")
+      // stage 1: extraction from the binary page. Materialized once: every
+      // downstream stage references its predecessor 2-3x (gate join-back,
+      // dedup join-back, spanDedup's 3 base reads), so un-materialized the
+      // regex-chain extraction re-ran multiplicatively (~8x) through the
+      // chain.
+      val pages = graft.util.Checkpoints.serializedLocal(
+        src.select(
+          col("doc_id"),
+          graft.operators.TextAnalysis
+            .htmlText(encode(concat(lit("<body><p>"), col("raw"), lit("</p></body>")), "UTF-8"))
+            .as("text")
+        )
       )
       // stage 2: quality gate — only keepers continue
-      val gated = graft.operators.Curation
-        .qualityGate(
-          pages.select(col("doc_id"), split(col("text"), " ").as("toks")),
-          minTokens = 30,
-          maxTokens = 200,
-          minDistinctRatio = 0.3,
-          maxTopBigramFrac = 0.1,
-          maxDupTrigramFrac = 0.2
-        )
-        .where(col("keep"))
-        .select("doc_id")
-        .join(pages, Seq("doc_id"))
+      val gated = graft.util.Checkpoints.serializedLocal(
+        graft.operators.Curation
+          .qualityGate(
+            pages.select(col("doc_id"), split(col("text"), " ").as("toks")),
+            minTokens = 30,
+            maxTokens = 200,
+            minDistinctRatio = 0.3,
+            maxTopBigramFrac = 0.1,
+            maxDupTrigramFrac = 0.2
+          )
+          .where(col("keep"))
+          .select("doc_id")
+          .join(pages, Seq("doc_id"))
+      )
       // stage 3: exact dedup — keep the min-id copy of each text
-      val deduped = graft.operators.Dedup
-        .exact(gated, "doc_id", sha2(col("text"), 256))
-        .where(col("doc_id") === col("canonical"))
-        .select("doc_id")
-        .join(gated, Seq("doc_id"))
+      val deduped = graft.util.Checkpoints.serializedLocal(
+        graft.operators.Dedup
+          .exact(gated, "doc_id", sha2(col("text"), 256))
+          .where(col("doc_id") === col("canonical"))
+          .select("doc_id")
+          .join(gated, Seq("doc_id"))
+      )
       // stage 4: span-level exact-substring dedup over the survivors
       val cleaned = graft.operators.Dedup.spanDedup(
         deduped.select(col("doc_id"), split(col("text"), " ").as("words")),
@@ -1770,7 +1830,7 @@ object SparkEntry {
       // broadcast/fetch side at corpus scale); the oracle replays the
       // quantization chain and the integer dot/norm ranking
       val F = graft.functions.EmbeddingFunctions
-      val e = t(s, dir, "embeddings").select(col("vec_id"), F.quantizeInt8(col("embedding")).as("qv"))
+      val e = fan(t(s, dir, "embeddings").select(col("vec_id"), F.quantizeInt8(col("embedding")).as("qv")))
       graft.operators.SimilaritySearch
         .bruteForceTopKInt8(e.where(col("vec_id") < 20), e.where(col("vec_id") >= 20), "vec_id", "qv", 5)
         .select("qid", "rk", "neighbor")

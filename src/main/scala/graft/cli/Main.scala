@@ -409,9 +409,14 @@ object Main {
           s"index at $idxDir was built with --strategies $storedStrategies (got $strategyNames); " +
             "blocking keys would not align — rerun with the matching strategies"
         )
-        val tombstones =
-          if (pages.columns.contains("url")) pages.select("url")
-          else pages.select(col(pages.columns.head).as("url"))
+        // destructive path: the tombstone input must name its url column
+        // explicitly — a positional columns.head fallback would silently
+        // delete by whatever happens to lead an unexpected file
+        require(
+          pages.columns.contains("url"),
+          s"--remove input must have a 'url' column (got: ${pages.columns.mkString(", ")})"
+        )
+        val tombstones = pages.select("url")
         val emitChanged = opts.get("emit").contains("changed")
         // --window-refresh: honor sorted-neighborhood passes by re-ranking
         // the surviving corpus (see IncrementalLinkage.remove's contract —

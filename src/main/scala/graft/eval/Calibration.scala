@@ -36,6 +36,11 @@ object Calibration {
   /** Per-bin reliability table: (bin, n, sum_p, positives, mean_p,
     * frac_pos, abs_gap), one row per non-empty bin, bin ascending.
     */
+  /** Null-handling contract: null SCORES are dropped (no bin); null LABELS
+    * are counted as negatives (`when(y,1).otherwise(0)`) — on a partially
+    * labeled pair set, filter `labelCol IS NOT NULL` upstream if unlabeled
+    * pairs must not deflate frac_pos/ECE/Brier.
+    */
   def reliability(
       scored: DataFrame,
       scoreCol: String,

@@ -55,41 +55,10 @@ object Normalize {
     * all codegen'd builtins — zero exchanges at any scale. (Param sort is
     * Java-string order; identical to byte order for ASCII params.)
     */
-  def urlNormalize(url: Column): Column = {
-    val u = trim(url)
-    val noFrag = substring_index(u, "#", 1)
-    val scheme = lower(substring_index(noFrag, "://", 1))
-    val rest = noFrag.substr(instr(noFrag, "://") + 3, length(noFrag))
-    val hostport = substring_index(substring_index(rest, "/", 1), "?", 1)
-    val afterHost = rest.substr(length(hostport) + 1, length(rest))
-    val path = substring_index(afterHost, "?", 1)
-    val qpos = instr(afterHost, "?")
-    val query = when(qpos > 0, afterHost.substr(qpos + 1, length(afterHost))).otherwise(lit(""))
-    val host = lower(substring_index(hostport, ":", 1))
-    val cpos = instr(hostport, ":")
-    val port = when(cpos > 0, hostport.substr(cpos + 1, length(hostport))).otherwise(lit(""))
-    val keepPort = port =!= "" &&
-      !((scheme === "http" && port === "80") || (scheme === "https" && port === "443"))
-    val portPart = when(keepPort, concat(lit(":"), port)).otherwise(lit(""))
-    val kept = filter(
-      split(query, "&"),
-      p => {
-        val key = substring_index(p, "=", 1)
-        p =!= "" && substring(key, 1, 4) =!= "utm_" &&
-        !key.isin("gclid", "fbclid", "msclkid")
-      }
+  def urlNormalize(url: Column): Column =
+    org.apache.spark.sql.GraftShim.column(
+      graft.functions.UrlNormalize(org.apache.spark.sql.GraftShim.expression(url))
     )
-    val sortedQ = array_join(array_sort(kept), "&")
-    val queryPart = when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ))
-    val pathPart = when(path === "", lit("/")).otherwise(path)
-    // the parse operates on noFrag, so the passthrough test must too: an
-    // input whose only "://" sits AFTER the '#' (e.g. "page.html#r=https://x")
-    // is not a URL this parser can see — checking `u` here would send it
-    // down the parse branch and emit garbage like "page.html://ge.html/"
-    // (the DuckDB oracle checks the fragment-stripped form)
-    when(instr(noFrag, "://") === 0, u)
-      .otherwise(concat(scheme, lit("://"), host, portPart, pathPart, queryPart))
-  }
 
   /** Lowercased whitespace tokens of a text column (empty array for blank). */
   def tokensOf(text: Column): Column =

@@ -30,26 +30,42 @@ import org.apache.spark.sql.functions._
   */
 object Assignment {
 
-  /** One symmetric-best-match round. `edges`: (u, v, score) with u < v
-    * canonical orientation, one row per unordered pair. Returns the
-    * matched pairs (u, v, score), u < v.
+  /** One symmetric-best-match round. `edges`: (u, v, score) with one row
+    * per unordered pair, ANY orientation (the canonical u < v output no
+    * longer depends on the input's); null scores are ignored, NaN scores
+    * are not supported (use a finite sentinel). Returns the matched pairs
+    * (u, v, score), u < v.
+    *
+    * Plan shape (this is the hot path when `edges` is an un-materialized
+    * quadratic pair join): the input subtree is evaluated ONCE — both
+    * orientations come from a single explode rather than a self-union,
+    * argmax-with-min-partner-tie-break is ONE aggregation
+    * (min(struct(-score, v)): negation inverts the double ordering, the
+    * struct's second field breaks ties on the smallest partner), and the
+    * matched pair's score is the carried best_s (== the edge's score by
+    * definition of argmax), so no re-join against the input is needed.
     */
   def matchRound(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("u"), col("v"), col("score"))
-    val dir = e.unionAll(e.select(col("v").as("u"), col("u").as("v"), col("score")))
-    val bestScore = dir.groupBy("u").agg(max("score").as("best_s"))
-    // argmax partner with a deterministic tie-break: the SMALLEST partner
-    // id among equal-best scores (two aggregations, no window)
+    val e = edges.select(col("u"), col("v"), col("score")).where(col("score").isNotNull)
+    val dir = e
+      .select(
+        explode(
+          array(
+            struct(col("u").as("a"), col("v").as("b")),
+            struct(col("v").as("a"), col("u").as("b"))
+          )
+        ).as("p"),
+        col("score")
+      )
+      .select(col("p.a").as("u"), col("p.b").as("v"), col("score"))
     val best = dir
-      .join(bestScore, Seq("u"))
-      .where(col("score") === col("best_s"))
       .groupBy("u")
-      .agg(min("v").as("bp"))
-    val mutual = best
+      .agg(min(struct((-col("score")).as("ns"), col("v").as("bp"))).as("b"))
+      .select(col("u"), col("b.bp").as("bp"), (-col("b.ns")).as("best_s"))
+    best
       .join(best.select(col("u").as("v"), col("bp").as("bp2")), col("bp") === col("v"))
       .where(col("bp2") === col("u") && col("u") < col("v"))
-      .select("u", "v")
-    mutual.join(e, Seq("u", "v")).select("u", "v", "score")
+      .select(col("u"), col("v"), col("best_s").as("score"))
   }
 
   /** Iterated peel: run [[matchRound]], remove matched nodes from the
@@ -85,6 +101,13 @@ object Assignment {
       }
       round += 1
     }
+    // truncation is observable: a pool with matchable pairs left at
+    // maxRounds is logged (pool is checkpointed — the probe is one cheap
+    // limit-1 scan), so callers can tell a complete matching from a cut one
+    if (!done && !pool.isEmpty)
+      System.err.println(
+        s"[assignment] matching stopped at maxRounds=$maxRounds with unmatched pairs remaining"
+      )
     // empty matching: caller-typed empty frame (same u/v/score types)
     acc.getOrElse(edges.select(col("u"), col("v"), col("score")).limit(0).withColumn("round", lit(1)))
   }

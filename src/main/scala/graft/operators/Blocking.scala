@@ -182,6 +182,9 @@ object Blocker {
     * range) is left to AQE's skew-join split.
     */
   def saltOversized(keys: DataFrame, maxBlockSize: Int): DataFrame = {
+    // fail fast: maxBlockSize <= 0 makes ceil(n/maxBlockSize) null/negative
+    // and the salt bucket count silently degenerate
+    require(maxBlockSize > 0, s"maxBlockSize must be positive, got $maxBlockSize")
     val sizes = keys.groupBy("key").agg(count("*").as("block_n"))
     val nBuckets: Column = ceil(col("block_n") / lit(maxBlockSize)).cast("long")
     keys
@@ -256,6 +259,7 @@ object Blocker {
     */
   def skewCensus(keys: DataFrame, maxBlockSize: Int = 1000, topN: Int = 20): DataFrame = {
     require(topN > 0, s"topN must be positive, got $topN")
+    require(maxBlockSize > 0, s"maxBlockSize must be positive, got $maxBlockSize")
     val n = col("n")
     val b = when(n > maxBlockSize, ceil(n / lit(maxBlockSize)).cast("long")).otherwise(1L)
     // even-split pair bound: r buckets of q+1 and (b-r) of q, q = n div b

@@ -91,6 +91,28 @@ object FellegiSunter {
     require(prior > 0.0 && prior < 1.0, s"prior must be in (0,1), got $prior")
     require(fields.nonEmpty, "at least one field required")
     val fieldCols = fields.map(f => f.field)
+    // all global u-probabilities in ONE collect: per-field uProbability
+    // calls each ran their own eager aggregation job over docs (3 fields =
+    // 3 extra full passes before scoring even planned); a union of the
+    // per-field branches computes identical Σ(n_v/N)² values in one job
+    val uMap: Map[String, Double] = fieldCols.distinct
+      .map { f =>
+        docs
+          .where(col(f).isNotNull)
+          .groupBy(col(f))
+          .agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") * col("n")).as("s2"), sum(col("n")).as("n"))
+          .select(lit(f).as("field"), col("s2"), col("n"))
+      }
+      .reduce(_ unionAll _)
+      .collect()
+      .map { r =>
+        val u =
+          if (r.isNullAt(2) || r.getLong(2) == 0L) 0.0
+          else r.getLong(1).toDouble / (r.getLong(2).toDouble * r.getLong(2).toDouble)
+        r.getString(0) -> u
+      }
+      .toMap
     val a = docs.select(
       (col(idCol).as("id_a") +: fieldCols.map(f => col(f).as(s"${f}_a"))): _*
     )
@@ -100,7 +122,7 @@ object FellegiSunter {
     var out = pairs.join(a, "id_a").join(b, "id_b")
     val weightCols = fields.map { fp =>
       val f = fp.field
-      val u = uProbability(docs, f)
+      val u = uMap(f)
       require(u > 0.0 && u < 1.0, s"degenerate u=$u for field $f (constant or all-null column)")
       val fa = col(s"${f}_a")
       val fb = col(s"${f}_b")

@@ -88,10 +88,19 @@ object LinkTables {
     val base = links.withColumnRenamed("urlB", "url_b")
     if (!oneToOne) base
     else
+      // matching() emits canonical u < v orientation regardless of the
+      // table-keyed input orientation (url_b may sort below url_a), so the
+      // join back to `base` goes through least/greatest keys — joining on
+      // (url_a, url_b) directly silently dropped every flipped pair
       Assignment
         .matching(base.select(col("url_a").as("u"), col("url_b").as("v"), col("score")))
-        .select(col("u").as("url_a"), col("v").as("url_b"), col("round"))
-        .join(base, Seq("url_a", "url_b"))
+        .select(col("u"), col("v"), col("round"))
+        .join(
+          base
+            .withColumn("u", least(col("url_a"), col("url_b")))
+            .withColumn("v", greatest(col("url_a"), col("url_b"))),
+          Seq("u", "v")
+        )
         .select(col("url_a"), col("url_b"), col("key"), col("score"), col("round"))
   }
 }

@@ -202,6 +202,19 @@ object PairScorer {
       col("text_cap").as("text_b"),
       col("tfidf").as("vec_b")
     )
+    // zero-weight legs skip their kernel outright (the symbolic lev-only
+    // configs pay only the lev band, not all three kernels per pair). The
+    // combined `score` is bit-identical — every kernel returns a finite
+    // value, so 0.0 * w == kernel * 0.0 == 0.0 — but the skipped leg's
+    // OWN column reads 0.0 instead of the kernel value; consumers of raw
+    // jw/lev/cosine columns must use nonzero weights for those legs.
+    val jwC = if (w.jw == 0.0) lit(0.0) else jaro_winkler(col("title_a"), col("title_b"))
+    val levC =
+      if (w.lev == 0.0) lit(0.0)
+      else Normalize.levRatioBanded(col("text_a"), col("text_b"), maxDist = 64)
+    val cosC =
+      if (w.cosine == 0.0) lit(0.0)
+      else coalesce(sorted_vec_dot(col("vec_a"), col("vec_b")), lit(0.0))
     pairs
       .join(fa, "urlA")
       .join(fb, "urlB")
@@ -209,9 +222,9 @@ object PairScorer {
         col("urlA"),
         col("urlB"),
         col("key"),
-        jaro_winkler(col("title_a"), col("title_b")).as("jw"),
-        Normalize.levRatioBanded(col("text_a"), col("text_b"), maxDist = 64).as("lev"),
-        coalesce(sorted_vec_dot(col("vec_a"), col("vec_b")), lit(0.0)).as("cosine")
+        jwC.as("jw"),
+        levC.as("lev"),
+        cosC.as("cosine")
       )
       .withColumn(
         "score",

@@ -276,30 +276,36 @@ object SimilaritySearch {
         val bc = spark.sparkContext.broadcast(centroids)
         val scale = 1099511627776.0 // 2^40 fixed-point scale
         val mask = lit(0xFFFFFL)
-        val sums = (0 until dim).flatMap { i =>
-          val scaled = (element_at(col("cv"), i + 1) * scale).cast("long")
-          Seq(
-            sum(shiftright(scaled, 40)).as(s"h$i"),
-            sum(shiftright(scaled, 20).bitwiseAND(mask)).as(s"m$i"),
-            sum(scaled.bitwiseAND(mask)).as(s"l$i")
-          )
-        }
+        // (cell, pos)-keyed narrow aggregation, NOT 3*dim wide agg columns:
+        // each iteration builds a fresh plan (new broadcast), so the wide
+        // form re-janino-compiled a 1+3*dim-column aggregate per iteration —
+        // compile time dominated the pass at small scale. The exploded form
+        // sums the SAME scaled-long chunks grouped by (cell, pos): identical
+        // exact integer arithmetic, still associative/commutative, so the
+        // reconstructed means stay bit-stable; partial map-side aggregation
+        // bounds the shuffle at nList*dim rows per map task.
+        val scaled = (col("x") * scale).cast("long")
         val cellStats = vecs
           .withColumn("cell", element_at(SimilarityFunctions.nearest_centroids(col("cv"), bc, 1), 1))
-          .groupBy("cell")
-          .agg(count(lit(1)).as("cnt"), sums: _*)
-          .collect() // <= nList rows
+          .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(shiftright(scaled, 40)).as("h"),
+            sum(shiftright(scaled, 20).bitwiseAND(mask)).as("m"),
+            sum(scaled.bitwiseAND(mask)).as("l")
+          )
+          .collect() // <= nList * dim rows
         val next = centroids.map(_.clone())
         cellStats.foreach { r =>
           val cell = r.getInt(0)
-          val cnt = r.getLong(1).toDouble
-          next(cell) = Array.tabulate(dim) { i =>
-            // exact integer chunks -> one deterministic double rounding
-            val hi = r.getLong(2 + 3 * i).toDouble * scale
-            val mid = r.getLong(3 + 3 * i).toDouble * 1048576.0 // 2^20
-            val lo = r.getLong(4 + 3 * i).toDouble
-            (hi + mid + lo) / scale / cnt
-          }
+          val pos = r.getInt(1)
+          val cnt = r.getLong(2).toDouble
+          // exact integer chunks -> one deterministic double rounding
+          val hi = r.getLong(3).toDouble * scale
+          val mid = r.getLong(4).toDouble * 1048576.0 // 2^20
+          val lo = r.getLong(5).toDouble
+          next(cell)(pos) = (hi + mid + lo) / scale / cnt
         }
         shift = centroids
           .zip(next)

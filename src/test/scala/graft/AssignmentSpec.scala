@@ -40,6 +40,32 @@ class AssignmentSpec extends SparkSpec {
     assert(got === Set(("a", "b", 1), ("c", "d", 2)))
   }
 
+  test("matchRound is orientation-agnostic: flipped input orientation still matches") {
+    // the r5 oneToOne bug: table-keyed orientation where v sorts BELOW u
+    // silently dropped the pair (the old final join required the input's
+    // orientation); the rewrite emits canonical u < v regardless
+    val flipped = Seq(("b", "a", 0.9)).toDF("u", "v", "score") // a < b but given as (b, a)
+    val got = Assignment
+      .matchRound(flipped)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(got === Set(("a", "b", 0.9)))
+  }
+
+  test("matchRound ignores null scores and carries the argmax score through") {
+    val edges = Seq(
+      ("a", "b", java.lang.Double.valueOf(0.9)),
+      ("a", "c", null.asInstanceOf[java.lang.Double])
+    ).toDF("u", "v", "score")
+    val got = Assignment
+      .matchRound(edges)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(got === Set(("a", "b", 0.9)))
+  }
+
   test("matching is a matching: no node appears twice; empty input yields empty output") {
     val edges = Seq(
       ("a", "b", 0.9), ("a", "c", 0.8), ("b", "c", 0.7),

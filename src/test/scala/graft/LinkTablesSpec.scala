@@ -48,6 +48,18 @@ class LinkTablesSpec extends SparkSpec {
     assert(one.columns.contains("round"))
   }
 
+  test("oneToOne keeps links whose B-side url sorts BELOW the A-side (r5 orientation bug)") {
+    def words(seed: Int): String =
+      (0 until 40).map(i => f"w${(seed * 31 + i * 7) % 997}%03d").mkString(" ")
+    // every B url ("0...") sorts below every A url ("z...") — with the old
+    // table-keyed join-back in oneToOne this returned ZERO rows
+    val a = Seq(("za1", words(10)), ("za2", words(20))).toDF("url", "text")
+    val b = Seq(("0b1", words(10).replaceFirst("w1", "y1"))).toDF("url", "text")
+    val one = LinkTables.run(a, b, oneToOne = true)
+    val got = one.select("url_a", "url_b").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq === Seq(("za1", "0b1")), s"got ${got.mkString(",")}")
+  }
+
   test("CLI --link-to drives link_only end-to-end and writes the link frame") {
     def words(seed: Int): String =
       (0 until 40).map(i => f"w${(seed * 31 + i * 7) % 997}%03d").mkString(" ")

@@ -79,6 +79,27 @@ class PipelineSpec extends SparkSpec {
     assert(tiny == viaHint(0L))
   }
 
+  test("zero-weight scoring legs skip their kernel without changing the combined score") {
+    import graft.operators.{Blocker, PairScorer}
+    val corpus = pages.select("url", "text")
+    val keys = Blocker.allKeys(corpus, LinkagePipeline.Config().strategies)
+    val pairs = Blocker.pairs(keys, 1000)
+    val feats = PairScorer.features(corpus)
+    val full = PairScorer
+      .score(pairs, feats, PairScorer.Weights(jw = 0.0, lev = 1.0, cosine = 0.0))
+      .select("urlA", "urlB", "score")
+    val ref = PairScorer
+      .score(pairs, feats, PairScorer.Weights(jw = 1e-300, lev = 1.0, cosine = 1e-300))
+      .select(
+        col("urlA"),
+        col("urlB"),
+        // reconstruct the lev-only score from the all-kernels run
+        graft.functions.Normalize.clamp01(col("lev") * 1.0).as("score")
+      )
+    assert(full.exceptAll(ref.select("urlA", "urlB", "score")).count() === 0)
+    assert(ref.select("urlA", "urlB", "score").exceptAll(full).count() === 0)
+  }
+
   test("per-key threshold table overrides the constant threshold") {
     import spark.implicits._
     import graft.operators.PairScorer
