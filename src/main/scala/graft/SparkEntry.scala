@@ -1561,7 +1561,14 @@ object SparkEntry {
       val clusters = ConnectedComponents.run(
         accepted.select(col("urlA").as("src"), col("urlB").as("dst"))
       )
-      val basePred = LinkagePipeline.assemblePredictions(texts, clusters, accepted)
+      // materialize the base store once: remove() reads basePredictions ~6
+      // times (tombstone semi-join, affected/members, untouched, changedOld,
+      // unaffectedAssign) — in production those reads hit a parquet store;
+      // un-materialized here each one replayed the assemble tail's window
+      // pass + joins
+      val basePred = graft.util.Checkpoints.serializedLocal(
+        LinkagePipeline.assemblePredictions(texts, clusters, accepted)
+      )
       releaseFeats()
       val out = IncrementalLinkage.remove(
         pages.where(pmod(col("url"), lit(5)) === 0).select("url"),

@@ -109,11 +109,18 @@ object ConnectedComponents {
       count(lit(1)).as("n"),
       coalesce(sum(xxhash64(col("src"), col("dst")).cast("decimal(38,0)")), lit(java.math.BigDecimal.ZERO)).as("h")
     )
+    val ccLog = sys.env.contains("GRAFT_CC_LOG")
+    val ts0 = if (ccLog) System.nanoTime() else 0L
     val out = snapshot(observed)
+    val ts1 = if (ccLog) System.nanoTime() else 0L
     // the observation listener fires async after the snapshot's action;
     // bounded shared poll (graft.util.Observations), then fall back to the
     // explicit scan if the snapshot impl didn't drive the observation
     val m = graft.util.Observations.getWithin(obs)
+    if (ccLog)
+      println(
+        f"[cc]   snapshot ${(ts1 - ts0) / 1e9}%.3f s, obs-wait ${(System.nanoTime() - ts1) / 1e9}%.3f s"
+      )
     val sig =
       if (m.nonEmpty) (m("n").asInstanceOf[Long], BigDecimal(m("h").asInstanceOf[java.math.BigDecimal]))
       else signature(out)

@@ -64,34 +64,50 @@ object CorrelationClustering {
     var remaining = live.count()
     var round = 0
     while (remaining > 0L && round < maxRounds) {
-      // min-rank live neighbor per undecided node
-      val mn = live
-        .groupBy(col("a"))
-        .agg(min(struct(xxhash64(col("b")).as("h"), col("b").as("id"))).as("mn"))
-        .select(
-          col("a"),
-          struct(xxhash64(col("a")).as("h"), col("a").as("id")).as("ra"),
-          col("mn")
-        )
+      // min-rank live neighbor per undecided node — snapshotted ONCE: four
+      // downstream consumers (new pivots, claims, and the two live-set
+      // anti-join sides) previously re-evaluated this aggregation per
+      // consumer, the round's only full pass over the live edge set
+      val mn = snapshot(
+        live
+          .groupBy(col("a"))
+          .agg(min(struct(xxhash64(col("b")).as("h"), col("b").as("id"))).as("mn"))
+          .select(
+            col("a"),
+            struct(xxhash64(col("a")).as("h"), col("a").as("id")).as("ra"),
+            col("mn")
+          )
+      )
       val newPivots = mn.where(col("ra") < col("mn")).select(col("a").as("p"))
-      pivotsAll = snapshot(pivotsAll.union(newPivots))
+      // lazy union of checkpointed per-round pivot frames: claims only ever
+      // JOINS this set, so re-materializing the growing union every round
+      // (the previous shape) bought nothing
+      pivotsAll = pivotsAll.union(newPivots)
       // cluster to the min live neighbor iff it is a (this- or any-earlier-
       // round) pivot; pivots always outrank their claimants, so the two
-      // decision sets are disjoint by construction
+      // decision sets are disjoint by construction. is_p marks the pivot
+      // rows so both the decided set and the clustered subset read from the
+      // ONE round snapshot.
       val claims = mn
         .join(pivotsAll, mn("mn.id") === pivotsAll("p"))
         .select(col("a").as("id"), col("mn.id").as("pivot"))
       val roundAssign = snapshot(
-        newPivots.select(col("p").as("id"), col("p").as("pivot")).union(claims)
+        newPivots
+          .select(col("p").as("id"), col("p").as("pivot"), lit(true).as("is_p"))
+          .union(claims.select(col("id"), col("pivot"), lit(false).as("is_p")))
       )
-      assigned = assigned :+ roundAssign
+      assigned = assigned :+ roundAssign.select(col("id"), col("pivot"))
       val decidedA = roundAssign.select(col("id"))
-      val clusteredB = claims.select(col("id"))
+      val clusteredB = roundAssign.where(!col("is_p")).select(col("id"))
       live = snapshot(
         live
           .join(decidedA, live("a") === decidedA("id"), "left_anti")
           .join(clusteredB, live("b") === clusteredB("id"), "left_anti")
       )
+      // NOT an observation ride-along: the terminating round's live set is
+      // empty, and the optimizer prunes CollectMetrics on an empty relation
+      // so the observation would never fire (full poll budget burned once
+      // per call); a count over the just-checkpointed blocks is ~free
       remaining = live.count()
       round += 1
     }

@@ -594,14 +594,18 @@ object IncrementalLinkage {
       .select("cluster_id")
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val members = basePredictions
+    // one persisted member frame carries a removed-flag: the three
+    // downstream rm-joins (survivor anti, removed-IDF semi, baseNarrow
+    // anti) become narrow filters over the SAME cached blocks instead of
+    // three more broadcast joins, and the separate survivors persist (a
+    // fourth materialization wave) disappears
+    val members0 = basePredictions
       .select("url", "cluster_id", "score", "status", "text")
       .join(affected, Seq("cluster_id"), "left_semi")
+      .join(rm.select(col("url"), lit(true).as("_rm")), Seq("url"), "left")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val survivors = members
-      .join(rm, Seq("url"), "left_anti")
-      .select("url", "text")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val members = members0.drop("_rm")
+    val survivors = members0.where(col("_rm").isNull).select("url", "text")
 
     // hot blocks: every key carried by an affected-cluster member. The
     // LIVE occupants of those blocks (minus removed docs) give salting the
@@ -682,7 +686,7 @@ object IncrementalLinkage {
     // exact reduced-corpus IDF: artifacts are additive, so subtracting the
     // removed docs' own stats (negated part) reproduces the rerun's table
     val (rmIdfDf, rmN) = PairScorer.idfArtifact(
-      members.join(rm, Seq("url"), "left_semi").select("url", "text")
+      members0.where(col("_rm")).select("url", "text")
     )
     val reducedIdfDf = index.idfDf
       .unionByName(rmIdfDf.select(col("t"), (-col("df")).as("df")))
@@ -776,8 +780,8 @@ object IncrementalLinkage {
 
     // upsert view: recomputed survivor rows that actually changed (text
     // null — linking never mutates text; seq null — inherently O(n))
-    val baseNarrow = members
-      .join(rm, Seq("url"), "left_anti")
+    val baseNarrow = members0
+      .where(col("_rm").isNull)
       .select(
         col("url"),
         col("cluster_id").as("b_cluster"),
@@ -833,8 +837,7 @@ object IncrementalLinkage {
       mergeMap,
       nextIndex,
       () => {
-        rm.unpersist(false); survivors.unpersist(false)
-        affected.unpersist(false); members.unpersist(false)
+        rm.unpersist(false); affected.unpersist(false); members0.unpersist(false)
         ()
       }
     )
