@@ -20,11 +20,24 @@ object QueryProbe {
       println(f"[probe] $name $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     once("cold")
-    once("warm")
-    once("warm2")
-    val df = fn(spark, dir)
-    df.collect()
-    println(df.queryExecution.executedPlan.toString)
+    // min over warm reps: the host's co-tenant noise is +/-25% run-to-run,
+    // so single warm numbers cannot resolve a 15% plan win; best-of-N is
+    // the same capability estimator the bench's scaling part uses
+    val reps = sys.env.getOrElse("GRAFT_PROBE_REPS", "2").toInt
+    var best = Double.MaxValue
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      fn(spark, dir).foreach(_ => ())
+      val secs = (System.nanoTime() - t0) / 1e9
+      best = math.min(best, secs)
+      println(f"[probe] $name warm$i: $secs%.2f s")
+    }
+    println(f"[probe] $name best-warm: $best%.2f s")
+    if (!sys.env.contains("GRAFT_PROBE_NO_PLAN")) {
+      val df = fn(spark, dir)
+      df.collect()
+      println(df.queryExecution.executedPlan.toString)
+    }
     spark.stop()
   }
 }
