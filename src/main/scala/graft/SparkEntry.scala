@@ -106,13 +106,18 @@ object SparkEntry {
     */
   private def fsScoredPairs(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.FellegiSunter
-    val d = fan(
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        col("lang"),
-        col("source"),
-        floor(col("n_chars") / 20).cast("long").as("band"),
-        concat_ws("|", col("lang"), floor(col("n_chars") / 50).cast("long")).as("key")
+    // materialized once: scorePairs scans its doc frame ~7 times (global-u
+    // collect, per-field u-tables, both pair-join sides) and each
+    // un-materialized scan re-paid the fan() exchange on top of the read
+    val d = graft.util.Checkpoints.serializedLocal(
+      fan(
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          col("lang"),
+          col("source"),
+          floor(col("n_chars") / 20).cast("long").as("band"),
+          concat_ws("|", col("lang"), floor(col("n_chars") / 50).cast("long")).as("key")
+        )
       )
     )
     val pairs = d
@@ -682,11 +687,16 @@ object SparkEntry {
       // scoring, matches at posterior >= 0.8 become edges, connected
       // components assign clusters, singletons backfill. Every stage is
       // replayed engine-free by the oracle (CC as a recursive CTE).
-      val d = t(s, dir, "documents").select(
-        col("doc_id"),
-        col("lang"),
-        col("source"),
-        floor(col("n_chars") / 20).cast("long").as("band")
+      // materialized once: scorePairs scans its doc frame ~7 times (global-u
+      // collect, per-field u-tables, both pair-join sides) plus the final
+      // singleton backfill below
+      val d = graft.util.Checkpoints.serializedLocal(
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          col("lang"),
+          col("source"),
+          floor(col("n_chars") / 20).cast("long").as("band")
+        )
       )
       import graft.operators.{FellegiSunter, MetaBlocking}
       val pruned = MetaBlocking.cnp(

@@ -113,9 +113,18 @@ object FellegiSunter {
         r.getString(0) -> u
       }
       .toMap
-    val a = docs.select(
+    // TF adjustment uses the AGREED value's u_v, and agreement means the
+    // A-side value IS the pair's value — so the per-field u-tables join
+    // onto the DOC-side projection, not the pair frame: at scale the pair
+    // set is the big side, and value-keyed joins against it would shuffle
+    // |pairs| once PER FIELD; doc-side enrichment shuffles only |docs|.
+    var a = docs.select(
       (col(idCol).as("id_a") +: fieldCols.map(f => col(f).as(s"${f}_a"))): _*
     )
+    if (tfAdjust) fieldCols.distinct.foreach { f =>
+      val tf = uTable(docs, f).select(col("value").as(s"${f}_a"), col("u").as(s"_u_$f"))
+      a = a.join(tf, Seq(s"${f}_a"), "left")
+    }
     val b = docs.select(
       (col(idCol).as("id_b") +: fieldCols.map(f => col(f).as(s"${f}_b"))): _*
     )
@@ -129,12 +138,7 @@ object FellegiSunter {
       val agree = fa.isNotNull && fb.isNotNull && (fa === fb)
       val missing = fa.isNull || fb.isNull
       val agreeU: Column =
-        if (!tfAdjust) lit(u)
-        else {
-          val tf = uTable(docs, f).select(col("value").as(s"${f}_a"), col("u").as(s"_u_$f"))
-          out = out.join(tf, Seq(s"${f}_a"), "left")
-          coalesce(col(s"_u_$f"), lit(u))
-        }
+        if (!tfAdjust) lit(u) else coalesce(col(s"_u_$f"), lit(u))
       val w = when(missing, lit(0.0))
         .when(agree, log(lit(fp.m) / agreeU))
         .otherwise(log(lit(1.0 - fp.m) / lit(1.0 - u)))

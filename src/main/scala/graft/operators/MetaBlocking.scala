@@ -85,7 +85,13 @@ object MetaBlocking {
     * url_a < url_b.
     */
   def edges(keys: DataFrame): DataFrame = {
-    val k = keys.select(col("url"), col("key")).distinct()
+    // materialized once (the CC-iteration snapshot discipline): the deduped
+    // key set feeds FOUR scans below (both pair-join sides, per-doc block
+    // counts, total block count) and each un-materialized scan would replay
+    // the caller's whole key-derivation + purge/filter chain
+    val k = graft.util.Checkpoints.serializedLocal(
+      keys.select(col("url"), col("key")).distinct()
+    )
     val pairs = k
       .select(col("url").as("url_a"), col("key"))
       .join(k.select(col("url").as("url_b"), col("key")), Seq("key"))
