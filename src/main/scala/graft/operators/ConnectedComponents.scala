@@ -268,6 +268,21 @@ object ConnectedComponents {
       val t0 = if (ccLog) System.nanoTime() else 0L
       val (next, nextSig) = snapshotWithSignature(smallStar(largeStar(edges)), snapshot)
       converged = nextSig == sig
+      if (!converged && nextSig._1 == sig._1) {
+        // Early fixpoint test, saving the final verification round (the
+        // signature alone only detects convergence one FULL star round
+        // after the fixpoint): small-star output is oriented src > dst, so
+        // "no node appears as both src and dst" <=> depth-1 trees whose
+        // root is smaller than every member <=> the min-rooted star forest
+        // the alternation converges to — sufficient AND necessary. The
+        // test is one narrow semi-join with isEmpty's take-1 early exit
+        // (an unconverged graph yields a witness almost immediately),
+        // gated on count stability — a necessary fixpoint condition — so
+        // shrinking rounds never pay it.
+        converged = next
+          .join(next.select(col("src").as("dst")), Seq("dst"), "left_semi")
+          .isEmpty
+      }
       sig = nextSig
       edges = next
       iter += 1

@@ -547,22 +547,30 @@ object Dedup {
     require(minFreq >= 2, s"minFreq < 2 would remove every window (got $minFreq)")
     val base = docs.select(col(idCol), col(wordsCol).as("_w"))
     val words = base.select(col(idCol), posexplode(col("_w")).as(Seq("idx", "word")))
-    val wins = base
-      .where(size(col("_w")) >= windowWords) // shorter docs form no window
-      .select(
-        col(idCol),
-        explode(
-          transform(
-            sequence(lit(0), size(col("_w")) - windowWords),
-            off =>
-              struct(
-                off.as("off"),
-                xxhash64(array_join(slice(col("_w"), off + lit(1), lit(windowWords)), sep)).as("h")
-              )
-          )
-        ).as("w")
-      )
-      .select(col(idCol), col("w.off").as("off"), col("w.h").as("h"))
+    // materialized once: the window table feeds BOTH the frequency
+    // aggregation and the duplicated-offset semi-join probe, and the
+    // stride-1 window hashing (windowWords x the text bytes re-hashed per
+    // position) is the operator's dominant row-local kernel — recomputing
+    // it per consumer doubled the stage. The cached rows are the narrow
+    // (id, int-offset, 8-byte hash) proxy, never window text.
+    val wins = graft.util.Checkpoints.serializedLocal(
+      base
+        .where(size(col("_w")) >= windowWords) // shorter docs form no window
+        .select(
+          col(idCol),
+          explode(
+            transform(
+              sequence(lit(0), size(col("_w")) - windowWords),
+              off =>
+                struct(
+                  off.as("off"),
+                  xxhash64(array_join(slice(col("_w"), off + lit(1), lit(windowWords)), sep)).as("h")
+                )
+            )
+          ).as("w")
+        )
+        .select(col(idCol), col("w.off").as("off"), col("w.h").as("h"))
+    )
     val dup = wins
       .groupBy("h")
       .agg(count(lit(1)).as("occ"))

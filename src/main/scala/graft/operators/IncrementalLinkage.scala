@@ -223,7 +223,11 @@ object IncrementalLinkage {
         coalesce(col("nodeA"), col("urlA")).as("src"),
         coalesce(col("nodeB"), col("urlB")).as("dst")
       )
-    val comp = ConnectedComponents.run(contracted, maxIterations, snapshot)
+    // materialize the component map once: CC.run's final assignment frame
+    // is lazy (a union+distinct over the converged star forest), and every
+    // caller consumes it at least twice — the merge-map derivation below
+    // plus the caller's own relabel join
+    val comp = snapshot(ConnectedComponents.run(contracted, maxIterations, snapshot))
     val oldIds = baseAssign.select(col("cluster_id").as("url")).distinct()
     val mergeMap = comp
       .join(oldIds, Seq("url"), "left_semi")
