@@ -338,6 +338,12 @@ object ConnectedComponents {
       val next = io.commitStage(smallStar(largeStar(edges)), s"cc_iter_$iter", Seq(s"cc_iter_${iter - 1}"))
       val nextSig = signature(next)
       converged = nextSig == sig
+      if (!converged && nextSig._1 == sig._1)
+        // same count-gated min-rooted-star-forest early exit as run() —
+        // saves the full verification round on the durable path too
+        converged = next
+          .join(next.select(col("src").as("dst")), Seq("dst"), "left_semi")
+          .isEmpty
       sig = nextSig
       edges = next
     }

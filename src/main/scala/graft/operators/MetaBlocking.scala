@@ -100,19 +100,27 @@ object MetaBlocking {
       .agg(count(lit(1)).as("cbs"))
     val docBlocks = k.groupBy("url").agg(count(lit(1)).as("nb"))
     val totalBlocks = k.select(col("key")).distinct().agg(count(lit(1)).as("n_total"))
-    pairs
-      .join(docBlocks.select(col("url").as("url_a"), col("nb").as("nb_a")), Seq("url_a"))
-      .join(docBlocks.select(col("url").as("url_b"), col("nb").as("nb_b")), Seq("url_b"))
-      .crossJoin(broadcast(totalBlocks))
-      .select(
-        col("url_a"),
-        col("url_b"),
-        col("cbs"),
-        (col("cbs").cast("double") / (col("nb_a") + col("nb_b") - col("cbs"))).as("js"),
-        (col("cbs").cast("double") *
-          log(col("n_total").cast("double") / col("nb_a")) *
-          log(col("n_total").cast("double") / col("nb_b"))).as("ecbs")
-      )
+    // the weighted edge list is what every pruner consumes SEVERAL times
+    // (wep: mean + filter; wnp: two incidence legs + the filter join;
+    // cnp: two incidence legs + the keep semi-join) — materialize it once
+    // so the pair self-join + weight joins never replay per consumer. The
+    // frame is the meta-blocked candidate set, bounded by construction
+    // (purge discards the quadratic head blocks before pairs ever form).
+    graft.util.Checkpoints.serializedLocal(
+      pairs
+        .join(docBlocks.select(col("url").as("url_a"), col("nb").as("nb_a")), Seq("url_a"))
+        .join(docBlocks.select(col("url").as("url_b"), col("nb").as("nb_b")), Seq("url_b"))
+        .crossJoin(broadcast(totalBlocks))
+        .select(
+          col("url_a"),
+          col("url_b"),
+          col("cbs"),
+          (col("cbs").cast("double") / (col("nb_a") + col("nb_b") - col("cbs"))).as("js"),
+          (col("cbs").cast("double") *
+            log(col("n_total").cast("double") / col("nb_a")) *
+            log(col("n_total").cast("double") / col("nb_b"))).as("ecbs")
+        )
+    )
   }
 
   /** Weighted Edge Pruning: keep edges whose weight is >= the global mean

@@ -35,19 +35,21 @@ object DeterministicSeq {
     * bytes instead; the bytes->partitions policy (128 MB target, 1M cap,
     * parallelism floor) lives only here.
     */
-  def assign(
+  /** The bytes -> range-partition-count policy behind [[assign]], exposed
+    * for tests (the stats-heuristic traps below were each measured as
+    * multi-10x seq-pass regressions before their guards landed).
+    */
+  private[graft] def plannedRangePartitions(
       df: DataFrame,
-      orderCol: String,
       rangePartitions: Int = 0,
       bytesHint: Long = 0L
-  ): DataFrame = {
+  ): Int = {
     def byBytes(b: BigInt): Int =
       (b / BigInt(128L * 1024 * 1024)).min(BigInt(1000000)).toInt + 1
-    val nParts =
-      if (rangePartitions > 0) rangePartitions
-      else if (bytesHint > 0L)
-        math.max(df.sparkSession.sparkContext.defaultParallelism, byBytes(BigInt(bytesHint)))
-      else {
+    if (rangePartitions > 0) rangePartitions
+    else if (bytesHint > 0L)
+      math.max(df.sparkSession.sparkContext.defaultParallelism, byBytes(BigInt(bytesHint)))
+    else {
         // size from the largest PLAUSIBLE LEAF, not the whole plan: join
         // output estimates multiply (measured: the 3-way prediction-merge
         // tail over an 85k-row corpus estimated 6.6 TB -> 49k range
@@ -62,11 +64,24 @@ object DeterministicSeq {
           spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
         )
         def plausible(b: BigInt): Boolean = b > 0 && b < BigInt(1L << 50)
-        val leafBytes = df.queryExecution.optimizedPlan
-          .collectLeaves()
+        val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+        // LogicalRDD leaves (localCheckpoint / RDD-backed frames) carry NO
+        // honest size: they either report the defaultSizeInBytes sentinel
+        // or PROPAGATE the pre-checkpoint plan estimate — and a propagated
+        // join estimate can be multiplicatively inflated yet still land
+        // under the plausibility cutoff (measured: a ~40k-row checkpointed
+        // meta-blocking edge list estimated 1.2 TB -> 9,478 range
+        // partitions -> a 15 s seq pass for a 2 s query). Exclude them from
+        // the leaf evidence, and distrust the whole-plan estimate too when
+        // any is present (plan stats are propagated FROM the leaves).
+        val rddLeaf = leaves.exists(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
+        val leafBytes = leaves
+          .filterNot(_.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD])
           .map(_.stats.sizeInBytes)
           .filter(plausible)
-        val planBytes = Some(df.queryExecution.optimizedPlan.stats.sizeInBytes).filter(plausible)
+        val planBytes =
+          if (rddLeaf) None
+          else Some(df.queryExecution.optimizedPlan.stats.sizeInBytes).filter(plausible)
         // the plan estimate keeps filter/aggregate cardinality reduction;
         // the leaf max caps its join multiplication — min of the two
         // dominates either alone. But every plan estimate is PROPAGATED
@@ -86,7 +101,16 @@ object DeterministicSeq {
             val byBytes = (b / BigInt(128L * 1024 * 1024)).min(BigInt(1000000)).toInt + 1
             math.max(spark.sparkContext.defaultParallelism, byBytes)
         }
-      }
+    }
+  }
+
+  def assign(
+      df: DataFrame,
+      orderCol: String,
+      rangePartitions: Int = 0,
+      bytesHint: Long = 0L
+  ): DataFrame = {
+    val nParts = plannedRangePartitions(df, rangePartitions, bytesHint)
     val dbg = sys.env.contains("GRAFT_SEQ_LOG")
     val t0 = if (dbg) System.nanoTime() else 0L
     val ranged = Checkpoints.serializedLocal(

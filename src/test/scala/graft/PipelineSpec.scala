@@ -79,6 +79,26 @@ class PipelineSpec extends SparkSpec {
     assert(tiny == viaHint(0L))
   }
 
+  test("seq width policy distrusts checkpointed-leaf stats (propagated join estimates)") {
+    // a localCheckpoint leaf either reports the ~8-EB sentinel or PROPAGATES
+    // the pre-checkpoint plan estimate; a self-join inflates that estimate
+    // multiplicatively while staying under the plausibility cutoff — the
+    // width policy must fall back to the session width, not believe it
+    val base = pages.select("url", "text")
+    val ck = graft.util.Checkpoints.serializedLocal(
+      base.select(col("url").as("u1")).crossJoin(base.select(col("url").as("u2")).limit(3))
+    )
+    val planned = graft.util.DeterministicSeq.plannedRangePartitions(ck)
+    val fallback = math.max(
+      spark.sparkContext.defaultParallelism,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    )
+    assert(planned == fallback, s"expected fallback width $fallback, got $planned")
+    // honest parquet/local leaves still size by bytes: tiny in-memory frame
+    // -> parallelism floor
+    assert(graft.util.DeterministicSeq.plannedRangePartitions(base) >= 1)
+  }
+
   test("zero-weight scoring legs skip their kernel without changing the combined score") {
     import graft.operators.{Blocker, PairScorer}
     val corpus = pages.select("url", "text")
