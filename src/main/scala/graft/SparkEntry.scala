@@ -1222,10 +1222,15 @@ object SparkEntry {
       val clusters = graft.operators.ConnectedComponents.run(
         accepted.select(col("urlA").as("src"), col("urlB").as("dst"))
       )
-      val assigns = texts
-        .select("url")
-        .join(clusters, Seq("url"), "left")
-        .select(col("url"), coalesce(col("cluster_id"), col("url")).as("cluster_id"))
+      // materialized once: diagnostics reads its assignment frame twice
+      // (member counts + the edge-side cluster attach), and each
+      // un-materialized read replays the CC star-forest map-back join
+      val assigns = graft.util.Checkpoints.serializedLocal(
+        texts
+          .select("url")
+          .join(clusters, Seq("url"), "left")
+          .select(col("url"), coalesce(col("cluster_id"), col("url")).as("cluster_id"))
+      )
       graft.eval.ClusterEval
         .diagnostics(assigns, accepted)
         .select(
